@@ -1,0 +1,56 @@
+"""Table sources (≙ the reference's InputVec, ``MapReduceClient.h:46,50``).
+
+The reference copies the caller's ``InputVec`` into the job
+(``MapReduceFramework.cpp:51``); here the source is a parquet scan —
+columnar, splittable, predicate-pushdown-able — which is what makes the
+same logical pipeline viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.session import tune
+
+#: The driver-generated star schema + event/LLM tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Column pruning + filter pushdown reach the file
+    scan because this stays a plain ``spark.read.parquet`` (no collect,
+    no RDD round-trip)."""
+    tune(spark)  # pin UTC etc. even on externally built sessions
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table as a dict (used by tests/bench)."""
+    return {name: tbl(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for ``spark.sql`` queries."""
+    for name in TABLES:
+        tbl(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Sink ≙ OutputVec append (``MapReduceFramework.cpp:181-184``), but
+    distributed: each task writes its own file, no global mutex."""
+    df.write.mode(mode).parquet(path)

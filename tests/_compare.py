@@ -1,0 +1,74 @@
+"""Differential comparator mirroring the driver's correctness gate:
+row-count + column names + order-insensitive value comparison between a
+Spark DataFrame result and a DuckDB oracle result.
+
+Stricter than tolerant: values must match exactly after canonicalization
+(floats compared by exact value after rounding to 9 decimals) — if this
+passes, the driver's value-hash should too; near-misses fail loudly here
+so float-instability bugs surface locally.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+
+def _norm_val(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # kill -0.0 and sub-ulp noise; queries round/decimal-stabilize
+        # anything coarser than this themselves
+        r = round(v, 9)
+        return 0.0 if r == 0 else r
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_val(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((str(k), _norm_val(x)) for k, x in v.items()))
+    return v
+
+
+def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_val(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+def assert_df_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?") -> None:
+    spark_cols = list(spark_df.columns)
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    cur = duck_con.execute(oracle)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = [tuple(r) for r in cur.fetchall()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+
+    s = _normalize(spark_cols, spark_rows)
+    d = _normalize(duck_cols, duck_rows)
+    if s != d:
+        diffs = [(a, b) for a, b in zip(s, d) if a != b][:5]
+        raise AssertionError(
+            f"{name}: value mismatch ({len([1 for a, b in zip(s, d) if a != b])} differing "
+            f"rows of {len(s)}); first diffs (spark, duck): {diffs}"
+        )
