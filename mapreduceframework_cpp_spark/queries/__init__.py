@@ -6,4 +6,5 @@ Importing this package registers every query + oracle pair into
 
 from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     flagship,
+    relational,
 )

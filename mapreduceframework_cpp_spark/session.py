@@ -28,6 +28,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # Local-mode shuffle sizing; on a real cluster this is set per job size
     # (AQE coalesces down from a high initial value).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects
+    # outright; read as long and convert in sources.tables.tbl.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

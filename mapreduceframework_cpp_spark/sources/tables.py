@@ -36,7 +36,18 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan because this stays a plain ``spark.read.parquet`` (no collect,
     no RDD round-trip)."""
     tune(spark)  # pin UTC etc. even on externally built sessions
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS,false) — illegal for Spark's
+        # reader; nanosAsLong (set in session.RUNTIME_CONFS) surfaces it
+        # as nanos-since-epoch. floor(ns/1000) == truncation for the
+        # all-positive testdata, matching DuckDB's ns→µs fetch behavior.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
