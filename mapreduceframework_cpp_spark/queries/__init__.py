@@ -7,5 +7,6 @@ Importing this package registers every query + oracle pair into
 from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     aggregations,
     flagship,
+    joins,
     relational,
 )

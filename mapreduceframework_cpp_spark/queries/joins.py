@@ -1,0 +1,270 @@
+"""Join queries (SURVEY.md §2.2-C).
+
+Kernel lowering for all joins: tag-union both inputs in map, group on the
+join key in shuffle (R6), pairwise combine in reduce (R8) — the classic
+repartition join on the reference kernel (Tenzing, PAPERS.md). Spark picks
+the physical strategy per side size: broadcast-hash for bounded dims,
+sort-merge/shuffled-hash for big-big — the choices that survive 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.operators.asof import asof_join
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dim: explicit broadcast — no shuffle of the 100 TB
+    side, the dim ships to every task."""
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_join_shuffle_hash",
+    oracle="""
+    SELECT s_name,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical shape, shuffled-hash strategy via hint — the big-big
+    choice when neither side broadcasts but one side's partitions fit in
+    memory (cheaper than sort-merge: no sort)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    supplier = tbl(spark, sf_dir, "supplier").hint("shuffle_hash")
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer + null-side aggregation: customers with zero orders
+    appear with n_orders=0 (count of a null column skips nulls)."""
+    customer = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "right"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over two filtered sets so both null sides are non-empty."""
+    c = tbl(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = tbl(spark, sf_dir, "customer")
+    big = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = tbl(spark, sf_dir, "customer")
+    big = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "region")
+        .crossJoin(tbl(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_partkey, p_size, l_quantity
+    FROM lineitem JOIN part
+    ON l_partkey = p_partkey
+    AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range residual: Spark keeps the hash/merge join on the
+    equi part and applies the range as a post-join filter — the scalable
+    shape (a pure theta join would be a nested loop)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == part.p_partkey)
+        & (li.l_quantity >= part.p_size - 5)
+        & (li.l_quantity <= part.p_size + 5)
+    )
+    return li.join(F.broadcast(part), cond).select(
+        "l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity"
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS ts_click, c.value AS value_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's latest prior (or simultaneous)
+    click — via the engine's asof_join operator (union-tag + window)."""
+    events = tbl(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "value"],
+        suffix="_click",
+    )
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    SELECT e1.event_id AS purchase_id, e2.event_id AS error_id,
+           e1.ts AS purchase_ts, e2.ts AS error_ts
+    FROM events e1 JOIN events e2
+    ON e1.user_id = e2.user_id
+    AND e1.event_type = 'purchase' AND e2.event_type = 'error'
+    AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap: errors within 1h after a purchase, same user.
+    Equi on user + time-range residual keeps this a hash join."""
+    events = tbl(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    e = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    cond = (
+        (p.user_id == e.e_user_id)
+        & (e.error_ts > p.purchase_ts)
+        & (e.error_ts <= p.purchase_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return p.join(e, cond).select("purchase_id", "error_id", "purchase_ts", "error_ts")

@@ -1,0 +1,67 @@
+"""Unit tests for the asof_join operator (hand-computed golden, both
+inclusive and strict modes, no-match rows, partition invariance)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from mapreduceframework_cpp_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),  # matches r@09:30
+            (2, "u1", _ts("2024-01-01T11:00:00")),  # matches r@11:00 (exact)
+            (3, "u2", _ts("2024-01-01T08:00:00")),  # no prior right row
+            (4, "u3", _ts("2024-01-01T09:00:00")),  # key absent on right
+        ],
+        "id long, k string, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T09:30:00"), 1.0),
+            ("u1", _ts("2024-01-01T11:00:00"), 2.0),
+            ("u2", _ts("2024-01-01T09:00:00"), 3.0),
+        ],
+        "k string, ts timestamp_ntz, v double",
+    )
+    return left, right
+
+
+def test_asof_inclusive(frames):
+    left, right = frames
+    out = asof_join(left, right, ["k"], "ts", "ts", ["ts", "v"], suffix="_r")
+    got = {r["id"]: (r["ts_r"], r["v_r"]) for r in out.collect()}
+    assert got == {
+        1: (_ts("2024-01-01T09:30:00"), 1.0),
+        2: (_ts("2024-01-01T11:00:00"), 2.0),  # exact match included
+        3: (None, None),
+        4: (None, None),
+    }
+
+
+def test_asof_strict(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, ["k"], "ts", "ts", ["v"], suffix="_r", allow_exact_matches=False
+    )
+    got = {r["id"]: r["v_r"] for r in out.collect()}
+    assert got == {1: 1.0, 2: 1.0, 3: None, 4: None}  # exact match excluded for id=2
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_asof_partition_invariant(frames, nparts):
+    left, right = frames
+    out = asof_join(
+        left.repartition(nparts), right.repartition(nparts), ["k"], "ts", "ts", ["v"]
+    )
+    got = sorted((r["id"], r["v_asof"]) for r in out.collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, None), (4, None)]
