@@ -9,4 +9,6 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     flagship,
     joins,
     relational,
+    scalars,
+    windows,
 )

@@ -1,0 +1,237 @@
+"""Scalar function queries (SURVEY.md §2.2-H): string / regexp / split /
+date / math / json / array / map.
+
+Kernel lowering: all are R3 map-side row functions
+(``MapReduceClient.h:57-59``) — narrow transforms, no shuffle except the
+final small aggregations; everything stays inside WholeStageCodegen (no
+Python UDFs here).
+
+Cross-engine discipline: regex patterns valid in both Java and RE2
+dialects; ln/pow rounded (libm last-ulp differences); sqrt/abs/ceil/floor
+are IEEE-exact so left raw; map results observed through deterministic
+scalar lookups (map iteration order is engine-specific).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+
+@query(
+    "q_str_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           substr(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           concat(c_name, ':', c_mktsegment) AS name_seg,
+           trim(c_name) AS name_trim,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded
+    FROM customer
+    """,
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("name_seg"),
+        F.trim(F.col("c_name")).alias("name_trim"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+    )
+
+
+@query(
+    "q_str_regexp",
+    oracle="""
+    SELECT p_partkey, p_name,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, 'w.*t') AS has_w_t,
+           (p_name LIKE '%red%') AS like_red
+    FROM part
+    """,
+)
+def q_str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patterns chosen to mean the same thing in Java and RE2 regex
+    dialects; Spark regexp_replace is global by default, DuckDB needs the
+    'g' flag."""
+    p = tbl(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("w.*t").alias("has_w_t"),
+        F.col("p_name").like("%red%").alias("like_red"),
+    )
+
+
+@query(
+    "q_str_split_explode",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+)
+def q_str_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → word count (≙ R4 emit2 multi-emit,
+    ``MapReduceFramework.cpp:172-175``)."""
+    return (
+        tbl(spark, sf_dir, "part")
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INTEGER)
+               AS days_to_y2k,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.add_months(F.col("o_orderdate"), 3).alias("plus_3mo"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 0) AS price_round,
+           abs(o_totalprice - 250000) AS dist_mid,
+           ceil(o_totalprice / 1000) AS price_ceil_k,
+           floor(o_totalprice / 1000) AS price_floor_k,
+           sqrt(o_totalprice) AS price_sqrt,
+           round(ln(o_totalprice), 6) AS price_ln,
+           round(pow(o_totalprice / 100000, 2), 6) AS price_pow
+    FROM orders
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt/abs are correctly-rounded IEEE ops (safe raw); ln/pow go
+    through round(...,6) because libm implementations differ in the last
+    ulp across engines. ceil/floor returns are DOUBLE in DuckDB for double
+    input — matched by keeping them double here."""
+    o = tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 0).alias("price_round"),
+        F.abs(F.col("o_totalprice") - 250000).alias("dist_mid"),
+        F.ceil(F.col("o_totalprice") / 1000).cast("double").alias("price_ceil_k"),
+        F.floor(F.col("o_totalprice") / 1000).cast("double").alias("price_floor_k"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.round(F.pow(F.col("o_totalprice") / 100000, 2), 6).alias("price_pow"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", "user_id", k.alias("k")).filter(F.col("k") > 50)
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(words) AS INTEGER) AS n_words,
+           words[1] AS first_word,
+           list_contains(words, 'red') AS has_red,
+           words[1:2] AS first_two,
+           list_sort(words) AS sorted_words,
+           list_sort(list_distinct(words)) AS distinct_words
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayType surface: size / element access / contains / slice /
+    sort / distinct. array_distinct output is re-sorted in both engines
+    (first-occurrence order vs engine-specific order otherwise)."""
+    p = tbl(spark, sf_dir, "part").select(
+        "p_partkey", F.split(F.col("p_name"), " ").alias("words")
+    )
+    return p.select(
+        "p_partkey",
+        F.size("words").alias("n_words"),
+        F.element_at("words", 1).alias("first_word"),
+        F.array_contains("words", "red").alias("has_red"),
+        F.slice("words", 1, 2).alias("first_two"),
+        F.array_sort("words").alias("sorted_words"),
+        F.array_sort(F.array_distinct("words")).alias("distinct_words"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT user_id,
+           count(DISTINCT event_type) AS n_types,
+           coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS clicks,
+           coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchases
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build map(event_type → count) per user with
+    map_from_entries, then observe it through deterministic scalar lookups
+    (size + element_at) — the map column itself has engine-specific
+    iteration order, the lookups don't, which is what makes this
+    SQL-oracle-checkable."""
+    ev = tbl(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    with_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    return with_map.select(
+        "user_id",
+        F.size("type_counts").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("type_counts", "click"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("type_counts", "purchase"), F.lit(0)).alias(
+            "purchases"
+        ),
+    )
