@@ -10,5 +10,6 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     joins,
     relational,
     scalars,
+    udfs,
     windows,
 )

@@ -1,0 +1,108 @@
+"""UDF / UDAF / UDTF queries (SURVEY.md §2.2-J) — the Python-code escape
+hatch, mirroring the reference's client contract, always Arrow-vectorized
+(pandas_udf / applyInPandas), never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS price_band
+    FROM orders
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar UDF ≙ client ``map`` (``MapReduceClient.h:57-59``):
+    custom price-band labeler, Arrow-batched (10-100× a row-at-a-time
+    Python UDF)."""
+
+    @F.pandas_udf("string")
+    def band(p: pd.Series) -> pd.Series:
+        out = pd.Series("high", index=p.index)
+        out[p < 300000] = "mid"
+        out[p < 100000] = "low"
+        return out
+
+    return tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", band("o_totalprice").alias("price_band")
+    )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT p_brand,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+                 4) AS weighted_avg_price,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom fold ≙ client ``reduce`` (``MapReduceClient.h:61-64``):
+    quantity-weighted average price per brand via applyInPandas.
+
+    Determinism: math.fsum gives the exactly-rounded sum of the double
+    products regardless of row order; the oracle's decimal sum is exact
+    too, so after round(...,4) both sides agree.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand", "l_extendedprice", "l_quantity"
+    )
+
+    def weighted_avg(pdf: pd.DataFrame) -> pd.DataFrame:
+        num = math.fsum((pdf["l_extendedprice"] * pdf["l_quantity"]).tolist())
+        den = math.fsum(pdf["l_quantity"].tolist())
+        return pd.DataFrame(
+            {
+                "p_brand": [pdf["p_brand"].iloc[0]],
+                "weighted_avg_price": [round(num / den, 4)],
+                "n_items": [len(pdf)],
+            }
+        )
+
+    return joined.groupBy("p_brand").applyInPandas(
+        weighted_avg, schema="p_brand string, weighted_avg_price double, n_items long"
+    )
+
+
+@query(
+    "q_udtf_flatmap",
+    oracle="""
+    SELECT s_suppkey, unnest(generate_series(1, CAST(s_suppkey % 5 + 1 AS BIGINT))) AS k
+    FROM supplier
+    """,
+)
+def q_udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row→many UDTF ≙ ``emit2`` multi-emit
+    (``MapReduceFramework.cpp:172-175``): a Python-built array exploded
+    into rows (1 + suppkey mod 5 rows per supplier)."""
+
+    @F.pandas_udf("array<bigint>")
+    def series_to(n: pd.Series) -> pd.Series:
+        return n.apply(lambda v: list(range(1, int(v) + 1)))
+
+    sup = tbl(spark, sf_dir, "supplier")
+    return sup.select(
+        "s_suppkey",
+        F.explode(series_to(F.col("s_suppkey") % 5 + 1)).alias("k"),
+    )
