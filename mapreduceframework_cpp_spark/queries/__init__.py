@@ -10,6 +10,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     joins,
     relational,
     scalars,
+    streaming_windows,
     udfs,
     windows,
 )

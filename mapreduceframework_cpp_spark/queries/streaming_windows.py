@@ -1,0 +1,141 @@
+"""Stream-window queries (SURVEY.md §2.2-I), batch-first.
+
+Each transformation is a plain function of an events DataFrame — applied
+to ``tbl()`` for the oracle-checked batch queries below, and to
+``events_stream()`` for streaming-mode parity tests (Spark's unified
+semantics make the two identical; tests assert it).
+
+Kernel lowering: a time window is a group-by on a derived key (R6+R8);
+sessionization is the ordered per-key fold (R8) the reference hands to
+``reduce`` as a whole group.
+
+Float discipline: sums through DECIMAL (see aggregations module).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows: count + sum(value) per event_type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event in 4 windows)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(events: DataFrame) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap.
+    Session end = last event + gap (Spark's session_window contract)."""
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(tbl(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT win_start,
+           win_start + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           count(*) AS n_events
+    FROM (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - (k * INTERVAL '15 minutes') AS win_start,
+             event_type
+      FROM events, unnest([0, 1, 2, 3]) AS t(k)
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle expands the 4 overlapping windows per event explicitly
+    (slide 15m into a 1h window ⇒ every event belongs to exactly 4)."""
+    return sliding_counts(tbl(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows vs a gaps-and-islands oracle ((user_id, ts) is
+    unique in the data, so the island ordering is deterministic)."""
+    return session_counts(tbl(spark, sf_dir, "events"))

@@ -1,0 +1,78 @@
+"""Streaming-mode smoke + batch/stream parity (SURVEY.md §5.2 item 5).
+
+Each §2.2-I window query run as a real Structured Streaming job
+(readStream + availableNow) must produce exactly the batch rows. Plus
+watermark, foreachBatch, and dropDuplicatesWithinWatermark smoke.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mapreduceframework_cpp_spark.queries.streaming_windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from mapreduceframework_cpp_spark.sources.tables import tbl
+from mapreduceframework_cpp_spark.streaming import events_stream, run_to_memory
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+@pytest.mark.parametrize(
+    "fn", [tumbling_counts, sliding_counts, session_counts], ids=lambda f: f.__name__
+)
+def test_batch_stream_parity(spark, sf_dir, fn):
+    batch = fn(tbl(spark, sf_dir, "events"))
+    stream = fn(events_stream(spark, sf_dir))
+    got = run_to_memory(stream, f"parity_{fn.__name__}", output_mode="complete")
+    assert _rows(got) == _rows(batch)
+
+
+def test_watermark_append_smoke(spark, sf_dir):
+    """Watermarked tumbling agg in append mode emits finalized windows."""
+    # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
+    # the cast is value-preserving
+    sdf = (
+        events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n")
+    )
+    out = run_to_memory(sdf, "wm_smoke", output_mode="append")
+    assert out.count() > 0
+
+
+def test_foreach_batch_sink(spark, sf_dir):
+    seen: list[int] = []
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(lambda bdf, _id: seen.append(bdf.count()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(seen) == tbl(spark, sf_dir, "events").count()
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir):
+    sdf = (
+        events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    out = run_to_memory(sdf, "dedup_smoke", output_mode="append")
+    exact = (
+        tbl(spark, sf_dir, "events").select("user_id", "event_type").distinct().count()
+    )
+    # stateful dedup within watermark can only over-retain across state
+    # expiry, never under-count distinct pairs present in one batch
+    assert out.count() >= exact
+    assert out.select("user_id", "event_type").distinct().count() == exact
