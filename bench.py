@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full
+computation on the executors, zero driver collection — the shape a real
+cluster job has). The headline set spans every engine area: scan, agg,
+join (incl. as-of), window, streaming-shape, UDF surface, dedup
+(exact + MinHash-LSH), similarity top-k and text analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: breadth-first headline set (keys must exist in registry.QUERIES)
+HEADLINE = [
+    "q_flagship_charcount",
+    "q_scan_parquet",
+    "q_agg_groupby",
+    "q_agg_rollup",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_win_rank",
+    "q_win_running",
+    "q_sort_limit",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_udaf_grouped",
+    "q_json_funcs",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_topk",
+    "q_text_quality",
+    "q_text_stats",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan on the executors; materialize nothing on the
+    driver (noop sink swallows rows task-side)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from mapreduceframework_cpp_spark.registry import all_queries
+    from mapreduceframework_cpp_spark.session import get_spark
+
+    queries = all_queries()
+    spark = get_spark("mrfw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    # JVM/codegen warm-up on an off-benchmark query so the first timed
+    # query doesn't pay session startup costs.
+    _force(queries["q_scan_select_cols"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(queries[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing (SURVEY.md §2.2-K / BASELINE.json north star).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct. The Spark-side plumbing — schema, partitioning, Arrow batch
+shapes, mapInPandas signatures — is real and tested; the actual media
+decode is STUBBED (this container has no image/audio libraries): when
+PIL/soundfile are importable the real decode path would slot into
+``_decode_image_bytes``, otherwise a clearly-marked deterministic fake
+derives "decoded" properties from the bytes so the pipeline stays
+end-to-end runnable and testable.
+
+MEDIA_SCHEMA is the storage contract: at 100 TB, media rows live in their
+own parquet files (binary column with large row groups), metadata gets
+predicate pushdown, and decode/feature stages run as mapInPandas over
+Arrow record batches — one Python process per task, zero driver traffic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: storage contract for an opaque media column
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, content binary, "
+    "meta struct<format: string, n_bytes: long, source: string>"
+)
+
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, n_channels int, "
+    "content_digest string"
+)
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = f"doc_id long, feature array<float>"
+
+
+def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive a deterministic opaque binary column from each document (a
+    stand-in for real image/audio bytes; content = sha-seeded bytes)."""
+    content = F.sha2(F.col(text_col), 256).cast("binary")
+    media_type = F.when(F.col("doc_id") % 3 == 0, "image").when(
+        F.col("doc_id") % 3 == 1, "audio"
+    ).otherwise("video")
+    return docs.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        content.alias("content"),
+        F.struct(
+            F.lit("fake/v1").alias("format"),
+            F.length(content).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _decode_image_bytes(data: bytes) -> tuple[int, int, int]:
+    """Decode stub. Real path (guarded import) would be::
+
+        from PIL import Image; im = Image.open(io.BytesIO(data))
+        return im.width, im.height, len(im.getbands())
+
+    Deterministic fake: derive plausible dimensions from a content digest.
+    """
+    try:  # pragma: no cover - library absent in this container
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError("real decode path not wired in this container")
+    except ImportError:
+        d = hashlib.sha256(data).digest()
+        return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 4
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: binary → typed properties. Arrow batches
+    stream through; schema is the real contract a decoder would fill."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, c, digest = [], [], [], []
+            for data in pdf["content"]:
+                dw, dh, dc = _decode_image_bytes(bytes(data))
+                w.append(dw)
+                h.append(dh)
+                c.append(dc)
+                digest.append(hashlib.sha256(bytes(data)).hexdigest()[:16])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": w,
+                    "height": h,
+                    "n_channels": c,
+                    "content_digest": digest,
+                }
+            )
+
+    return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature stage: binary → fixed-dim float vector
+    (deterministic digest-derived fake; a real extractor returns model
+    activations with the identical signature/batch shape)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for data in pdf["content"]:
+                d = hashlib.sha256(bytes(data)).digest()
+                vecs.append([round(b / 255.0, 6) for b in d[:FEATURE_DIM]])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": vecs})
+
+    return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled offset (for video
+    rows), JVM-side sequence+explode — the shape a real frame sampler
+    (ffmpeg-backed) would produce."""
+    video = media.filter(F.col("media_type") == "video")
+    offsets = F.sequence(
+        F.lit(0), F.col("meta.n_bytes") - 1, F.lit(every_n_bytes)
+    )
+    return video.select(
+        "doc_id", F.explode(offsets).alias("frame_offset")
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (SURVEY.md §2.2-K).
+
+Brute-force cosine top-k (the correctness baseline) and a random-
+hyperplane (sign-LSH) bucketed variant (the scale path). Dot products run
+through higher-order array functions (zip_with + aggregate) — JVM-side,
+no Python in the hot path.
+
+Scale design: brute force is O(|Q|·|C|·d) — fine when the query set is
+small and broadcastable, impossible corpus×corpus. The LSH variant
+buckets both sides by sign-pattern so each query only scans its bucket
+(and hamming-1 probes); recall depends on the data having angular
+structure — on isotropic random vectors no sublinear method helps, which
+is why the recall test uses clustered synthetic data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return emb.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (brute force).
+    Output: query_id, cand_id, cos_sim (rounded 6dp), rank."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    c = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("_v").alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "_cos", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("_cos", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def sign_lsh_buckets(
+    emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach a sign-LSH bucket id: bit j = sign(v · plane_j). Planes are
+    deterministic (seeded) literal arrays — evaluated JVM-side."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    withv = emb.withColumn("_v", _as_double(F.col(vec_col)))
+    bucket = None
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(F.col("_v"), lit_plane) > 0, F.shiftleft(F.lit(1), j)).otherwise(0)
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    return withv.withColumn("bucket", bucket).drop("_v")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    multiprobe: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's bucket
+    (plus hamming-1 probe buckets). Same output schema as cosine_topk."""
+    qb = sign_lsh_buckets(queries, dim, n_planes, vec_col=vec_col)
+    cb = sign_lsh_buckets(candidates, dim, n_planes, vec_col=vec_col)
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
+    q = with_norm(qb, vec_col).select(
+        F.col(id_col).alias("query_id"), "bucket",
+        F.col("_v").alias("_qv"), F.col("_norm").alias("_qn"),
+    )
+    c = with_norm(cb, vec_col).select(
+        F.col(id_col).alias("cand_id"), "bucket",
+        F.col("_v").alias("_cv"), F.col("_norm").alias("_cn"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "_cos", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+        )
+        .select("query_id", "cand_id", "_cos")
+        .distinct()  # multiprobe can reach the same pair via several buckets
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("_cos", 6).alias("cos_sim"), "rank")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.4, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (brute-force at test scale; the
+    LSH bucketing above is the drop-in candidate generator at 100 TB)."""
+    a = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("vec_id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    )
+    b = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("vec_id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("_cos", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("_cos") >= threshold)
+        .select("vec_id_a", "vec_id_b", F.round("_cos", 6).alias("cos_sim"))
+    )

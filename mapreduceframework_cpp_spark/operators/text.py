@@ -1,0 +1,134 @@
+"""Text analysis operators for LLM-data pipelines (SURVEY.md §2.2-K):
+language-ID (character-n-gram heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), document fingerprinting (rolling-hash
+bottom-k sketch).
+
+Quality/token/stat operators are pure JVM column expressions (SQL-oracle
+checkable). Language-ID scores character bigrams against tiny per-language
+profiles in an Arrow-batched pandas UDF (profile lookup is genuinely
+data-driven Python). Fingerprinting hashes character 8-grams JVM-side and
+keeps the bottom-k — a winnowing-style sketch whose elements are shared
+between near-duplicate documents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: tiny bigram profiles (hand-picked frequent character bigrams); a real
+#: deployment would learn profiles from labeled corpora — the operator
+#: contract (score-and-argmax over n-gram profiles) is what matters here.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "de": ("en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "ge"),
+    "fr": ("es", "le", "de", "en", "re", "nt", "on", "er", "ou", "an"),
+    "es": ("de", "es", "en", "el", "la", "os", "ar", "ue", "ra", "as"),
+    "zh": ("zh", "sh", "ng", "ia", "ua", "ao", "ei", "ou", "ji", "xi"),
+}
+
+#: small stopword list for quality scoring
+_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "on", "for")
+
+#: BPE-ish tokenizer: letter runs, digit runs, or single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens vs regex (BPE-ish) tokens per document."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a combined score, all JVM-side:
+    length, token count, mean token length, stopword ratio, alpha ratio."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_toks = F.size(toks)
+    # stopword OCCURRENCES (not distinct): filter + size
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    total = F.length(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("n_chars"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.round((total - n_toks + 1) / n_toks, 6).alias("avg_token_len"),
+        F.round(n_stop / n_toks, 6).alias("stopword_ratio"),
+        F.round(alpha / total, 6).alias("alpha_ratio"),
+        F.round(
+            F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (alpha / total) * 0.3
+            + F.least(n_stop / n_toks * 5, F.lit(1.0)) * 0.2,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-bigram profile scoring, Arrow-batched. Output:
+    doc_id, lang_pred, lang_score (matched-bigram hits per 100 chars)."""
+    profiles = {lang: set(bigrams) for lang, bigrams in _LANG_PROFILES.items()}
+    langs = sorted(profiles)
+
+    def score_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            preds, scores = [], []
+            for text in pdf["text"]:
+                t = (text or "").lower()
+                grams = [t[i : i + 2] for i in range(len(t) - 1)]
+                best_lang, best = langs[0], -1.0
+                for lang in langs:
+                    prof = profiles[lang]
+                    hits = sum(1 for g in grams if g in prof)
+                    s = 100.0 * hits / max(len(grams), 1)
+                    if s > best:
+                        best_lang, best = lang, s
+                preds.append(best_lang)
+                scores.append(round(best, 4))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "lang_pred": preds, "lang_score": scores}
+            )
+
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        score_batch, schema="doc_id long, lang_pred string, lang_score double"
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8, gram: int = 8) -> DataFrame:
+    """Bottom-k sketch of rolling character 8-gram hashes (winnowing-style
+    content fingerprint): near-duplicate documents share most sketch
+    elements. JVM-side: substring enumeration via transform + xxhash64."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) - {gram - 1}, 1)), "
+        f"i -> substring(lower({text_col}), i, {gram}))"
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .withColumn("h", F.xxhash64("g"))
+        .groupBy("doc_id")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("fingerprint"))
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus stats (the declared q_text_stats shape)."""
+    return (
+        docs.withColumn("_toks", F.size(F.split(F.col(text_col), " ")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(text_col)).alias("total_chars"),
+            F.sum("_toks").cast("long").alias("total_tokens"),
+            F.round(F.sum(F.length(text_col)) / F.count("*"), 6).alias("avg_chars"),
+        )
+    )

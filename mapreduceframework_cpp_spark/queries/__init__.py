@@ -8,6 +8,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     aggregations,
     flagship,
     joins,
+    llm_pipeline,
     relational,
     scalars,
     streaming_windows,

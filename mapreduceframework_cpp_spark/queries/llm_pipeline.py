@@ -1,0 +1,305 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.2-K + BASELINE.json north star).
+
+Deduplication (exact / MinHash-LSH / n-gram Jaccard / SimHash /
+embedding-cosine), similarity search (brute-force + sign-LSH top-k),
+text analysis (stats / tokens / quality / lang-id / fingerprints) and
+multimodal plumbing — each registered with a DuckDB oracle where the
+semantics are SQL-expressible (hash-verified), rows-only otherwise.
+
+The reference kernel computes all of these as map→shuffle→reduce jobs
+(``MapReduceFramework.cpp:79-149``): shingling/hashing is an R3 map,
+candidate banding is an R6 group-by-key, verification/scoring an R8
+reduce. Here they are pure DataFrame compositions (operators/dedup.py,
+operators/similarity.py, operators/text.py, operators/multimodal.py).
+
+Cross-engine parity notes (verified empirically at sf=0.01):
+- Spark ``sha2(x,256)`` == DuckDB ``sha256(x)`` (lowercase hex).
+- float32→double casts + sequential dot products are bit-identical
+  between Spark's ``aggregate(zip_with(...))`` and DuckDB's
+  ``list_dot_product`` on ``DOUBLE[]`` — so cosine ranks/thresholds
+  agree exactly and q_sim_topk can be hash-verified.
+- MinHash-LSH at b=64,r=2 has miss probability (1-s²)^64 ≈ 1e-19 at
+  s=0.7, so LSH-candidates + exact-Jaccard-verify equals the exact
+  pair set and q_dedup_near can be hash-verified too.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_near_dups,
+    jaccard_pairs,
+    shingle_sets,
+    simhash_fingerprints,
+)
+from mapreduceframework_cpp_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_media,
+    extract_features,
+)
+from mapreduceframework_cpp_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    lsh_topk,
+)
+from mapreduceframework_cpp_spark.operators.text import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    text_stats,
+    token_counts,
+)
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+EMB_DIM = 64  # embeddings.embedding is array<float>[64] (FIXTURES.md)
+
+#: shared DuckDB CTE: distinct 3-gram word shingles per document, matching
+#: operators/dedup.shingle_sets (split on single space, lowercase,
+#: docs with <3 tokens drop out)
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM toks, unnest(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+jac AS (SELECT doc_id_a, doc_id_b,
+               round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_id_a
+        JOIN sz sb ON sb.doc_id = doc_id_b)
+"""
+
+#: shared DuckDB CTE: pairwise cosine over double-cast embeddings —
+#: bit-identical to the Spark side (see module docstring)
+_COSINE_PAIR = (
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+    "sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy; shuffles 32-byte digests, not
+    documents — the 100 TB-safe shape."""
+    return exact_dedup_groups(tbl(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_near",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id_a, doc_id_b, jaccard FROM jac WHERE jaccard >= 0.7
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (the scale path), exact-Jaccard-verified
+    at 0.7. b=64/r=2 banding makes recall effectively 1.0 at s>=0.7, so
+    the result equals the exact pair set and hash-matches the oracle."""
+    return minhash_lsh_near_dups(
+        tbl(spark, sf_dir, "documents"),
+        n=3, num_hashes=128, bands=64, rows_per_band=2, threshold=0.7,
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id_a, doc_id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over the inverted shingle index (no LSH) —
+    the small-corpus/verification path."""
+    return jaccard_pairs(shingle_sets(tbl(spark, sf_dir, "documents")), threshold=0.5)
+
+
+@query("q_dedup_simhash")  # rows-only: xxhash64 has no DuckDB equivalent
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (frequency-weighted bit
+    votes, all-JVM); hamming-block pairing lives in
+    operators/dedup.simhash_near_dups (unit-tested)."""
+    return simhash_fingerprints(tbl(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                 {_COSINE_PAIR} AS cos
+          FROM e a, e b WHERE a.vec_id < b.vec_id)
+    SELECT vec_id_a, vec_id_b, round(cos, 6) AS cos_sim
+    FROM p WHERE cos >= 0.4
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force at test scale; the
+    sign-LSH buckets in operators/similarity are the candidate generator
+    at real scale)."""
+    return embedding_near_dups(tbl(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 {_COSINE_PAIR} AS cos
+          FROM e a, e b
+          WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+    r AS (SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, cand_id) AS rank
+          FROM s)
+    SELECT query_id, cand_id, round(cos, 6) AS cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for a broadcastable query set
+    (vec_id % 50 = 0) against the full corpus. Ranks on the raw double
+    (bit-identical across engines), rounds only for display."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
+
+
+@query("q_sim_lsh_topk")  # rows-only: approximate by design
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH (random hyperplane) bucketed top-k with hamming-1
+    multiprobe — the sublinear scale path; recall vs exact is asserted
+    in tests, not against the oracle."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, dim=EMB_DIM, k=5, n_planes=8
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(sum(length(text)) * 1.0 / count(*), 6) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (the declared q_text_stats shape)."""
+    return text_stats(tbl(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0))
+                AS BIGINT) AS re_tokens
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per document (the regex
+    is valid in both Java and RE2 dialects)."""
+    return token_counts(tbl(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS total,
+             regexp_split_to_array(lower(text), '\s+') AS toks,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+      FROM documents
+    ), c AS (
+      SELECT doc_id, total, alpha, len(toks) AS n_toks,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','of','and','is','to','in','it','on','for'], x)))
+               AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS n_chars,
+           CAST(n_toks AS BIGINT) AS n_tokens,
+           round((total - n_toks + 1) / n_toks, 6) AS avg_token_len,
+           round(n_stop / n_toks, 6) AS stopword_ratio,
+           round(alpha / total, 6) AS alpha_ratio,
+           round(least(n_toks / 100.0, 1.0) * 0.5
+                 + (alpha / total) * 0.3
+                 + least(n_stop / n_toks * 5, 1.0) * 0.2, 6) AS quality_score
+    FROM c
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features + combined score, all JVM-side; the
+    oracle replicates the identical double arithmetic (per-row chains on
+    equal operands are bit-identical — no aggregation involved)."""
+    return quality_scores(tbl(spark, sf_dir, "documents"))
+
+
+@query("q_text_langid")  # rows-only: data-driven Python (mapInPandas)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language ID, Arrow-batched mapInPandas."""
+    return lang_id(tbl(spark, sf_dir, "documents"))
+
+
+@query("q_text_fingerprint")  # rows-only: xxhash64 has no DuckDB equivalent
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k rolling-8-gram-hash sketch per document (winnowing-style
+    content fingerprint)."""
+    return fingerprints(tbl(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (decode step stubbed — see operators/multimodal.py)
+# --------------------------------------------------------------------------
+
+
+@query("q_mm_decode")  # rows-only: decode is a stub behind mapInPandas
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media column → typed properties via an Arrow-batched
+    mapInPandas decode stage (deterministic fake decode; real schema,
+    partitioning and batch plumbing)."""
+    return decode_media(attach_fake_media(tbl(spark, sf_dir, "documents")))
+
+
+@query("q_mm_features")  # rows-only: extractor is a stub behind mapInPandas
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media column → fixed-dim feature vector via
+    mapInPandas (deterministic fake extractor, real batch shape)."""
+    return extract_features(attach_fake_media(tbl(spark, sf_dir, "documents")))
