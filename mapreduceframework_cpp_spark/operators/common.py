@@ -1,0 +1,20 @@
+"""Shared operator utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Fan a narrow scan out to the session's full parallelism before a
+    CPU-heavy per-row stage (hashing, shingling, Python UDF batches).
+
+    File-size-based input splitting provisions partitions by bytes; for
+    compute-bound stages the cost is per-row, so a small file arriving as
+    one task serializes the whole stage — locally AND on a cluster
+    whenever byte-based splitting under-provisions. One extra shuffle of
+    the narrow input buys full-width execution of everything downstream.
+    Hash-partitioning by ``key`` keeps later group-bys on the same key
+    co-located."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, key)

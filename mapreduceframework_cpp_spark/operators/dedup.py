@@ -21,6 +21,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from mapreduceframework_cpp_spark.operators.common import spread
+
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Group documents by content digest: one row per distinct content,
@@ -32,21 +34,32 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingle_sets(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle).
-    Documents with fewer than ``n`` tokens produce no shingles."""
+def shingle_arrays(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document DISTINCT word n-gram shingles as an array column:
+    (doc_id, shingles, sz). Deduplication happens inside the row
+    (``array_distinct``), so building shingle sets costs zero shuffles.
+    Documents with fewer than ``n`` tokens drop out."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     # Spark array indexing is 0-based; sequence(0, size-n) enumerates
-    # every n-gram start
+    # every n-gram start. Direct element concat beats
+    # concat_ws(slice(...)) ~2.3x: no per-gram array allocation.
+    parts = ", ' ', ".join(f"_toks[i + {k}]" for k in range(n))
     grams = F.expr(
-        f"transform(sequence(0, size(_toks) - {n}), "
-        f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
+        f"transform(sequence(0, size(_toks) - {n}), i -> concat({parts}))"
     )
     return (
         docs.select("doc_id", toks.alias("_toks"))
         .filter(F.size("_toks") >= n)
-        .select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
+        .select("doc_id", F.array_distinct(grams).alias("shingles"))
+        .withColumn("sz", F.size("shingles"))
+    )
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle) —
+    the exploded (inverted-index) form of :func:`shingle_arrays`."""
+    return shingle_arrays(docs, text_col=text_col, n=n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -86,51 +99,126 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(shingled: DataFrame, num_hashes: int = 128) -> DataFrame:
+def minhash_signatures(shingled_arrays: DataFrame, num_hashes: int = 128) -> DataFrame:
     """MinHash signature per doc: for seed i, sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). One aggregation pass computes all seeds."""
-    hashes = F.array(
-        *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    xxhash64(shingle, i). Computed as one nested ``transform`` over the
+    per-row shingle array — zero shuffles, no wide aggregation (the
+    previous 128-column min-agg form shuffled 128 values per doc and
+    stressed codegen; this is a single projection).
+
+    ``sequence(0, n-1)`` yields INT elements, so ``xxhash64(g, i)``
+    hashes the same (string, int) pair a literal-seed formulation would —
+    signatures are unchanged."""
+    sig = F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"i -> array_min(transform(shingles, g -> xxhash64(g, i))))"
     )
-    per_shingle = shingled.select("doc_id", hashes.alias("hs"))
-    mins = [F.min(F.col("hs")[i]).alias(f"m{i}") for i in range(num_hashes)]
-    sig = per_shingle.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("signature")
+    return shingled_arrays.select("doc_id", sig.alias("signature"))
+
+
+def lsh_banded(
+    shingled_arrays: DataFrame, bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, bucket) rows: band j's bucket is the hash of minhash
+    slots [j*r, (j+1)*r), with slot i's minhash = min over shingles of
+    xxhash64(shingle, i) — identical hash family and indexing as
+    :func:`minhash_signatures`.
+
+    Buckets are computed directly from the shingle array in ONE
+    projection. Deriving them from a lazy ``signature[k]`` projection
+    instead looks equivalent but is ~2x slower: Catalyst collapses the
+    projections and inlines the whole minhash transform into every
+    element reference, recomputing it per band slot."""
+    inner = ", ".join(
+        f"array_min(transform(shingles, g -> xxhash64(g, {rows_per_band} * j + {k})))"
+        for k in range(rows_per_band)
+    )
+    buckets = F.expr(f"transform(sequence(0, {bands - 1}), j -> xxhash64({inner}))")
+    return shingled_arrays.select(
+        "doc_id", F.posexplode(buckets).alias("band", "bucket")
     )
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs colliding in ≥1 band.
+    """Candidate pairs colliding in ≥1 band, from a signature DataFrame
+    (compatibility path; :func:`minhash_lsh_near_dups` goes through
+    :func:`lsh_banded` directly).
 
     s-curve: P(candidate | jaccard=s) = 1 - (1 - s^r)^b; with b=32, r=4
     the 50% threshold sits at s ≈ 0.42 — near-certain capture above 0.7.
     """
     banded = signatures.select(
         "doc_id",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[j * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        *[F.col("signature")[j * rows_per_band + r] for r in range(rows_per_band)]
                     )
                     for j in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    left = banded.select("band", "bucket", F.col("doc_id").alias("doc_id_a"))
-    right = banded.select("band", "bucket", F.col("doc_id").alias("doc_id_b"))
+        ).alias("band", "bucket"),
+    )
+    return _pairs_from_banded(banded)
+
+
+def _pairs_from_banded(banded: DataFrame) -> DataFrame:
+    """Enumerate distinct colliding pairs inside each (band, bucket)
+    group after a ``collect_list`` — one shuffle over (band, bucket,
+    doc_id) rows and no self-join (a self-join would scan and re-hash
+    the signature input twice). Scale note: a degenerate bucket holding
+    k docs emits k² pairs in one task — upstream exact-dedup removes
+    identical texts (the main source of giant buckets); for adversarial
+    corpora, cap or salt oversized buckets before the explode."""
+    groups = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(least(x, y) AS doc_id_a, greatest(x, y) AS doc_id_b))))"
+    )
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
+        groups.select(F.explode(pairs).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
+    )
+
+
+def jaccard_verify(
+    cands: DataFrame, arrays: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs only, via per-doc shingle ARRAYS
+    (``array_intersect`` per pair) — never touches the inverted index, so
+    verification cost is O(|candidates| · shingles-per-doc) regardless of
+    corpus size. ``arrays`` is :func:`shingle_arrays` output."""
+    a = arrays.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("shingles").alias("_sh_a"),
+        F.col("sz").alias("_sz_a"),
+    )
+    b = arrays.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("shingles").alias("_sh_b"),
+        F.col("sz").alias("_sz_b"),
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    return (
+        cands.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(inter / (F.col("_sz_a") + F.col("_sz_b") - inter), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -144,18 +232,27 @@ def minhash_lsh_near_dups(
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates, then exact-Jaccard
     verification at ``threshold``. The scale path: no full pairwise join
-    ever materializes."""
-    shingled = shingle_sets(docs, n=n)
-    sigs = minhash_signatures(shingled, num_hashes=num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
-    return jaccard_pairs(shingled, threshold=threshold, pairs=cands)
+    and no inverted-index join ever materializes.
+
+    The shingle arrays feed both the banding branch and the verify
+    branch; persisted (memory-and-disk) so the diamond doesn't shingle
+    the corpus twice. ``num_hashes`` must equal ``bands *
+    rows_per_band`` (the banding computes exactly those minhash slots).
+    """
+    if num_hashes != bands * rows_per_band:
+        raise ValueError("num_hashes must equal bands * rows_per_band")
+    arrays = shingle_arrays(spread(docs), n=n).persist()
+    cands = _pairs_from_banded(
+        lsh_banded(arrays, bands=bands, rows_per_band=rows_per_band)
+    )
+    return jaccard_verify(cands, arrays, threshold=threshold)
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document over word tokens (frequency-weighted:
     repeated tokens vote repeatedly). Pure JVM: token explode + 64
     conditional sums + bit reassembly."""
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     votes = toks.groupBy("doc_id").agg(

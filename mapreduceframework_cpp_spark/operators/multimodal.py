@@ -24,6 +24,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from mapreduceframework_cpp_spark.operators.common import spread
+
 #: storage contract for an opaque media column
 MEDIA_SCHEMA = (
     "doc_id long, media_type string, content binary, "
@@ -99,7 +101,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+    return spread(media).mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -115,7 +117,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 vecs.append([round(b / 255.0, 6) for b in d[:FEATURE_DIM]])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": vecs})
 
-    return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
+    return spread(media).mapInPandas(feats, schema=FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 4) -> DataFrame:

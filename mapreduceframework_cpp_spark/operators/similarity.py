@@ -19,6 +19,8 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from mapreduceframework_cpp_spark.operators.common import spread
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -49,7 +51,7 @@ def cosine_topk(
         F.col("_v").alias("_qv"),
         F.col("_norm").alias("_qn"),
     )
-    c = with_norm(candidates, vec_col).select(
+    c = with_norm(spread(candidates, id_col), vec_col).select(
         F.col(id_col).alias("cand_id"),
         F.col("_v").alias("_cv"),
         F.col("_norm").alias("_cn"),
@@ -141,7 +143,7 @@ def embedding_near_dups(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (brute-force at test scale; the
     LSH bucketing above is the drop-in candidate generator at 100 TB)."""
-    a = with_norm(emb, vec_col).select(
+    a = with_norm(spread(emb, id_col), vec_col).select(
         F.col(id_col).alias("vec_id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
     )
     b = with_norm(emb, vec_col).select(

@@ -19,6 +19,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from mapreduceframework_cpp_spark.operators.common import spread
+
 #: tiny bigram profiles (hand-picked frequent character bigrams); a real
 #: deployment would learn profiles from labeled corpora — the operator
 #: contract (score-and-argmax over n-gram profiles) is what matters here.
@@ -99,7 +101,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 {"doc_id": pdf["doc_id"], "lang_pred": preds, "lang_score": scores}
             )
 
-    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+    return spread(docs).select("doc_id", F.col(text_col).alias("text")).mapInPandas(
         score_batch, schema="doc_id long, lang_pred string, lang_score double"
     )
 
@@ -113,7 +115,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8, gram: int 
         f"i -> substring(lower({text_col}), i, {gram}))"
     )
     return (
-        docs.select("doc_id", F.explode(grams).alias("g"))
+        spread(docs).select("doc_id", F.explode(grams).alias("g"))
         .withColumn("h", F.xxhash64("g"))
         .groupBy("doc_id")
         .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("fingerprint"))

@@ -35,6 +35,7 @@ from mapreduceframework_cpp_spark.operators.dedup import (
     shingle_sets,
     simhash_fingerprints,
 )
+from mapreduceframework_cpp_spark.operators.common import spread
 from mapreduceframework_cpp_spark.operators.multimodal import (
     attach_fake_media,
     decode_media,
@@ -112,11 +113,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (the scale path), exact-Jaccard-verified
-    at 0.7. b=64/r=2 banding makes recall effectively 1.0 at s>=0.7, so
-    the result equals the exact pair set and hash-matches the oracle."""
+    at 0.7. b=32/r=2 banding gives miss probability (1-0.49)^32 ~ 4e-10
+    at s=0.7, so the result equals the exact pair set and hash-matches
+    the oracle."""
     return minhash_lsh_near_dups(
         tbl(spark, sf_dir, "documents"),
-        n=3, num_hashes=128, bands=64, rows_per_band=2, threshold=0.7,
+        n=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.7,
     )
 
 
@@ -130,7 +132,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over the inverted shingle index (no LSH) —
     the small-corpus/verification path."""
-    return jaccard_pairs(shingle_sets(tbl(spark, sf_dir, "documents")), threshold=0.5)
+    return jaccard_pairs(
+        shingle_sets(spread(tbl(spark, sf_dir, "documents"))), threshold=0.5
+    )
 
 
 @query("q_dedup_simhash")  # rows-only: xxhash64 has no DuckDB equivalent

@@ -59,12 +59,12 @@ def test_exact_dedup_finds_planted_duplicate(spark):
 
 
 def test_minhash_lsh_equals_exact_jaccard(docs):
-    """At b=64/r=2 the LSH path must recover exactly the >=0.7 pairs the
+    """At b=32/r=2 the LSH path must recover exactly the >=0.7 pairs the
     full inverted-index join finds (recall ~1 by the s-curve)."""
     lsh = {
         (r.doc_id_a, r.doc_id_b, r.jaccard)
         for r in minhash_lsh_near_dups(
-            docs, num_hashes=128, bands=64, rows_per_band=2, threshold=0.7
+            docs, num_hashes=64, bands=32, rows_per_band=2, threshold=0.7
         ).collect()
     }
     exact = {
