@@ -65,3 +65,47 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Sink ≙ OutputVec append (``MapReduceFramework.cpp:181-184``), but
     distributed: each task writes its own file, no global mutex."""
     df.write.mode(mode).parquet(path)
+
+
+# --- additional source/sink formats -------------------------------------
+# The reference ingests only in-memory vectors (``MapReduceClient.h:46``);
+# a standalone engine needs the standard interchange formats too. All are
+# plain DataFrameReader/Writer paths, so Catalyst pruning/pushdown and
+# task-parallel IO apply. Explicit schemas are preferred at scale —
+# ``inferSchema`` scans the data twice and is for exploration only.
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV source. Pass a DDL ``schema`` in production (inference reads
+    the input twice and types drift); header names are still honored."""
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None, **options
+) -> DataFrame:
+    """JSON-lines source (one object per line — the splittable layout;
+    multiline JSON forces one task per file)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(header=True, **options).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(**options).json(path)

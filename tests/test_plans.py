@@ -1,0 +1,124 @@
+"""Physical-plan hygiene (SURVEY.md §4): the properties that make these
+queries viable at 100 TB are asserted on the actual Catalyst output, so a
+refactor that silently loses pushdown/pruning/broadcast/partial-agg fails
+CI — not just slows down.
+
+The reference has no optimizer (SURVEY.md §4.1); every one of these
+behaviors is Catalyst's, earned by keeping operators declarative."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from mapreduceframework_cpp_spark.registry import all_queries
+
+_Q = all_queries()
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 3-column projection must scan 3 columns, not 11 (ReadSchema is
+    what the parquet reader materializes)."""
+    p = plan(_Q["q_scan_select_cols"](spark, sf_dir))
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema
+    for dropped in ("l_tax", "l_extendedprice", "l_quantity", "l_returnflag"):
+        assert dropped not in read_schema, f"{dropped} not pruned: {read_schema}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """Predicates must reach the parquet reader (row-group/page skipping
+    at scale), not evaluate post-scan only."""
+    p = plan(_Q["q_filter_pred"](spark, sf_dir))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "[]" not in pushed[0], f"no pushed filters: {pushed}"
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    """The small-dim join must plan as BroadcastHashJoin — no shuffle of
+    the fact side."""
+    p = plan(_Q["q_join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_no_accidental_cartesian(spark, sf_dir):
+    """Equi-joins must never degrade to a cartesian/nested-loop plan."""
+    for name in ("q_join_inner", "q_join_left", "q_join_semi", "q_join_anti"):
+        p = plan(_Q[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_flagship_has_partial_aggregate(spark, sf_dir):
+    """The char-count must partial-aggregate before the exchange (the
+    R16 combiner role) — shuffle volume O(tasks x alphabet), not
+    O(total chars)."""
+    p = plan(_Q["q_flagship_charcount"](spark, sf_dir))
+    assert "partial_count" in p, p
+
+
+def test_groupby_has_partial_aggregate(spark, sf_dir):
+    """TPC-H Q1 shape: map-side partial sums before the shuffle."""
+    p = plan(_Q["q_agg_groupby"](spark, sf_dir))
+    assert "partial_sum" in p
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    top-k + merge), never a global sort."""
+    p = plan(_Q["q_sort_limit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_sim_topk_broadcasts_query_side(spark, sf_dir):
+    """Brute-force scoring must broadcast the (small) query set so the
+    candidate corpus never shuffles."""
+    p = plan(_Q["q_sim_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_projection_stays_in_codegen(spark, sf_dir):
+    """Row-level expression work must run inside WholeStageCodegen
+    (starred spans in simple mode), not interpreted."""
+    p = plan(_Q["q_project_expr"](spark, sf_dir), mode="simple")
+    assert "*(" in p
+
+
+def test_no_driver_collect_in_operators():
+    """Operator/query code must never materialize results on the driver
+    (collect-free operators are what let the same code run on a real
+    cluster). The only sanctioned blocking call is plans/progress.py's
+    wait-for-job analog. Static scan — parquet footer-read metadata jobs
+    make runtime job counting a false signal."""
+    import pathlib
+    import re
+
+    import mapreduceframework_cpp_spark as pkg_mod
+
+    pkg = pathlib.Path(pkg_mod.__file__).parent
+    pattern = re.compile(r"\.(collect|toPandas|take|head|first)\(")
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        if f.name == "progress.py":  # documented blocking wait (≙ waitForJob)
+            continue
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            stripped = line.lstrip()
+            if (
+                pattern.search(line)
+                and not stripped.startswith(("#", '"', "'"))
+                and "``" not in line  # doc markup, not code
+            ):
+                offenders.append(f"{f.name}:{i}: {stripped}")
+    assert not offenders, "driver-side materialization in engine code:\n" + "\n".join(
+        offenders
+    )
