@@ -137,6 +137,96 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the
+    corpus into ``n_cells`` Voronoi cells; each query scores only the
+    ``n_probe`` cells whose centroids are nearest, so scan cost drops by
+    ~n_cells/n_probe versus brute force.
+
+    The coarse quantizer trains with Spark ML k-means (distributed
+    Lloyd's); the fitted centroids are bounded metadata (n_cells × dim
+    floats) embedded as literals into the probe expression — the same
+    "small static side stays JVM-side" pattern as the sign-LSH
+    hyperplanes. Same output schema as :func:`cosine_topk`; recall
+    depends on the corpus having cluster structure (tests assert
+    score-correctness of what it returns, plus non-trivial recall)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cvec"),
+        array_to_vector(_as_double(F.col(vec_col))).alias("_fv"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell").fit(
+        feats
+    )
+    cand_cells = model.transform(feats).select(
+        "cand_id", "cell", F.col("_cvec").alias(vec_col)
+    )
+    # clusterCenters() is model metadata (n_cells x dim), not a dataset
+    # collect — identical in kind to the LSH hyperplane literals.
+    centers = [[round(float(x), 6) for x in c] for c in model.clusterCenters()]
+
+    withq = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+    ).withColumn("_v", _as_double(F.col(vec_col)))
+    cell_d2 = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    probed = withq.withColumn(
+        "cell",
+        F.explode(F.slice(F.array_sort(cell_d2), 1, n_probe).getField("cell")),
+    ).select(
+        "query_id",
+        "cell",
+        F.col("_v").alias("_qv"),
+        F.sqrt(_dot(F.col("_v"), F.col("_v"))).alias("_qn"),
+    )
+    c = with_norm(spread(cand_cells, "cand_id"), vec_col).select(
+        "cand_id", "cell", F.col("_v").alias("_cv"), F.col("_norm").alias("_cn")
+    )
+    # a candidate lives in exactly one cell, so a (query, cand) pair can
+    # appear at most once — no dedup needed after the probe join
+    scored = (
+        F.broadcast(probed)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "_cos", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("_cos", 6).alias("cos_sim"), "rank")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.4, vec_col: str = "embedding",
     id_col: str = "vec_id",

@@ -268,3 +268,25 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (e.error_ts <= p.purchase_ts + F.expr("INTERVAL 1 HOUR"))
     )
     return p.join(e, cond).select("purchase_id", "error_id", "purchase_ts", "error_ts")
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter-safe salted join (operators/skew.py): result must be
+    identical to the plain equi-join — the oracle IS the plain join, so
+    the hash check proves salting changes distribution, never results."""
+    from mapreduceframework_cpp_spark.operators.skew import salted_join
+
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return salted_join(o, c, "c_custkey", num_salts=8).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )

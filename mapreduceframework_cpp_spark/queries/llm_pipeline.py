@@ -307,3 +307,16 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media column → fixed-dim feature vector via
     mapInPandas (deterministic fake extractor, real batch shape)."""
     return extract_features(attach_fake_media(tbl(spark, sf_dir, "documents")))
+
+
+@query("q_sim_ivf_topk")  # rows-only: approximate by design
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, n_probe nearest
+    cells scanned per query — the cluster-structured scale path
+    complementing sign-LSH."""
+    from mapreduceframework_cpp_spark.operators.similarity import ivf_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, k=5, n_cells=16, n_probe=4
+    )

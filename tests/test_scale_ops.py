@@ -1,0 +1,98 @@
+"""Scale-path operators: salted skew join (result-identical to plain),
+IVF approximate top-k (score-correct, useful recall), stateful streaming
+totals (parity with batch aggregation)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mapreduceframework_cpp_spark.operators.similarity import cosine_topk, ivf_topk
+from mapreduceframework_cpp_spark.operators.skew import salted_join
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+
+def test_salted_join_equals_plain_inner(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plain = sorted(tuple(r) for r in o.join(c, "c_custkey").collect())
+    salted = sorted(tuple(r) for r in salted_join(o, c, "c_custkey", 8).collect())
+    assert salted == plain
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    fact = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (99, "orphan")], "k long, payload string"
+    )
+    dim = spark.createDataFrame([(1, "dim1")], "k long, name string")
+    rows = sorted(
+        (r.k, r.payload, r.name) for r in salted_join(fact, dim, "k", 4, "left").collect()
+    )
+    assert rows == [(1, "a", "dim1"), (1, "b", "dim1"), (99, "orphan", None)]
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A single hot key must land in several salt partitions."""
+    hot = spark.range(1000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    salted = hot.withColumn(
+        "_salt", F.pmod(F.xxhash64("k", "payload"), F.lit(8)).cast("int")
+    )
+    n_salts = salted.select("_salt").distinct().count()
+    assert n_salts == 8
+
+
+def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
+    """IVF may miss neighbors (probe misses) but must never mis-score,
+    and with n_probe=n_cells it degenerates to exact brute force."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+
+    exact_all = {
+        (r.query_id, r.cand_id): r.cos_sim
+        for r in cosine_topk(q, emb, k=10_000).collect()
+    }
+    approx = ivf_topk(q, emb, k=5, n_cells=8, n_probe=2).collect()
+    assert approx
+    for r in approx:
+        assert exact_all[(r.query_id, r.cand_id)] == r.cos_sim
+
+    # full-probe IVF == exact top-k (same ranks, same scores)
+    exact5 = {
+        (r.query_id, r.cand_id, r.rank, r.cos_sim)
+        for r in cosine_topk(q, emb, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.cand_id, r.rank, r.cos_sim)
+        for r in ivf_topk(q, emb, k=5, n_cells=8, n_probe=8).collect()
+    }
+    assert full == exact5
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    """availableNow single-batch run of the stateful operator must equal
+    the batch groupBy aggregation."""
+    from mapreduceframework_cpp_spark.streaming.stateful import running_user_totals
+    from mapreduceframework_cpp_spark.streaming.stream import (
+        events_stream,
+        run_to_memory,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in run_to_memory(
+            running_user_totals(events_stream(spark, sf_dir)),
+            "stateful_totals",
+            output_mode="update",
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.tv, 6))
+        for r in tbl(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == want
