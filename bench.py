@@ -31,6 +31,9 @@ HEADLINE = [
     "q_join_inner",
     "q_join_broadcast",
     "q_join_asof",
+    "q_join_salted",
+    "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
     "q_win_rank",
     "q_win_running",
     "q_sort_limit",

@@ -6,6 +6,7 @@ Importing this package registers every query + oracle pair into
 
 from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     aggregations,
+    analytics,
     flagship,
     joins,
     llm_pipeline,

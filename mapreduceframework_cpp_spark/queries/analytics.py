@@ -1,0 +1,113 @@
+"""Multi-join analytical showcase queries (TPC-H Q3/Q5 shapes).
+
+These exercise the engine end-to-end the way a warehouse user would:
+selective dimension filters, 3- and 6-way join chains, decimal-exact
+revenue aggregation, deterministic top-k — the composition of §2.2's
+primitives rather than new ones. Kernel lowering is the repartition-join
++ reduce chain (SURVEY.md §2.2-C note; Tenzing, PAPERS.md:8) applied
+twice or more in sequence.
+
+Scale notes: Catalyst orders the join chain and AQE switches build sides
+at runtime; the dimension sides (customer at 1/10th of orders, nation,
+region, supplier) broadcast under the session threshold, so only the
+fact tables shuffle — at 100 TB only lineitem/orders exchanges remain,
+partitioned on the join keys. Revenue sums use the decimal discipline
+from queries/aggregations.py (exact, order-independent)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+def _rev():
+    """Decimal-exact revenue term (built lazily — Column construction
+    needs a live SparkContext): base columns hold exact 2dp values, so
+    the decimal cast is unambiguous; decimal arithmetic is
+    order-independent."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+
+_REV_SQL = (
+    "sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(18,4))))"
+)
+
+
+@query(
+    "q_tpch_q3_shape",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
+    segment. customer (selective filter) broadcasts; orders⋈lineitem is
+    the only real shuffle; top-k plans as TakeOrderedAndProject."""
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    c = tbl(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5_shape",
+    oracle=f"""
+    SELECT n_name, CAST({_REV_SQL} AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue by nation for one region —
+    a 6-way join where region/nation/supplier/customer all broadcast and
+    the local-supplier condition (c_nationkey = s_nationkey) is a
+    residual filter on the join chain."""
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = tbl(spark, sf_dir, "nation")
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
