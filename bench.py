@@ -70,11 +70,17 @@ def main() -> None:
     # query doesn't pay session startup costs.
     _force(queries["q_scan_select_cols"](spark, SF_DIR))
 
+    # best-of-2 per query: first run pays whole-stage-codegen JIT and is
+    # exposed to background-load noise (observed ±70% on shared boxes);
+    # the min is the reproducible figure.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _force(queries[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(queries[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
