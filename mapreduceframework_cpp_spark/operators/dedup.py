@@ -308,3 +308,59 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         "doc_id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup PAIRS: connected components by
+    iterative min-label propagation — label(v) := min(label over v and
+    its neighbors), repeated to fixpoint. Returns (doc_id, cluster_id)
+    for every doc appearing in a pair, cluster_id = min doc_id of the
+    component (docs in no pair are implicit singletons).
+
+    Each iteration is one join + partial-aggregated group-by, and
+    ``localCheckpoint`` truncates the lineage so the plan stays flat
+    (executor-side materialization, nothing on the driver; the only
+    driver value is the scalar convergence count). Iterations needed =
+    component diameter — small for dedup clusters; for adversarially
+    long chains switch to the large-star/small-star variant, same
+    primitive per round.
+    """
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "doc_id")
+            .filter(F.col("new") < F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def canonical_docs(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """The deduplicated corpus: drop every cluster member except the
+    canonical (min doc_id) one; docs in no cluster pass through."""
+    dupes = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(dupes, "doc_id", "left_anti")

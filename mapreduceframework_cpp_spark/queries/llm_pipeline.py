@@ -320,3 +320,34 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.filter(F.col("vec_id") % 50 == 0), emb, k=5, n_cells=16, n_probe=4
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= 0.7),
+    edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+              UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters: connected components via
+    iterative min-label propagation (operators/dedup.dedup_clusters),
+    hash-verified against a DuckDB recursive-CTE transitive closure.
+    The step after pair detection in a real dedup pipeline: keep one
+    canonical doc per cluster (operators/dedup.canonical_docs)."""
+    from mapreduceframework_cpp_spark.operators.dedup import dedup_clusters
+
+    pairs = minhash_lsh_near_dups(
+        tbl(spark, sf_dir, "documents"),
+        n=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.7,
+    )
+    return dedup_clusters(pairs)

@@ -150,3 +150,25 @@ def test_sample_frames_offsets(docs):
     per_doc = frames.groupBy("doc_id").count().collect()
     # content is a 64-byte sha hex string -> offsets 0,16,32,48
     assert per_doc and all(r["count"] == 4 for r in per_doc)
+
+
+def test_dedup_clusters_transitive(spark):
+    """a-b and b-c pairs must merge into one cluster labeled min(a)."""
+    from mapreduceframework_cpp_spark.operators.dedup import (
+        canonical_docs,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (30, 31)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {2: 2, 5: 2, 9: 2, 30: 30, 31: 30}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 5, 9, 30, 31)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id for r in canonical_docs(docs, dedup_clusters(pairs)).collect()
+    )
+    assert kept == [1, 2, 30]  # singletons pass through, one per cluster
