@@ -43,6 +43,7 @@ HEADLINE = [
     "q_json_funcs",
     "q_dedup_exact",
     "q_dedup_near",
+    "q_pipeline_e2e",
     "q_sim_topk",
     "q_text_quality",
     "q_text_stats",

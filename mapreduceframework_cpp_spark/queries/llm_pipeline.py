@@ -351,3 +351,57 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.7,
     )
     return dedup_clusters(pairs)
+
+
+@query(
+    "q_pipeline_e2e",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= 0.7),
+    edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+              UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    members AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a),
+    dropped AS (SELECT doc_id FROM members WHERE doc_id <> cluster_id),
+    kept AS (
+      SELECT d.* FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        AND length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+            * 1.0 / length(d.text) >= 0.7
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM kept GROUP BY lang
+    """,
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline in one declarative chain:
+    near-dup detection (MinHash-LSH) -> duplicate clustering (connected
+    components) -> canonical selection -> quality gate (alpha ratio
+    >= 0.7) -> per-language corpus stats. Hash-verified end-to-end
+    against the composed DuckDB oracle — what a user of the reference
+    would actually run, start to finish."""
+    from mapreduceframework_cpp_spark.operators.dedup import (
+        canonical_docs,
+        dedup_clusters,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(
+        docs, n=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.7
+    )
+    kept = canonical_docs(docs, dedup_clusters(pairs))
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    kept = kept.filter(alpha / F.length("text") >= 0.7)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
