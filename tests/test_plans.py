@@ -122,3 +122,21 @@ def test_no_driver_collect_in_operators():
     assert not offenders, "driver-side materialization in engine code:\n" + "\n".join(
         offenders
     )
+
+
+def test_tpch_q3_plan_shape(spark, sf_dir):
+    """Q3 shape: the selective customer dim must broadcast, and the
+    top-10 must plan as TakeOrderedAndProject (no global sort)."""
+    p = plan(_Q["q_tpch_q3_shape"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q5_plan_shape(spark, sf_dir):
+    """Q5 shape: a 6-way join chain must stay hash-join based — no
+    nested-loop or cartesian fallback from the residual condition."""
+    p = plan(_Q["q_tpch_q5_shape"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

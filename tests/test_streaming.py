@@ -76,3 +76,45 @@ def test_drop_duplicates_within_watermark(spark, sf_dir):
     # expiry, never under-count distinct pairs present in one batch
     assert out.count() >= exact
     assert out.select("user_id", "event_type").distinct().count() == exact
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks on both sides must match
+    the batch interval join (q_join_interval) row-for-row-count when run
+    availableNow."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.queries.joins import q_join_interval
+    from mapreduceframework_cpp_spark.streaming.stream import (
+        events_stream,
+        run_to_memory,
+    )
+
+    s = events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    p = (
+        s.filter("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    e = (
+        s.filter("event_type = 'error'")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "2 hours")
+    )
+    joined = p.join(
+        e,
+        F.expr(
+            "p_user = e_user AND e_ts > p_ts AND e_ts <= p_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    got = run_to_memory(joined, "ss_interval_join").count()
+    want = q_join_interval(spark, sf_dir).count()
+    assert got == want > 0
