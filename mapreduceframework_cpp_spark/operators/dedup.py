@@ -325,10 +325,18 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     long chains switch to the large-star/small-star variant, same
     primitive per round.
     """
-    edges = pairs.select(
-        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
-    ).union(
-        pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+            )
+        )
+        # materialize ONCE: every iteration joins against edges, and an
+        # unmaterialized edge set would re-run the whole upstream pair
+        # pipeline (e.g. MinHash-LSH) per iteration AND per convergence
+        # count
+        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
