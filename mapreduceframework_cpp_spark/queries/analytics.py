@@ -111,3 +111,35 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_premium
+    FROM part p
+    WHERE p_retailprice >
+          (SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                  * 1.2 / count(*)
+           FROM part p2 WHERE p2.p_brand = p.p_brand)
+    GROUP BY p_brand
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 pattern): parts priced >1.2x
+    their brand's average. Written as SQL so Catalyst's decorrelation
+    rewrites the per-row subquery into one aggregate + join — the engine
+    never executes a subquery per row. Decimal-exact sum / count keeps
+    the threshold bit-identical across engines."""
+    tbl(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_premium
+        FROM part_v p
+        WHERE p_retailprice >
+              (SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                      * 1.2 / count(*)
+               FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        GROUP BY p_brand
+        """
+    )
