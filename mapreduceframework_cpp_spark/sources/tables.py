@@ -109,3 +109,16 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> N
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     df.write.mode(mode).options(**options).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """ORC source — columnar like parquet (pruning + predicate pushdown
+    apply); kept for interchange with Hive-era pipelines."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

@@ -70,3 +70,13 @@ def test_csv_write_is_task_parallel(spark, sf_dir, tmp_path):
     write_csv(df, str(tmp_path / "p.csv"))
     parts = [p for p in (tmp_path / "p.csv").iterdir() if p.name.startswith("part-")]
     assert len(parts) == 4
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from mapreduceframework_cpp_spark.sources.tables import read_orc, write_orc
+
+    df = _sample(spark, sf_dir)
+    write_orc(df, str(tmp_path / "o.orc"))
+    back = read_orc(spark, str(tmp_path / "o.orc"))
+    assert back.schema == df.schema
+    assert _rows(back) == _rows(df)
