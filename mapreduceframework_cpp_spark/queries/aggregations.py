@@ -235,3 +235,29 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
         )
     )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5) AS median,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the definition, so
+    values hash-match). ``approx_percentile`` is the sketch-based scale
+    path when exactness isn't required; the exact form still
+    distributes (sort within group)."""
+    o = tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+        F.count("*").alias("n"),
+    )

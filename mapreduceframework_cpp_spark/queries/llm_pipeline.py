@@ -405,3 +405,12 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
     )
+
+
+@query("q_sample_stratified")  # rows-only: sampling semantics differ per engine
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling by language (seeded, deterministic for a
+    fixed partitioning) — the corpus-rebalancing step of a training-data
+    pipeline. Bernoulli per-row sampling: no shuffle, scales linearly."""
+    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
+    return tbl(spark, sf_dir, "documents").sampleBy("lang", fractions, seed=42)

@@ -235,3 +235,21 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchases"
         ),
     )
+
+
+@query(
+    "q_str_distance",
+    oracle="""
+    SELECT p_partkey, levenshtein(p_name, p_type) AS name_type_dist,
+           levenshtein(lower(p_brand), lower(p_name)) AS brand_name_dist
+    FROM part
+    """,
+)
+def q_str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance functions (fuzzy matching / dedup building block)."""
+    p = tbl(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("name_type_dist"),
+        F.levenshtein(F.lower("p_brand"), F.lower("p_name")).alias("brand_name_dist"),
+    )
