@@ -139,3 +139,46 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows vs a gaps-and-islands oracle ((user_id, ts) is
     unique in the data, so the island ordering is deterministic)."""
     return session_counts(tbl(spark, sf_dir, "events"))
+
+
+@query(
+    "q_ts_gapfill",
+    oracle="""
+    WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+                      date_trunc('hour', max(ts)) AS t1
+               FROM events GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+             FROM b),
+    h AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2)
+    SELECT g.user_id, g.hour, COALESCE(h.n_events, 0) AS n_events
+    FROM grid g LEFT JOIN h USING (user_id, hour)
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per user (the hypertable/resample
+    pattern): a dense hour grid from each user's min to max event hour —
+    generated executor-side via sequence+explode, never on the driver —
+    left-joined with actual hourly counts, empty hours as zeros.
+
+    Scale: the grid is O(users x hours), generated where it is consumed;
+    the join keys on (user_id, hour), and AQE handles users with short
+    spans. Counts only — a float sum over sub-handful groups would hash
+    on partial-order-dependent double addition."""
+    ev = tbl(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("hour"),
+    )
+    hourly = (
+        ev.select("user_id", hour.alias("hour"))
+        .groupBy("user_id", "hour")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return grid.join(hourly, ["user_id", "hour"], "left").na.fill({"n_events": 0})
