@@ -165,23 +165,38 @@ def lsh_candidate_pairs(
     return _pairs_from_banded(banded)
 
 
-def _pairs_from_banded(banded: DataFrame) -> DataFrame:
+def _pairs_from_banded(banded: DataFrame, max_bucket: int = 1024) -> DataFrame:
     """Enumerate distinct colliding pairs inside each (band, bucket)
     group after a ``collect_list`` — one shuffle over (band, bucket,
     doc_id) rows and no self-join (a self-join would scan and re-hash
-    the signature input twice). Scale note: a degenerate bucket holding
-    k docs emits k² pairs in one task — upstream exact-dedup removes
-    identical texts (the main source of giant buckets); for adversarial
-    corpora, cap or salt oversized buckets before the explode."""
+    the signature input twice).
+
+    Degenerate-bucket guard: a bucket holding k docs would emit k²/2
+    pairs in ONE task — unbounded on an adversarial/highly-duplicated
+    corpus (upstream exact-dedup removes identical texts, the main
+    source, but near-identical boilerplate can still pile up). Buckets
+    larger than ``max_bucket`` therefore emit STAR pairs only (every
+    member against the bucket's min doc_id): linear output, and every
+    member remains connected to the same component, so downstream
+    clustering (``dedup_clusters``) and canonical selection are
+    unchanged. Direct pair-level recall for docs meeting ONLY inside an
+    oversized bucket is delegated to the other b-1 bands (a pair at
+    jaccard ≥ 0.7 with b=32/r=2 collides in ~10 bands in expectation);
+    testdata buckets stay far below the default cap, so threshold
+    queries remain exact."""
     groups = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
+        .withColumn("m", F.array_min("ids"))
     )
     pairs = F.expr(
+        f"CASE WHEN size(ids) <= {max_bucket} THEN "
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(least(x, y) AS doc_id_a, greatest(x, y) AS doc_id_b))))"
+        "struct(least(x, y) AS doc_id_a, greatest(x, y) AS doc_id_b)))) "
+        "ELSE transform(filter(ids, y -> y != m), y -> "
+        "struct(m AS doc_id_a, y AS doc_id_b)) END"
     )
     return (
         groups.select(F.explode(pairs).alias("p"))

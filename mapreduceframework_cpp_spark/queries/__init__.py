@@ -2,17 +2,26 @@
 
 Importing this package registers every query + oracle pair into
 :mod:`mapreduceframework_cpp_spark.registry`.
+
+Import order IS registration order (the registry dict preserves it), and
+the external verifier walks the first N registered queries per round —
+so families verified in earlier rounds rotate to the back and families
+still awaiting a hard correctness signal register first. Keep newly
+added queries at the END so they don't displace queries queued for
+verification. Verified green in round 1 (CORRECTNESS_r01.json):
+aggregations, analytics, flagship, joins, llm_pipeline, and the first
+four of relational.
 """
 
 from mapreduceframework_cpp_spark.queries import (  # noqa: F401
+    relational,
+    scalars,
+    windows,
+    streaming_windows,
+    udfs,
     aggregations,
+    llm_pipeline,
     analytics,
     flagship,
     joins,
-    llm_pipeline,
-    relational,
-    scalars,
-    streaming_windows,
-    udfs,
-    windows,
 )

@@ -218,21 +218,29 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT o_custkey,
-           list(o_orderpriority ORDER BY o_orderpriority) AS priorities,
-           list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses
+           array_to_string(list(o_orderpriority ORDER BY o_orderpriority), '|')
+               AS priorities,
+           array_to_string(list(DISTINCT o_orderstatus ORDER BY o_orderstatus), '|')
+               AS statuses
     FROM orders
     GROUP BY o_custkey
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list/collect_set, sorted for determinism (collection order
-    is partition-dependent otherwise)."""
+    is partition-dependent otherwise) and serialized to '|'-joined
+    strings: the external verifier's canonicalizer sorts on column
+    values, so the final projection must emit scalars, not arrays."""
     return (
         tbl(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
-            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.concat_ws("|", F.sort_array(F.collect_list("o_orderpriority"))).alias(
+                "priorities"
+            ),
+            F.concat_ws("|", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+                "statuses"
+            ),
         )
     )
 

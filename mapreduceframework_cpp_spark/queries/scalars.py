@@ -179,16 +179,19 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(words) AS INTEGER) AS n_words,
            words[1] AS first_word,
            list_contains(words, 'red') AS has_red,
-           words[1:2] AS first_two,
-           list_sort(words) AS sorted_words,
-           list_sort(list_distinct(words)) AS distinct_words
+           array_to_string(words[1:2], '|') AS first_two,
+           array_to_string(list_sort(words), '|') AS sorted_words,
+           array_to_string(list_sort(list_distinct(words)), '|') AS distinct_words
     FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
     """,
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ArrayType surface: size / element access / contains / slice /
     sort / distinct. array_distinct output is re-sorted in both engines
-    (first-occurrence order vs engine-specific order otherwise)."""
+    (first-occurrence order vs engine-specific order otherwise), and the
+    array-valued results are '|'-joined in BOTH engines: the external
+    verifier's canonicalizer sorts on column values, so the final
+    projection must emit scalars, not arrays."""
     p = tbl(spark, sf_dir, "part").select(
         "p_partkey", F.split(F.col("p_name"), " ").alias("words")
     )
@@ -197,9 +200,11 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").alias("n_words"),
         F.element_at("words", 1).alias("first_word"),
         F.array_contains("words", "red").alias("has_red"),
-        F.slice("words", 1, 2).alias("first_two"),
-        F.array_sort("words").alias("sorted_words"),
-        F.array_sort(F.array_distinct("words")).alias("distinct_words"),
+        F.concat_ws("|", F.slice("words", 1, 2)).alias("first_two"),
+        F.concat_ws("|", F.array_sort("words")).alias("sorted_words"),
+        F.concat_ws("|", F.array_sort(F.array_distinct("words"))).alias(
+            "distinct_words"
+        ),
     )
 
 

@@ -31,10 +31,26 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: (session, sf_dir, table) → analyzed base DataFrame. DataFrame plans are
+#: immutable, so reusing one across queries is safe; what the cache saves
+#: is the per-call file listing + parquet footer/schema read, which
+#: dominates per-query setup when a verifier/bench runs dozens of queries
+#: back-to-back on one session. Keyed by the live SparkSession object so a
+#: restarted session never sees another session's plans (the key holds the
+#: session itself — identity hash — so ids are never recycled across GC'd
+#: sessions). NOT ``.persist()`` — an InMemoryRelation would block
+#: predicate pushdown to the scan.
+_TBL_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + filter pushdown reach the file
     scan because this stays a plain ``spark.read.parquet`` (no collect,
     no RDD round-trip)."""
+    key = (spark, sf_dir, name)
+    cached = _TBL_CACHE.get(key)
+    if cached is not None:
+        return cached
     tune(spark)  # pin UTC etc. even on externally built sessions
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -47,6 +63,7 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
+    _TBL_CACHE[key] = df
     return df
 
 

@@ -99,6 +99,73 @@ def test_lsh_topk_subset_of_true_scores(emb):
         assert exact_scores[(r.query_id, r.cand_id)] == r.cos_sim
 
 
+def test_pairs_from_banded_degenerate_bucket_guard(spark):
+    """A bucket over ``max_bucket`` must emit linear star pairs (to its
+    min doc_id), not k²/2 — while small buckets still enumerate fully and
+    the star output keeps the component connected for clustering."""
+    from mapreduceframework_cpp_spark.operators.dedup import (
+        _pairs_from_banded,
+        dedup_clusters,
+    )
+
+    rows = [(0, 7, i) for i in range(50)] + [(1, 3, j) for j in (100, 101, 102)]
+    banded = spark.createDataFrame(rows, "band int, bucket long, doc_id long")
+
+    capped = _pairs_from_banded(banded, max_bucket=10)
+    got = {(r.doc_id_a, r.doc_id_b) for r in capped.collect()}
+    star = {(0, i) for i in range(1, 50)}
+    small_full = {(100, 101), (100, 102), (101, 102)}
+    assert got == star | small_full
+
+    # star pairs keep the oversized bucket one connected component
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(capped.filter("doc_id_a < 100")).collect()
+    }
+    assert set(labels) == set(range(50)) and set(labels.values()) == {0}
+
+    # default cap leaves ordinary buckets at full enumeration
+    full = _pairs_from_banded(banded)
+    assert full.count() == 50 * 49 // 2 + 3
+
+
+def test_lsh_topk_beats_random_scan_on_testdata(emb):
+    """On the (near-isotropic) real testdata embeddings a recall *floor*
+    is meaningless — clustered data is what LSH is for (see the module
+    docstring and the synthetic-data recall test above). The honest
+    real-data property: sign-LSH collision probability is monotone in
+    angle, so recall must clearly beat the fraction of the corpus it
+    scans (random-sampling baseline). Deterministic: seeded planes,
+    fixed data (measured: recall 0.112 scanning 3.7% ⇒ 3.0x lift)."""
+    from mapreduceframework_cpp_spark.operators.similarity import sign_lsh_buckets
+
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = {(r.query_id, r.cand_id) for r in cosine_topk(q, emb, k=5).collect()}
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in lsh_topk(q, emb, dim=64, k=5, n_planes=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+
+    qb = sign_lsh_buckets(q, 64, 8)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(8)],
+    )
+    qb = qb.withColumn("bucket", F.explode(probes)).select(
+        F.col("vec_id").alias("qid"), "bucket"
+    )
+    cb = sign_lsh_buckets(emb, 64, 8).select(F.col("vec_id").alias("cid"), "bucket")
+    scanned = (
+        qb.join(cb, "bucket").filter("qid != cid").select("qid", "cid").distinct()
+    ).count()
+    cand_frac = scanned / (q.count() * (n - 1))
+
+    assert cand_frac < 0.10, "LSH should scan a small corpus fraction"
+    assert recall >= 2 * cand_frac, (recall, cand_frac)
+
+
 def test_token_counts_golden(spark):
     df = spark.createDataFrame(
         [(1, "Hello, world! 42 times")], "doc_id long, text string"
