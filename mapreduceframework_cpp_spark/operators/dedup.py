@@ -263,6 +263,47 @@ def minhash_lsh_near_dups(
     return jaccard_verify(cands, arrays, threshold=threshold)
 
 
+def incremental_near_dups(
+    corpus_docs: DataFrame,
+    batch_docs: DataFrame,
+    n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.7,
+    corpus_arrays: DataFrame | None = None,
+    corpus_banded: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs of an incoming BATCH against an existing CORPUS
+    plus batch-internal pairs — the shape an ingest pipeline needs:
+    corpus×corpus work is never redone. Candidates come from (a) the
+    batch's banded buckets joined against the corpus's banded buckets
+    on (band, bucket) and (b) :func:`_pairs_from_banded` over the batch
+    alone; both verify with exact Jaccard. Returns (doc_id_a, doc_id_b,
+    jaccard) with doc_id_b always the batch member.
+
+    At real scale the corpus index is precomputed and persisted (pass
+    ``corpus_banded``/``corpus_arrays``, e.g. read back from parquet) so
+    per-batch cost is O(batch) banding + a key join against the index —
+    the corpus documents themselves are never re-shingled."""
+    batch_arrays = shingle_arrays(spread(batch_docs), n=n).persist()
+    if corpus_arrays is None:
+        corpus_arrays = shingle_arrays(spread(corpus_docs), n=n).persist()
+    if corpus_banded is None:
+        corpus_banded = lsh_banded(corpus_arrays, bands=bands, rows_per_band=rows_per_band)
+    batch_banded = lsh_banded(batch_arrays, bands=bands, rows_per_band=rows_per_band)
+    cross = (
+        corpus_banded.select(F.col("doc_id").alias("doc_id_a"), "band", "bucket")
+        .join(
+            batch_banded.select(F.col("doc_id").alias("doc_id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    cands = cross.union(_pairs_from_banded(batch_banded))
+    return jaccard_verify(cands, corpus_arrays.union(batch_arrays), threshold=threshold)
+
+
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document over word tokens (frequency-weighted:
     repeated tokens vote repeatedly). Pure JVM: token explode + 64

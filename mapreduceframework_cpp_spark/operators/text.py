@@ -122,6 +122,77 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8, gram: int 
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, shuffle-free: distinct
+    token ratio, most-frequent-token fraction, most-frequent-bigram
+    fraction — all computed per row with higher-order array functions
+    (token counts per doc are bounded, so the O(distinct·n) lambda stays
+    cheap and entirely JVM-side; no explode/groupBy shuffle of (doc,
+    token) pairs). Docs with <2 tokens drop out (no bigram)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    d = (
+        spread(docs)
+        .select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .withColumn(
+            "_b",
+            F.expr("transform(sequence(0, size(_t) - 2), i -> concat(_t[i], ' ', _t[i + 1]))"),
+        )
+    )
+    n = F.size("_t")
+    top_tok = F.expr(
+        "array_max(transform(array_distinct(_t), u -> size(filter(_t, x -> x = u))))"
+    )
+    top_big = F.expr(
+        "array_max(transform(array_distinct(_b), u -> size(filter(_b, x -> x = u))))"
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct("_t")) / n, 6).alias("distinct_ratio"),
+        F.round(top_tok / n, 6).alias("top_token_frac"),
+        F.round(top_big / (n - 1), 6).alias("top_bigram_frac"),
+    )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: for each candidate document, the
+    fraction of its distinct word n-gram shingles that appear anywhere
+    in the ``benchmark`` corpus; rows at/above ``threshold`` survive.
+
+    Scale shape: the benchmark shingle set is small (eval suites are
+    tiny next to training corpora) and broadcast into a semi join —
+    the 100 TB side is touched once, no shuffle of the corpus."""
+    from mapreduceframework_cpp_spark.operators.dedup import (
+        shingle_arrays,
+        shingle_sets,
+    )
+
+    bench_sh = shingle_sets(benchmark, text_col=text_col, n=n).select("shingle").distinct()
+    arrays = shingle_arrays(spread(docs), text_col=text_col, n=n)
+    matched = (
+        arrays.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id", "sz")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        matched.filter(F.col("n_matched") / F.col("sz") >= threshold)
+        .select(
+            "doc_id",
+            F.col("sz").cast("long").alias("n_shingles"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.round(F.col("n_matched") / F.col("sz"), 6).alias("contamination"),
+        )
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language corpus stats (the declared q_text_stats shape)."""
     return (

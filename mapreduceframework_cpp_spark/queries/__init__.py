@@ -24,4 +24,6 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     analytics,
     flagship,
     joins,
+    corpus_ops,
+    stats,
 )

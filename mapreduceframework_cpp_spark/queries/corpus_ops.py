@@ -1,0 +1,186 @@
+"""Corpus-curation queries (SURVEY.md §2.2-K, round-2 additions): the
+remaining operations a training-data pipeline runs between raw crawl and
+training shards — repetition-based quality signals, benchmark
+contamination checks, corpus shape histograms, and incremental (batch
+vs existing corpus) near-dedup.
+
+Kernel lowering: repetition/length are R3 per-row maps; contamination is
+an R6 shuffle on shingle + R8 count; incremental dedup reuses the LSH
+banding (map) + bucket group-by (shuffle) of ``operators/dedup`` with the
+corpus side as a precomputable index (``MapReduceFramework.cpp:79-149``
+computes the same shapes as one-shot jobs; incrementality is what the
+reference cannot express and an ingest pipeline needs).
+
+Registered AFTER the round-1 families (see queries/__init__.py): these
+must not displace queries queued for driver verification.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.operators.dedup import incremental_near_dups
+from mapreduceframework_cpp_spark.operators.text import (
+    contamination_scores,
+    repetition_signals,
+)
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+#: shared DuckDB CTE — distinct word-3-gram shingles (same construction
+#: as queries/llm_pipeline._SHINGLE_CTE's `sh` stage)
+_SH = """
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM toks, unnest(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3)
+"""
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    b AS (SELECT doc_id, tk,
+                 list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+          FROM t WHERE len(tk) >= 2)
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           round(len(list_distinct(tk)) * 1.0 / len(tk), 6) AS distinct_ratio,
+           round(list_max(list_transform(list_distinct(tk),
+                 u -> len(list_filter(tk, x -> x = u)))) * 1.0 / len(tk), 6)
+             AS top_token_frac,
+           round(list_max(list_transform(list_distinct(bg),
+                 u -> len(list_filter(bg, x -> x = u)))) * 1.0 / (len(tk) - 1), 6)
+             AS top_bigram_frac
+    FROM b
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per document (distinct-token ratio,
+    top-token / top-bigram fractions) — the Gopher-style filters that
+    drop boilerplate and degenerate pages. All ratios derive from exact
+    integers, so round(·, 6) hashes identically across engines."""
+    return repetition_signals(tbl(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_contamination",
+    oracle=f"""
+    WITH {_SH},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    c AS (SELECT doc_id, count(*) AS sz,
+                 sum(CASE WHEN shingle IN (SELECT shingle FROM bench)
+                     THEN 1 ELSE 0 END) AS m
+          FROM sh WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(sz AS BIGINT) AS n_shingles,
+           CAST(m AS BIGINT) AS n_matched,
+           round(m * 1.0 / sz, 6) AS contamination
+    FROM c WHERE m * 1.0 / sz >= 0.1
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: every 50th document stands in as
+    the held-out eval set; candidate docs whose distinct 3-gram shingles
+    overlap it at >=10% are flagged. The benchmark shingle set is
+    broadcast (eval suites are tiny next to a 100 TB corpus), so the
+    corpus is scanned once with no corpus-side shuffle."""
+    docs = tbl(spark, sf_dir, "documents")
+    return contamination_scores(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=3,
+        threshold=0.1,
+    )
+
+
+@query(
+    "q_text_length_hist",
+    oracle="""
+    SELECT least(CAST(floor(len(string_split(text, ' ')) / 20.0) AS BIGINT), 10)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-shape histogram: documents bucketed by token count (width
+    20, clamped at bucket 10) with per-bucket totals — the sanity plot
+    every curation run starts with. Integer-derived values only."""
+    docs = tbl(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    return (
+        docs.withColumn(
+            "bucket", F.least(F.floor(n_toks / 20.0), F.lit(10)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_toks).cast("long").alias("total_tokens"),
+            F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_SH},
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    jac AS (SELECT doc_id_a, doc_id_b,
+                   i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_id_a
+            JOIN sz sb ON sb.doc_id = doc_id_b),
+    bound AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT) AS b
+              FROM documents),
+    d AS (SELECT doc_id_b AS doc_id, min(doc_id_a) AS dup_of
+          FROM jac, bound WHERE jaccard >= 0.7 AND doc_id_b >= b GROUP BY 1)
+    SELECT doc.doc_id,
+           CASE WHEN d.dup_of IS NULL THEN 'new'
+                WHEN d.dup_of < bound.b THEN 'dup_of_corpus'
+                ELSE 'dup_in_batch' END AS status,
+           d.dup_of
+    FROM documents doc CROSS JOIN bound
+    LEFT JOIN d ON d.doc_id = doc.doc_id
+    WHERE doc.doc_id >= bound.b
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the newest 20% of documents (by doc_id)
+    arrive as a batch against the older 80% corpus. Each batch doc is
+    classified 'dup_of_corpus' / 'dup_in_batch' / 'new' with its minimal
+    matching doc. LSH candidates come from batch-vs-corpus-index and
+    batch-internal banding only — corpus×corpus pairs are never
+    generated, which is what makes per-batch cost O(batch) at 100 TB.
+    Same b=32/r=2 recall argument as q_dedup_near, so the exact-Jaccard
+    oracle hash-matches."""
+    docs = tbl(spark, sf_dir, "documents")
+    bound = docs.agg(
+        F.floor((F.max("doc_id") + 1) * 0.8).cast("long").alias("_bound")
+    )
+    with_b = docs.crossJoin(F.broadcast(bound))
+    corpus = with_b.filter(F.col("doc_id") < F.col("_bound")).drop("_bound")
+    batch = with_b.filter(F.col("doc_id") >= F.col("_bound"))
+    pairs = incremental_near_dups(
+        corpus, batch.drop("_bound"), n=3, bands=32, rows_per_band=2, threshold=0.7
+    )
+    dup = pairs.groupBy("doc_id_b").agg(F.min("doc_id_a").alias("dup_of"))
+    return (
+        batch.select("doc_id", "_bound")
+        .join(dup, batch.doc_id == dup.doc_id_b, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_of").isNull(), "new")
+            .when(F.col("dup_of") < F.col("_bound"), "dup_of_corpus")
+            .otherwise("dup_in_batch")
+            .alias("status"),
+            "dup_of",
+        )
+    )

@@ -1,0 +1,122 @@
+"""Statistical aggregate queries (SURVEY.md §2.2-D, round-2 additions):
+variance / standard deviation / correlation and argmin/argmax
+aggregates.
+
+Cross-engine float discipline (see queries/aggregations.py): native
+``var_samp``/``corr`` accumulate doubles in partition order, so their
+results are not reproducible across engines — or across two runs with
+different partitioning. Instead the power sums Σx, Σx², Σxy accumulate
+in DECIMAL (exact, order-independent; base columns are exact 2dp), then
+the variance/correlation formulas run in double on bit-identical
+operands, giving bit-identical results in Spark and DuckDB. This is
+also the 100 TB-friendly shape: power sums partial-aggregate map-side
+like any sum.
+
+Kernel lowering: R6 shuffle + R8 reduce with an R16-style combiner —
+the reference would emit (key, x, x², xy) tuples from map and add them
+in reduce (``MapReduceFramework.cpp:79-149``).
+
+Registered AFTER the round-1 families (see queries/__init__.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq2,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp2,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (sq2 - sq * sq / n) / (n - 1) AS var_qty,
+           sqrt((sq2 - sq * sq / n) / (n - 1)) AS std_qty,
+           (sqp - sq * sp / n)
+             / (sqrt(sq2 - sq * sq / n) * sqrt(sp2 - sp * sp / n)) AS corr_qty_price
+    FROM s
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev of quantity and quantity↔price correlation
+    per return flag, via exact decimal power sums + double formulas
+    (bit-identical across engines — see module docstring). The final
+    doubles are NOT rounded: they are already identical, and rounding
+    computed doubles is the known cross-engine hash hazard."""
+    li = tbl(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(q).cast("double").alias("_sq"),
+        F.sum(p).cast("double").alias("_sp"),
+        F.sum(q * q).cast("double").alias("_sq2"),
+        F.sum(p * p).cast("double").alias("_sp2"),
+        F.sum(q * p).cast("double").alias("_sqp"),
+    )
+    n, sq, sp = F.col("_n"), F.col("_sq"), F.col("_sp")
+    sq2, sp2, sqp = F.col("_sq2"), F.col("_sp2"), F.col("_sqp")
+    var_qty = (sq2 - sq * sq / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("std_qty"),
+        (
+            (sqp - sq * sp / n)
+            / (F.sqrt(sq2 - sq * sq / n) * F.sqrt(sp2 - sp * sp / n))
+        ).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "q_agg_minmax_by",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+      FROM orders
+    )
+    SELECT a.o_orderpriority,
+           a.o_orderkey AS best_order,
+           a.o_totalprice AS best_price,
+           b.o_orderkey AS worst_order,
+           b.o_totalprice AS worst_price
+    FROM r a JOIN r b ON a.o_orderpriority = b.o_orderpriority
+    WHERE a.rmax = 1 AND b.rmin = 1
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregates: the order carrying the highest/lowest
+    total price per priority, tie-broken deterministically by orderkey
+    via struct ordering — ``max_by(x, struct(price, key))`` compares
+    lexicographically, which the oracle mirrors with a two-key window
+    (DuckDB's ``arg_max`` tie rules are unspecified, so the oracle
+    avoids it)."""
+    o = tbl(spark, sf_dir, "orders")
+    ordkey = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordkey).alias("best_order"),
+        F.max(ordkey).getField("o_totalprice").alias("best_price"),
+        F.min_by("o_orderkey", ordkey).alias("worst_order"),
+        F.min(ordkey).getField("o_totalprice").alias("worst_price"),
+    )

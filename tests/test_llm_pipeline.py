@@ -166,6 +166,73 @@ def test_lsh_topk_beats_random_scan_on_testdata(emb):
     assert recall >= 2 * cand_frac, (recall, cand_frac)
 
 
+def test_repetition_signals_golden(spark):
+    from mapreduceframework_cpp_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    r = repetition_signals(df).first()
+    # tokens [a,a,a,b]: distinct 2/4; top token a=3/4; bigrams
+    # ["a a","a a","a b"]: top "a a"=2/3
+    assert (r.n_tokens, r.distinct_ratio, r.top_token_frac, r.top_bigram_frac) == (
+        4, 0.5, 0.75, 0.666667,
+    )
+
+
+def test_contamination_scores_golden(spark):
+    from mapreduceframework_cpp_spark.operators.text import contamination_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 3 of 3 shingles w/ bench
+            (2, "entirely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in contamination_scores(docs, bench, threshold=0.5).collect()}
+    assert set(rows) == {1}
+    assert (rows[1].n_shingles, rows[1].n_matched, rows[1].contamination) == (3, 3, 1.0)
+
+
+def test_incremental_near_dups_batch_only_pairs(spark):
+    """Only pairs touching the batch come back; corpus-internal dupes do
+    not, and a precomputed corpus index gives identical results."""
+    from mapreduceframework_cpp_spark.operators.dedup import (
+        incremental_near_dups,
+        lsh_banded,
+        shingle_arrays,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base + " extra"), (11, "unrelated words nothing shared at all ok")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in incremental_near_dups(corpus, batch, threshold=0.7).collect()
+    }
+    # 10 near-dups both corpus copies; (1,2) is corpus-internal → absent
+    assert got == {(1, 10), (2, 10)}
+
+    arrays = shingle_arrays(corpus)
+    banded = lsh_banded(arrays, bands=32, rows_per_band=2)
+    via_index = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in incremental_near_dups(
+            corpus, batch, threshold=0.7,
+            corpus_arrays=arrays, corpus_banded=banded,
+        ).collect()
+    }
+    assert via_index == got
+
+
 def test_token_counts_golden(spark):
     df = spark.createDataFrame(
         [(1, "Hello, world! 42 times")], "doc_id long, text string"
