@@ -43,10 +43,14 @@ HEADLINE = [
     "q_json_funcs",
     "q_dedup_exact",
     "q_dedup_near",
+    "q_dedup_incremental",
     "q_pipeline_e2e",
     "q_sim_topk",
     "q_text_quality",
     "q_text_stats",
+    "q_text_contamination",
+    "q_text_repetition",
+    "q_agg_stats",
 ]
 
 

@@ -34,32 +34,48 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _tokenized(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    return docs.select("doc_id", toks.alias("_toks")).filter(F.size("_toks") >= n)
+
+
+def _gram_expr(n: int):
+    """Distinct word n-gram array over a ``_toks`` column. Spark array
+    indexing is 0-based; sequence(0, size-n) enumerates every n-gram
+    start. Direct element concat beats concat_ws(slice(...)) ~2.3x: no
+    per-gram array allocation."""
+    parts = ", ' ', ".join(f"_toks[i + {k}]" for k in range(n))
+    return F.expr(
+        f"array_distinct(transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat({parts})))"
+    )
+
+
 def shingle_arrays(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Per-document DISTINCT word n-gram shingles as an array column:
     (doc_id, shingles, sz). Deduplication happens inside the row
     (``array_distinct``), so building shingle sets costs zero shuffles.
     Documents with fewer than ``n`` tokens drop out."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    # Spark array indexing is 0-based; sequence(0, size-n) enumerates
-    # every n-gram start. Direct element concat beats
-    # concat_ws(slice(...)) ~2.3x: no per-gram array allocation.
-    parts = ", ' ', ".join(f"_toks[i + {k}]" for k in range(n))
-    grams = F.expr(
-        f"transform(sequence(0, size(_toks) - {n}), i -> concat({parts}))"
-    )
     return (
-        docs.select("doc_id", toks.alias("_toks"))
-        .filter(F.size("_toks") >= n)
-        .select("doc_id", F.array_distinct(grams).alias("shingles"))
+        _tokenized(docs, text_col, n)
+        .select("doc_id", _gram_expr(n).alias("shingles"))
         .withColumn("sz", F.size("shingles"))
     )
 
 
 def shingle_sets(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle) —
-    the exploded (inverted-index) form of :func:`shingle_arrays`."""
-    return shingle_arrays(docs, text_col=text_col, n=n).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    the exploded (inverted-index) form of :func:`shingle_arrays`.
+
+    The explode is applied to the gram EXPRESSION, not to a named array
+    column: exploding a named lambda-built column lets Catalyst's
+    InferFiltersFromGenerate push `size(col) > 0 AND isnotnull(col)`
+    through the projection, inlining the whole shingle-construction
+    chain into an INTERPRETED Filter that re-evaluates it per row —
+    measured 28x slower (3.7s vs 0.13s over 100 docs). Direct-expression
+    explode keeps one whole-stage-codegen span."""
+    return _tokenized(docs, text_col, n).select(
+        "doc_id", F.explode(_gram_expr(n)).alias("shingle")
     )
 
 

@@ -167,23 +167,32 @@ def contamination_scores(
     in the ``benchmark`` corpus; rows at/above ``threshold`` survive.
 
     Scale shape: the benchmark shingle set is small (eval suites are
-    tiny next to training corpora) and broadcast into a semi join —
-    the 100 TB side is touched once, no shuffle of the corpus."""
-    from mapreduceframework_cpp_spark.operators.dedup import (
-        shingle_arrays,
-        shingle_sets,
-    )
+    tiny next to training corpora) and broadcast into a left join —
+    the 100 TB side is touched once, no shuffle of the corpus before
+    the per-doc aggregation. The corpus shingles come from the
+    direct-expression explode (see operators/dedup.shingle_sets for why
+    exploding a named array column is 28x slower), and the per-doc
+    shingle count falls out of the same exploded stream (grams are
+    already distinct per doc), so nothing is computed twice."""
+    from mapreduceframework_cpp_spark.operators.dedup import shingle_sets
 
-    bench_sh = shingle_sets(benchmark, text_col=text_col, n=n).select("shingle").distinct()
-    arrays = shingle_arrays(spread(docs), text_col=text_col, n=n)
-    matched = (
-        arrays.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
-        .join(F.broadcast(bench_sh), "shingle", "left_semi")
-        .groupBy("doc_id", "sz")
-        .agg(F.count("*").alias("n_matched"))
+    bench_sh = (
+        shingle_sets(benchmark, text_col=text_col, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        shingle_sets(spread(docs), text_col=text_col, n=n)
+        .join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("sz"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_matched"),
+        )
     )
     return (
-        matched.filter(F.col("n_matched") / F.col("sz") >= threshold)
+        per_doc.filter(F.col("n_matched") / F.col("sz") >= threshold)
         .select(
             "doc_id",
             F.col("sz").cast("long").alias("n_shingles"),

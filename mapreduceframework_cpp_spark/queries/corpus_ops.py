@@ -21,6 +21,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreduceframework_cpp_spark.operators.dedup import incremental_near_dups
+from mapreduceframework_cpp_spark.operators.multimodal import (
+    attach_fake_media,
+    sample_frames,
+)
 from mapreduceframework_cpp_spark.operators.text import (
     contamination_scores,
     repetition_signals,
@@ -123,6 +127,26 @@ def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "q_mm_frames",
+    oracle="""
+    SELECT doc_id, CAST(u.o AS BIGINT) AS frame_offset
+    FROM documents, unnest([0, 16, 32, 48]) AS u(o)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled byte offset of
+    each video row's payload, generated executor-side (sequence+explode
+    over the metadata length — the shape an ffmpeg-backed sampler
+    produces, with the decode stubbed like the rest of the multimodal
+    path). Fake payloads are 64 bytes, so offsets are 0/16/32/48, which
+    the oracle states directly."""
+    media = attach_fake_media(tbl(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n_bytes=16)
+    return frames.select("doc_id", F.col("frame_offset").cast("long").alias("frame_offset"))
 
 
 @query(

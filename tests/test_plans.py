@@ -124,6 +124,42 @@ def test_no_driver_collect_in_operators():
     )
 
 
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast into the join — the
+    corpus side is the 100 TB side and must not shuffle for the join.
+    The corpus shingle explode must stay a direct-expression Generate
+    (no interpreted filter re-deriving the gram array — see
+    operators/dedup.shingle_sets)."""
+    p = plan(_Q["q_text_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin LeftOuter" in p, p
+    assert "SortMergeJoin" not in p
+    assert "array_distinct" not in _filters_of(p)
+
+
+def _filters_of(formatted_plan: str) -> str:
+    """Concatenated Condition lines of all Filter nodes in a formatted
+    plan (where InferFiltersFromGenerate would inline generator exprs)."""
+    return "\n".join(
+        l for l in formatted_plan.splitlines() if l.strip().startswith("Condition")
+    )
+
+
+def test_agg_stats_partial_aggregates(spark, sf_dir):
+    """Power sums must partial-aggregate map-side (one exchange of six
+    scalars per group, not raw rows) and keep exactly one shuffle."""
+    p = plan(_Q["q_agg_stats"](spark, sf_dir))
+    assert "partial_sum" in p
+    assert p.count("Exchange") <= 2  # one shuffle (+AQE re-read line)
+
+
+def test_repetition_is_shuffle_free(spark, sf_dir):
+    """Per-row repetition signals must not shuffle beyond the explicit
+    spread() repartition — no explode/groupBy of (doc, token) pairs."""
+    p = plan(_Q["q_text_repetition"](spark, sf_dir))
+    assert "HashAggregate" not in p, p
+    assert "Generate" not in p  # no explode
+
+
 def test_tpch_q3_plan_shape(spark, sf_dir):
     """Q3 shape: the selective customer dim must broadcast, and the
     top-10 must plan as TakeOrderedAndProject (no global sort)."""
