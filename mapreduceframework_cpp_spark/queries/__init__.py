@@ -26,4 +26,5 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     joins,
     corpus_ops,
     stats,
+    udtf_native,
 )

@@ -130,6 +130,35 @@ def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_hash_per_group",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sha256(CAST(doc_id AS VARCHAR))) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM h WHERE rk <= 5
+    """,
+)
+def q_sample_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: the 5 documents per language
+    with the smallest content-independent hash of their id — a uniform
+    sample that is reproducible across engines, runs and partitionings
+    (unlike Bernoulli ``sampleBy``, q_sample_stratified, whose draw is
+    engine-specific). The pattern scales: rank-by-hash is one window
+    over the stratum key, no global sort, no driver RNG state."""
+    docs = tbl(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.sha2(F.col("doc_id").cast("string"), 256))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@query(
     "q_mm_frames",
     oracle="""
     SELECT doc_id, CAST(u.o AS BIGINT) AS frame_offset
