@@ -27,4 +27,6 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     corpus_ops,
     stats,
     udtf_native,
+    behavior,
+    curation,
 )

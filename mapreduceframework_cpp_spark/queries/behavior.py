@@ -1,0 +1,213 @@
+"""Event-behavior analytics queries (SURVEY.md §2.2-C/E extensions,
+round-2 additions): the session/funnel/retention shapes every
+product-event warehouse runs over an append-only event stream, plus the
+latest-record-per-key dedup that CDC ingestion needs.
+
+Kernel lowering: all four are R6 shuffle on a user key + R8 ordered
+per-group fold (the reduce callback receives the whole sorted group,
+``MapReduceClient.h:61-64``) — in Spark they are windows/joins, with the
+shuffle key chosen so each query is ONE exchange on `user_id`:
+
+- latest-record dedup   → row_number over (key, ts desc) — one shuffle;
+- sessionization        → lag + running sum over the same user window —
+  Catalyst reuses a single sort+exchange for both window functions;
+- funnel                → successive semi-joins whose right sides only
+  shrink (at 100 TB the step outputs are small → AQE broadcasts them);
+- retention             → distinct (user, week) then a self-join on the
+  per-user cohort week, both partitioned by user_id.
+
+Registered AFTER the round-1 families (see queries/__init__.py): these
+must not displace queries queued for driver verification.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+
+@query(
+    "q_win_dedup",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, event_id, value, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, value, ts AS latest_ts
+    FROM r WHERE rn = 1
+    """,
+)
+def q_win_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key dedup (the CDC/upsert compaction pattern):
+    keep each user's most recent event per type, tie-broken by event_id
+    so the survivor is deterministic. One shuffle on the composite key;
+    at 100 TB this is the standard row_number compaction that AQE
+    handles with skew-split if one user dominates."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "value",
+            F.col("ts").alias("latest_ts"),
+        )
+    )
+
+
+@query(
+    "q_events_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit session IDs via gaps-and-islands: a >30-min silence
+    starts a new session; the running sum of boundary flags numbers the
+    sessions. Unlike ``q_stream_session`` (which aggregates inside
+    Spark's session_window), this exposes the session id itself, which
+    downstream joins need. The lag and the running sum share ONE
+    sort+exchange on user_id (same window spec), so the whole query is
+    a single shuffle. Timestamps compare in epoch seconds (micro
+    precision on both engines, identical doubles)."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct double cast in Spark 4; route through
+    # TIMESTAMP (session tz is pinned UTC, so the instant is unchanged)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    brk = (
+        F.when(
+            sec - F.lag(sec).over(w) > 1800.0,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("brk", brk)
+        .withColumn("session_idx", F.sum("brk").over(wrun).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, min(e.ts) AS t1
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view' AND e.ts > s.t0 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.t1 GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM v) AS n_signup_view,
+           (SELECT count(*) FROM p) AS n_signup_view_purchase
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then viewed AFTER the
+    signup, then purchased AFTER that view — strict event-order
+    semantics, not mere co-occurrence. Each step joins the full stream
+    against the (shrinking) survivor set of the previous step; survivor
+    sets are tiny relative to a 100 TB stream, so AQE turns the later
+    probes into broadcast joins and the stream is scanned per step with
+    no stream-side shuffle."""
+    ev = tbl(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(v.agg(F.count("*").alias("n_signup_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_signup_view_purchase")))
+    )
+
+
+@query(
+    "q_events_retention",
+    oracle="""
+    WITH uw AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS wk
+                FROM events),
+    c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+    SELECT c.cohort_wk,
+           CAST((wk - cohort_wk) / 7 AS BIGINT) AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM uw JOIN c ON uw.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen ISO week; for each
+    (cohort, weeks-since) cell, how many cohort members were active.
+    Distinct (user, week) first — that collapses the 100 TB stream to
+    |users|×|weeks| before any join — then a per-user min and a
+    re-join, all partitioned on user_id (one exchange, reused)."""
+    ev = tbl(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    c = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        uw.join(c, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff("wk", "cohort_wk") / 7).cast("long").alias("weeks_since"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

@@ -1,0 +1,266 @@
+"""Training-corpus curation queries (SURVEY.md §2.2-K, round-2 batch 2):
+the dataset-assembly operations that turn a deduped corpus into training
+shards — source-mixture weights, token-budget shard packing, TF-IDF
+keyword extraction, and per-class embedding centroids / norm audits.
+
+Cross-engine float discipline (extends queries/llm_pipeline.py notes):
+ratios of exact integers divide identically in double; order-dependent
+double sums across ROWS are quantized first (``floor(x*scale + 0.5)`` —
+the same IEEE ops in both engines — then exact BIGINT sums), so results
+are bit-identical under any partitioning; per-row array folds
+(``aggregate``/``list_dot_product``) are order-fixed and verified
+bit-identical in round 1.
+
+Kernel lowering: mixture/TF-IDF are R6 shuffle + R8 count shapes over
+exploded tokens (≙ the Sample Client's char-count job,
+``Sample Client/SampleClient.cpp:32-66``, at word granularity); shard
+packing is an R5 per-group ordered fold; centroids are R6 on a
+composite (label, dim) key.
+
+Registered AFTER the round-1 families (see queries/__init__.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+#: tokens per training shard for q_tok_pack_shards (small so sf=0.01
+#: still yields multiple shards per language; the operator is
+#: budget-agnostic)
+_SHARD_BUDGET = 1000
+
+
+@query(
+    "q_corpus_mixture",
+    oracle="""
+    WITH m AS (
+      SELECT lang, source,
+             count(*) AS n_docs,
+             sum(len(string_split(text, ' '))) AS toks
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(toks AS BIGINT) AS total_tokens,
+           round(toks * 1.0 / sum(toks) OVER (PARTITION BY lang), 6)
+             AS token_share
+    FROM m
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weights: per (language, source) document and token
+    counts plus each source's token share within its language — the
+    numbers a sampling schedule is built from. Aggregate first (the
+    100 TB corpus collapses to |lang|×|source| rows), THEN window over
+    the tiny aggregate; the share is a ratio of exact integers so it
+    divides identically across engines."""
+    docs = tbl(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    m = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_toks).cast("long").alias("total_tokens"),
+    )
+    w = Window.partitionBy("lang")
+    return m.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.sum("total_tokens").over(w), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+@query(
+    "q_tok_pack_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(COALESCE(sum(n_tokens) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {_SHARD_BUDGET}.0) AS BIGINT) AS shard
+    FROM t
+    """,
+)
+def q_tok_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: within each language, documents (in
+    doc_id order) are packed into shards of ~_SHARD_BUDGET tokens —
+    shard = exclusive-prefix-sum(tokens) div budget, so a document
+    starts a new shard when the budget spills. This is how fixed-token
+    training files are laid out. One exchange on lang + one ordered
+    fold. At 100 TB a single per-language window serializes; the scale
+    recipe (same operator) is hierarchical: pack within hash-ranged
+    partitions, then offset shard ids by each partition's token
+    prefix-sum — only the |partitions|-row prefix table is
+    driver-visible."""
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / float(_SHARD_BUDGET)
+        )
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    sc AS (
+      SELECT doc_id, token, tf, tf * ln(n * 1.0 / df) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, token, tf, score,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY CAST(round(score * 1e9) AS BIGINT) DESC, token) AS rn
+      FROM sc
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+           round(score, 6) AS tfidf
+    FROM r WHERE rn <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document. Document frequencies are an
+    aggregate of the term-frequency table (one token-explode pass, not
+    two); the DF side is tiny (vocabulary-sized) so Spark broadcasts it
+    back onto tf. Ranking quantizes the score to integer nanos before
+    row_number so a last-ulp ``ln`` difference between engines can never
+    flip a rank; ties break on the token itself."""
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    score = F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))
+    sc = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score") * 1e9).cast("long").desc(), F.col("token")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.round("score", 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "q_emb_centroid",
+    oracle="""
+    WITH q AS (
+      SELECT label, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e7 + 0.5) AS BIGINT)
+               AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(qv) / (count(*) * 1e7), 6) AS centroid
+    FROM q GROUP BY label, pos
+    """,
+)
+def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension) —
+    the class-prototype computation behind IVF seeding and semantic
+    drift audits. A mean of doubles across rows is partition-order
+    dependent, so each element is quantized to an exact 1e-7 grid with
+    ``floor(x*1e7 + 0.5)`` (identical IEEE ops both engines) and summed
+    as BIGINT — exact, order-independent, partial-agg friendly (the
+    same reason q_agg_stats accumulates decimals). posexplode keeps the
+    dimension index without a separate positions table."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1e7 + 0.5).cast("long").alias("qv"),
+    )
+    return q.groupBy("label", "pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("qv") / (F.count("*") * 1e7), 6).alias("centroid"),
+    ).select(
+        "label", F.col("pos").cast("long").alias("pos"), "n", "centroid"
+    )
+
+
+@query(
+    "q_emb_norm_stats",
+    oracle="""
+    WITH nrm AS (
+      SELECT label,
+             CAST(floor(sqrt(list_dot_product(
+                    CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                  * 1e6 + 0.5) AS BIGINT) AS qn
+      FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(min(qn) / 1e6, 6) AS min_norm,
+           round(max(qn) / 1e6, 6) AS max_norm,
+           round(sum(qn) / (count(*) * 1e6), 6) AS avg_norm
+    FROM nrm GROUP BY label
+    """,
+)
+def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm audit per label (catches unnormalized or
+    degenerate vectors before they poison cosine retrieval). The
+    per-row sum-of-squares is an order-fixed array fold — bit-identical
+    to DuckDB ``list_dot_product`` (round-1 verified) — and the
+    cross-row mean uses the same 1e-6 quantize-then-BIGINT-sum trick as
+    q_emb_centroid. No shuffle until the |labels|-row aggregate."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    ss = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    nrm = emb.select(
+        "label",
+        F.floor(F.sqrt(ss) * 1e6 + 0.5).cast("long").alias("qn"),
+    )
+    return nrm.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("qn") / 1e6, 6).alias("min_norm"),
+        F.round(F.max("qn") / 1e6, 6).alias("max_norm"),
+        F.round(F.sum("qn") / (F.count("*") * 1e6), 6).alias("avg_norm"),
+    )
