@@ -51,6 +51,12 @@ HEADLINE = [
     "q_text_contamination",
     "q_text_repetition",
     "q_agg_stats",
+    "q_win_dedup",
+    "q_events_sessionize",
+    "q_events_retention",
+    "q_text_tfidf",
+    "q_tok_pack_shards",
+    "q_emb_centroid",
 ]
 
 
