@@ -3,16 +3,18 @@
 Importing this package registers every query + oracle pair into
 :mod:`mapreduceframework_cpp_spark.registry`.
 
-Import order IS registration order (the registry dict preserves it), and
-the external verifier walks the first N registered queries per round —
-so families verified in earlier rounds rotate to the back and families
-still awaiting a hard correctness signal register first. Keep newly
-added queries at the END so they don't displace queries queued for
-verification. Verified green in round 1 (CORRECTNESS_r01.json):
-aggregations, analytics, flagship, joins, llm_pipeline, and the first
-four of relational.
+The external verifier walks the first ~50 registered queries per round,
+so registration order is an explicit rotation schedule
+(:func:`registry.reorder` below): queries still awaiting a hard driver
+correctness signal go first, already-verified families rotate to the
+back. Verified green in round 1 (CORRECTNESS_r01.json): aggregations
+(minus q_agg_collect, which errored on array output and has since been
+serialized — re-queued), analytics, flagship, joins, llm_pipeline
+minus its two array-output rows-only queries (also since serialized,
+queued right after the window), and the first four of relational.
 """
 
+from mapreduceframework_cpp_spark import registry
 from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     relational,
     scalars,
@@ -29,4 +31,41 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     udtf_native,
     behavior,
     curation,
+)
+
+#: round-3 verification window: the 49 queries with no CORRECTNESS row
+#: yet + q_agg_collect (err row in round 1, fixed since) = exactly 50.
+#: Immediately after: the two fixed rows-only array-output queries.
+registry.reorder(
+    [
+        # relational, minus the four verified in round 1
+        "q_case_expr", "q_sort_multi", "q_sort_limit", "q_union_all",
+        "q_union_distinct", "q_intersect", "q_except", "q_pivot", "q_unpivot",
+        # scalar-function family
+        "q_str_funcs", "q_str_regexp", "q_str_split_explode", "q_date_funcs",
+        "q_math_funcs", "q_json_funcs", "q_array_funcs", "q_map_funcs",
+        "q_str_distance",
+        # window family
+        "q_win_rank", "q_win_topk_group", "q_win_lag_lead", "q_win_running",
+        "q_win_range_frame", "q_win_ntile_pct",
+        # streaming-shape family
+        "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+        "q_ts_gapfill",
+        # UDF surface
+        "q_udf_scalar", "q_udaf_grouped", "q_udtf_flatmap",
+        # round-1 canonicalizer err, now '|'-serialized
+        "q_agg_collect",
+        # round-2 additions (no driver row yet)
+        "q_text_repetition", "q_text_contamination", "q_text_length_hist",
+        "q_sample_hash_per_group", "q_mm_frames", "q_dedup_incremental",
+        "q_agg_stats", "q_agg_minmax_by",
+        "q_udtf_native",
+        "q_win_dedup", "q_events_sessionize", "q_events_funnel",
+        "q_events_retention",
+        "q_corpus_mixture", "q_tok_pack_shards", "q_text_tfidf",
+        "q_emb_centroid", "q_emb_norm_stats",
+        # positions 51-52: round-1 err rows, rows-only by design, fixed
+        # by serializing their array outputs
+        "q_text_fingerprint", "q_mm_features",
+    ]
 )

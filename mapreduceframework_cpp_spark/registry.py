@@ -32,6 +32,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def reorder(priority: list[str]) -> None:
+    """Rebuild the registration order: ``priority`` names first (in the
+    given order), everything else after in original registration order.
+
+    The external verifier checks the first N registered queries per
+    round, so each round promotes the queries still awaiting a hard
+    correctness signal (see queries/__init__.py). Unknown names are an
+    error — a stale rotation list should fail loudly, not silently
+    shrink the verified window."""
+    unknown = [n for n in priority if n not in QUERIES]
+    if unknown:
+        raise KeyError(f"reorder: unknown queries {unknown}")
+    rest = [n for n in QUERIES if n not in set(priority)]
+    ordered = {n: QUERIES[n] for n in [*priority, *rest]}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
 def all_queries() -> dict[str, QueryFn]:
     import mapreduceframework_cpp_spark.queries  # noqa: F401  (registers on import)
 
