@@ -449,7 +449,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         cur_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        ).collect()[0][0]  # scalar-probe: one aggregate value, not a result set
         labels = new_labels
         if cur_sum == prev_sum:
             break

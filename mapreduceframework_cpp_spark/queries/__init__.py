@@ -31,13 +31,14 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     udtf_native,
     behavior,
     curation,
+    py_sources,
 )
 
 #: round-3 verification window: the 49 queries with no CORRECTNESS row
 #: yet + q_agg_collect (err row in round 1, fixed since) = exactly 50.
 #: Immediately after: the two fixed rows-only array-output queries.
-registry.reorder(
-    [
+#: (tests/test_driver_contract.py asserts registration follows this.)
+VERIFY_ROTATION = [
         # relational, minus the four verified in round 1
         "q_case_expr", "q_sort_multi", "q_sort_limit", "q_union_all",
         "q_union_distinct", "q_intersect", "q_except", "q_pivot", "q_unpivot",
@@ -67,5 +68,6 @@ registry.reorder(
         # positions 51-52: round-1 err rows, rows-only by design, fixed
         # by serializing their array outputs
         "q_text_fingerprint", "q_mm_features",
-    ]
-)
+]
+
+registry.reorder(VERIFY_ROTATION)

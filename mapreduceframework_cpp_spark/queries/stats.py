@@ -120,3 +120,91 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", ordkey).alias("worst_order"),
         F.min(ordkey).getField("o_totalprice").alias("worst_price"),
     )
+
+
+@query(
+    "q_skew_keys",
+    oracle="""
+    WITH c AS (SELECT o_custkey AS key, count(*) AS cnt
+               FROM orders GROUP BY o_custkey),
+    t AS (SELECT sum(cnt) * 1.0 / count(*) AS avg_cnt FROM c)
+    SELECT key, CAST(cnt AS BIGINT) AS cnt,
+           round(cnt / avg_cnt, 6) AS x_avg
+    FROM c, t WHERE cnt >= 1.5 * avg_cnt
+    """,
+)
+def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection: keys carrying ≥1.5x the mean rows per key
+    — the planner input that decides WHERE salting (operators/skew) or
+    AQE skew-split is worth applying before a big join. One partial-agg
+    group-by; the per-key histogram collapses to |keys| rows before the
+    (broadcast) scalar join, so the 100 TB fact table is scanned once.
+    x_avg is a ratio of exact integers — identical across engines."""
+    c = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = c.agg((F.sum("cnt") * 1.0 / F.count("*")).alias("avg_cnt"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("cnt") >= 1.5 * F.col("avg_cnt"))
+        .select(
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("avg_cnt"), 6).alias("x_avg"),
+        )
+    )
+
+
+@query(
+    "q_ts_rollup_multi",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           GROUPING(CAST(date_trunc('day', ts) AS DATE),
+                    CAST(hour(ts) AS BIGINT)) AS gid,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS DATE),
+                     CAST(hour(ts) AS BIGINT))
+    """,
+)
+def q_ts_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly cells, daily
+    subtotals and the grand total in ONE pass (`ROLLUP(day, hour)` —
+    Spark plans a single Expand + partial/final aggregate, no
+    re-aggregation of finer levels and no union of three scans).
+    Continuous-aggregate maintenance at scale = the same query over an
+    incremental time slice, merged by (gid, day, hr). Decimal sums per
+    queries/aggregations.py discipline (value is exact 2dp data)."""
+    ev = tbl(spark, sf_dir, "events")
+    grid = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.hour("ts").cast("long").alias("hr"),
+        F.col("value").cast("decimal(18,2)").alias("_v"),
+    )
+    return (
+        grid.rollup("day", "hr")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("_v").cast("double").alias("sum_value"),
+        )
+        .select("day", "hr", "gid", "n_events", "sum_value")
+    )
+
+
+@query("q_agg_approx_quantile")  # rows-only: sketch estimates are engine-specific
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95 of order totals via the Greenwald-Khanna
+    sketch (`approx_percentile`, accuracy 10k → rank error ≤ n/10000).
+    The mergeable-sketch path for quantiles at 100 TB, where the exact
+    `F.percentile` sort-based form (q_agg_percentile) gets expensive.
+    No SQL oracle — estimates are engine-specific; tests bound the
+    error vs the exact percentile instead (±1%)."""
+    return tbl(spark, sf_dir, "orders").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95"),
+    )

@@ -106,3 +106,47 @@ def q_udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         F.explode(series_to(F.col("s_suppkey") % 5 + 1)).alias("k"),
     )
+
+
+@query(
+    "q_udaf_arrow",
+    oracle="""
+    SELECT o_orderpriority,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_udaf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom fold on the ARROW-native path (`applyInArrow`,
+    Spark 4): the UDF receives each group as a zero-copy
+    ``pyarrow.Table`` — no pandas materialization at all, the cheapest
+    Python grouped-map variant. Same client-``reduce`` lowering as
+    q_udaf_grouped (``MapReduceClient.h:61-64``).
+
+    Determinism: math.fsum is the exactly-rounded sum of the group's
+    doubles under ANY row order; o_totalprice is exact-2dp data, so the
+    oracle's decimal sum agrees after round(..., 4)."""
+    import pyarrow as pa
+
+    def avg_price(table: pa.Table) -> pa.Table:
+        prices = table.column("o_totalprice").to_pylist()
+        return pa.table(
+            {
+                "o_orderpriority": [table.column("o_orderpriority")[0].as_py()],
+                "avg_price": [round(math.fsum(prices) / len(prices), 4)],
+                "n_orders": [len(prices)],
+            }
+        )
+
+    return (
+        tbl(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .groupBy("o_orderpriority")
+        .applyInArrow(
+            avg_price,
+            schema="o_orderpriority string, avg_price double, n_orders long",
+        )
+    )

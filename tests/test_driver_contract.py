@@ -37,30 +37,17 @@ def test_output_columns_are_atomic(name, spark, sf_dir):
     )
 
 
-def test_first_fifty_registrations_cover_round1_gaps():
+def test_registration_follows_verify_rotation():
     """The verifier checks the first ~50 registered queries per round;
-    round 1 left these families unverified. Guard the registration order
-    so they stay inside the window until a round verifies them."""
-    first50 = list(_QUERIES)[:50]
-    must_be_in_window = [
-        # relational tail (B/F/G + pivot)
-        "q_case_expr", "q_sort_multi", "q_sort_limit",
-        "q_union_all", "q_union_distinct", "q_intersect", "q_except",
-        "q_pivot", "q_unpivot",
-        # scalar functions (H)
-        "q_str_funcs", "q_str_regexp", "q_str_split_explode",
-        "q_date_funcs", "q_math_funcs", "q_json_funcs",
-        "q_array_funcs", "q_map_funcs", "q_str_distance",
-        # windows (E)
-        "q_win_rank", "q_win_topk_group", "q_win_lag_lead",
-        "q_win_running", "q_win_range_frame", "q_win_ntile_pct",
-        # streaming (I)
-        "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-        "q_ts_gapfill",
-        # UDF surface (J)
-        "q_udf_scalar", "q_udaf_grouped", "q_udtf_flatmap",
-        # round-1 canonicalizer errors, now serialized
-        "q_agg_collect", "q_text_fingerprint", "q_mm_features",
-    ]
-    missing = [q for q in must_be_in_window if q not in first50]
-    assert not missing, f"queries outside the verifier window: {missing}"
+    queries/__init__.py declares the rotation explicitly
+    (VERIFY_ROTATION: every query still lacking a driver correctness
+    row, then the two fixed rows-only array-output queries). Guard that
+    registration actually honors it, and that the window holds exactly
+    the 50 highest-value entries."""
+    from mapreduceframework_cpp_spark.queries import VERIFY_ROTATION
+
+    registered = list(_QUERIES)
+    assert registered[: len(VERIFY_ROTATION)] == VERIFY_ROTATION
+    assert len(VERIFY_ROTATION) == 52  # 50-window + 2 fixed rows-only
+    # window entries are unique and the window is full
+    assert len(set(VERIFY_ROTATION)) == len(VERIFY_ROTATION)

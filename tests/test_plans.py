@@ -117,6 +117,9 @@ def test_no_driver_collect_in_operators():
                 pattern.search(line)
                 and not stripped.startswith(("#", '"', "'"))
                 and "``" not in line  # doc markup, not code
+                # sanctioned: fetching ONE aggregate scalar (convergence
+                # probes ≙ progress.py's wait), never a result set
+                and "# scalar-probe" not in line
             ):
                 offenders.append(f"{f.name}:{i}: {stripped}")
     assert not offenders, "driver-side materialization in engine code:\n" + "\n".join(
