@@ -264,3 +264,30 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("qn") / 1e6, 6).alias("max_norm"),
         F.round(F.sum("qn") / (F.count("*") * 1e6), 6).alias("avg_norm"),
     )
+
+
+@query("q_sketch_countmin")  # rows-only: xxhash64 has no DuckDB equivalent
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch.py): token frequencies of the
+    corpus estimated from a 4×1024 counter matrix instead of an exact
+    per-token group-by — the sublinear-state path when the vocabulary
+    would not fit aggregate state. Returns the top-20 tokens by
+    estimate (deterministic tie-break). Tests assert the sketch
+    guarantee (estimate ≥ truth, bounded overestimate) vs exact
+    counts."""
+    from mapreduceframework_cpp_spark.operators.sketch import (
+        count_min_counters,
+        count_min_estimate,
+    )
+
+    toks = tbl(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    counters = count_min_counters(toks, "token", depth=4, width=1024)
+    est = count_min_estimate(counters, toks, "token", depth=4, width=1024)
+    w = Window.orderBy(F.desc("est"), F.col("key"))
+    return (
+        est.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("key").alias("token"), "est", F.col("rk").cast("long").alias("rk"))
+    )

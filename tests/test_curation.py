@@ -75,3 +75,40 @@ def test_emb_centroid_shape(spark, sf_dir):
 def test_emb_norm_stats_bounds(spark, sf_dir):
     for r in _Q["q_emb_norm_stats"](spark, sf_dir).collect():
         assert 0.0 <= r.min_norm <= r.avg_norm <= r.max_norm
+
+
+def test_count_min_guarantees(spark, sf_dir):
+    """CMS invariants vs exact counts on the real corpus: estimates
+    never undercount, and with w=1024 » vocabulary the overestimate is
+    collision-only (bounded by d·eps·N in general; near-zero here)."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.operators.sketch import (
+        count_min_counters,
+        count_min_estimate,
+    )
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+
+    toks = tbl(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    counters = count_min_counters(toks, "token", depth=4, width=1024)
+    est = {
+        r.key: r.est
+        for r in count_min_estimate(counters, toks, "token").collect()
+    }
+    exact = {
+        r.token: r.c
+        for r in toks.groupBy("token").agg(F.count("*").alias("c")).collect()
+    }
+    assert set(est) == set(exact)
+    n_total = sum(exact.values())
+    over = {k: est[k] - exact[k] for k in exact}
+    assert all(v >= 0 for v in over.values()), "CMS undercounted"
+    # eps = e/w; allow the standard bound with d-way min
+    import math
+
+    bound = math.e / 1024 * n_total
+    assert all(v <= bound for v in over.values()), (max(over.values()), bound)
+    # counter table is genuinely sublinear
+    assert counters.count() <= 4 * 1024

@@ -179,3 +179,29 @@ def test_tpch_q5_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tfidf_df_side_broadcasts(spark, sf_dir):
+    """The vocabulary-sized document-frequency table must broadcast back
+    onto tf — a shuffle join there would re-shuffle the whole token
+    table a second time."""
+    p = plan(_Q["q_text_tfidf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_countmin_estimate_broadcasts_counters(spark, sf_dir):
+    """The ≤ d·w counter table must broadcast; the probe side never
+    shuffles for the join."""
+    p = plan(_Q["q_sketch_countmin"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ts_rollup_single_expand(spark, sf_dir):
+    """ROLLUP(day, hour) must plan as ONE Expand + aggregate — not a
+    union of per-granularity scans."""
+    p = plan(_Q["q_ts_rollup_multi"](spark, sf_dir))
+    # formatted mode names each node once in the tree and once in the
+    # detail section — one Expand node ⇒ exactly one "Expand (n)" header
+    assert p.count("Expand (") == 1, p
+    assert "Union" not in p
