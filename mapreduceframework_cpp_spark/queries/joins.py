@@ -290,3 +290,49 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(o, c, "c_custkey", num_salts=8).select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
+
+
+@query(
+    "q_join_interval_binned",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           p.event_id AS purchase_id,
+           round(epoch(p.ts) - epoch(e.ts), 6) AS delta_sec
+    FROM events e JOIN events p
+      ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    """,
+)
+def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join at scale: purchases within 10 minutes after
+    any error, with NO equi column — naively this is a
+    BroadcastNestedLoopJoin (|L|x|R| probes, one side fully in memory).
+    operators/rangejoin.binned_interval_join manufactures the equi key
+    by quantizing time into 10-minute bins (interval -> <=2 bins, point
+    -> 1 bin), making it an ordinary shuffled equi-join + exact residual
+    filter. The oracle states the plain range join declaratively (DuckDB
+    plans it as an IEJoin). delta_sec is a difference of identical
+    epoch doubles -> identical in both engines."""
+    from mapreduceframework_cpp_spark.operators.rangejoin import binned_interval_join
+
+    ev = tbl(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    joined = binned_interval_join(
+        errors,
+        purchases,
+        start=F.col("e_ts"),
+        end=F.col("e_ts") + F.expr("INTERVAL 10 MINUTES"),
+        point=F.col("p_ts"),
+        bin_seconds=600,
+    )
+    delta = F.col("p_ts").cast("timestamp").cast("double") - F.col("e_ts").cast(
+        "timestamp"
+    ).cast("double")
+    return joined.select(
+        "error_id", "purchase_id", F.round(delta, 6).alias("delta_sec")
+    )

@@ -1,0 +1,59 @@
+"""Binned interval join (operators/rangejoin.py): boundary semantics,
+bin-spanning pairs meet exactly once, and the plan stays an equi-join
+(no nested-loop fallback)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from mapreduceframework_cpp_spark.operators.rangejoin import binned_interval_join
+from mapreduceframework_cpp_spark.registry import all_queries
+
+
+def _ts(minute: int, second: int = 0):
+    return datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_boundaries_and_bin_spanning(spark):
+    """[start, end) semantics: the start instant matches, the end
+    instant does not; an interval spanning a bin edge matches points in
+    both bins and each pair appears exactly once."""
+    intervals = spark.createDataFrame(
+        [(1, _ts(5))], "iid long, s timestamp"
+    )  # interval [00:05, 00:15) with 600s bins → spans bins 0 and 1
+    points = spark.createDataFrame(
+        [
+            (10, _ts(5)),        # == start → in
+            (11, _ts(9, 59)),    # bin 0 → in
+            (12, _ts(12)),       # bin 1 → in
+            (13, _ts(15)),       # == end → OUT (exclusive)
+            (14, _ts(4, 59)),    # before start, same bin → out
+        ],
+        "pid long, p timestamp",
+    )
+    got = binned_interval_join(
+        intervals,
+        points,
+        start=F.col("s"),
+        end=F.col("s") + F.expr("INTERVAL 10 MINUTES"),
+        point=F.col("p"),
+        bin_seconds=600,
+    ).select("iid", "pid")
+    rows = sorted((r.iid, r.pid) for r in got.collect())
+    assert rows == [(1, 10), (1, 11), (1, 12)]
+
+
+def test_binned_join_plans_as_equi_join(spark, sf_dir):
+    """The whole point: the keyless interval join must NOT plan as
+    BroadcastNestedLoopJoin/CartesianProduct once binned."""
+    df = all_queries()["q_join_interval_binned"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
