@@ -1,0 +1,94 @@
+"""Streaming ingest dedup (SURVEY.md §2.2-I/K): the training-data
+ingest loop as a Structured Streaming job — each micro-batch of arriving
+documents is near-dup-checked against the accumulated corpus AND against
+itself (operators/dedup.incremental_near_dups), and only novel documents
+append to the corpus.
+
+This is the streaming composition of the batch pieces the engine already
+verifies: file-source exactly-once ingest (tests/test_streaming_recovery)
++ incremental LSH dedup (q_dedup_incremental). corpus×corpus work is
+never redone — per-batch cost is O(batch) banding + a key join against
+the corpus index.
+
+Idempotency: each batch writes to its own ``batch_id=N`` directory with
+overwrite mode, so a replayed micro-batch (foreachBatch is at-least-once
+on failure) rewrites the same files instead of duplicating them — the
+standard idempotent-sink recipe when the target is a plain parquet
+directory rather than a transactional table.
+
+At 100 TB the corpus-side banding index would be maintained persistently
+(appended per accepted batch) instead of recomputed; the operator
+already accepts a precomputed ``corpus_banded`` for exactly that
+(operators/dedup.py:incremental_near_dups).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.operators.dedup import incremental_near_dups
+
+DOCS_DDL = "doc_id long, text string"
+
+
+def _read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """Accumulated corpus (all accepted batches); empty frame if none."""
+    try:
+        return (
+            spark.read.option("basePath", corpus_dir)
+            .parquet(corpus_dir)
+            .select("doc_id", "text")
+        )
+    except Exception:  # first batch: directory does not exist yet
+        return spark.createDataFrame([], DOCS_DDL)
+
+
+def accept_novel_docs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """The batch minus near-dups (of the corpus or of earlier batch
+    members): the rows allowed to enter the corpus. Pure function —
+    shared by the streaming sink and the tests."""
+    pairs = incremental_near_dups(
+        corpus, batch, n=n, bands=32, rows_per_band=2, threshold=threshold
+    )
+    dup_ids = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    return batch.join(dup_ids, "doc_id", "left_anti")
+
+
+def start_dedup_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    threshold: float = 0.7,
+):
+    """Watch ``src_dir`` for document parquet files; gate every
+    micro-batch through near-dup detection; append survivors to
+    ``corpus_dir``. Returns the started StreamingQuery (availableNow:
+    processes the backlog exactly once per checkpoint, then stops)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        corpus = _read_corpus(sess, corpus_dir)
+        accepted = accept_novel_docs(
+            corpus, batch_df.select("doc_id", "text"), n=n, threshold=threshold
+        )
+        (
+            accepted.write.mode("overwrite")
+            .parquet(f"{corpus_dir}/batch_id={batch_id}")
+        )
+
+    return (
+        spark.readStream.schema(DOCS_DDL)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,61 @@
+"""Streaming ingest dedup (streaming/ingest_dedup.py): micro-batches are
+gated against the accumulated corpus and themselves; only novel docs
+land; checkpoint replay does not duplicate."""
+
+from __future__ import annotations
+
+import shutil
+
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+OTHER = "one two three four five six seven eight nine ten"
+THIRD = "red orange yellow green blue indigo violet ultra infra deep"
+
+
+def _stage(df, stage_dir, src_dir, name):
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage_dir))
+    part = next(p for p in stage_dir.iterdir() if p.name.startswith("part-"))
+    src_dir.mkdir(exist_ok=True)
+    shutil.copy(part, src_dir / name)
+
+
+def _corpus_ids(spark, corpus_dir):
+    df = spark.read.option("basePath", str(corpus_dir)).parquet(str(corpus_dir))
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_streaming_dedup_ingest(spark, tmp_path):
+    from mapreduceframework_cpp_spark.streaming.ingest_dedup import (
+        start_dedup_ingest,
+    )
+
+    src, ckpt, corpus = tmp_path / "src", tmp_path / "ckpt", tmp_path / "corpus"
+
+    batch1 = spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], "doc_id long, text string"
+    )
+    _stage(batch1, tmp_path / "s1", src, "b1.parquet")
+    q = start_dedup_ingest(spark, str(src), str(corpus), str(ckpt))
+    q.awaitTermination()
+    assert _corpus_ids(spark, corpus) == {1, 2}
+
+    # batch 2: 10 = near-dup of corpus doc 1; 11/12 = batch-internal
+    # dup pair (11 kept as the smaller id); 13 = novel
+    batch2 = spark.createDataFrame(
+        [
+            (10, BASE + " extra"),
+            (11, THIRD),
+            (12, THIRD + " word"),
+            (13, "completely different tokens nothing shared here at all now"),
+        ],
+        "doc_id long, text string",
+    )
+    _stage(batch2, tmp_path / "s2", src, "b2.parquet")
+    q = start_dedup_ingest(spark, str(src), str(corpus), str(ckpt))
+    q.awaitTermination()
+    assert _corpus_ids(spark, corpus) == {1, 2, 11, 13}
+
+    # nothing new: same checkpoint processes nothing, corpus unchanged
+    q = start_dedup_ingest(spark, str(src), str(corpus), str(ckpt))
+    q.awaitTermination()
+    assert _corpus_ids(spark, corpus) == {1, 2, 11, 13}
