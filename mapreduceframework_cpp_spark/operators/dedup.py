@@ -410,18 +410,16 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     long chains switch to the large-star/small-star variant, same
     primitive per round.
     """
-    edges = (
-        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
-        .union(
-            pairs.select(
-                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
-            )
-        )
-        # materialize ONCE: every iteration joins against edges, and an
-        # unmaterialized edge set would re-run the whole upstream pair
-        # pipeline (e.g. MinHash-LSH) per iteration AND per convergence
-        # count
-        .localCheckpoint()
+    # materialize the PAIRS once, before the symmetrize union: both
+    # union branches read the same upstream pipeline, so checkpointing
+    # after the union would execute the whole pair computation (e.g.
+    # MinHash-LSH) twice. Iterations then join against the cheap
+    # union-over-checkpoint plan — nothing upstream ever re-runs.
+    pairs_ck = pairs.select("doc_id_a", "doc_id_b").localCheckpoint()
+    edges = pairs_ck.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).union(
+        pairs_ck.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
     )
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
