@@ -88,6 +88,9 @@ def jaccard_pairs(
     (the LSH path); otherwise the full inverted-index self-join runs
     (test-scale / small-corpus path).
     """
+    # the shingle pipeline feeds three plan branches (sizes + both join
+    # sides) — persist so it computes once, not three times
+    shingled = shingled.persist()
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = shingled.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = shingled.select(F.col("doc_id").alias("doc_id_b"), "shingle")
@@ -362,7 +365,9 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     found by exact-matching one of 4 16-bit blocks (pigeonhole: any pair
     within hamming 6 shares at least one intact block... within hamming 3
     guaranteed; 4 blocks is the standard 64-bit recipe)."""
-    fp = simhash_fingerprints(docs)
+    # the 64-sum fingerprint aggregate feeds both self-join sides —
+    # persist so it computes once
+    fp = simhash_fingerprints(docs).persist()
     blocks = fp.select(
         "doc_id",
         "simhash",
