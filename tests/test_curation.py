@@ -112,3 +112,25 @@ def test_count_min_guarantees(spark, sf_dir):
     assert all(v <= bound for v in over.values()), (max(over.values()), bound)
     # counter table is genuinely sublinear
     assert counters.count() <= 4 * 1024
+
+
+def test_count_min_partition_invariance(spark, sf_dir):
+    """Counter tables and estimates are exact integers under any input
+    partitioning (the sketch is a sum — order-free)."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.operators.sketch import (
+        count_min_counters,
+        count_min_estimate,
+    )
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+
+    toks = tbl(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    outs = []
+    for parts in (1, 4, 16):
+        counters = count_min_counters(toks.repartition(parts), "token")
+        est = count_min_estimate(counters, toks, "token")
+        outs.append(sorted((r.key, r.est) for r in est.collect()))
+    assert outs[0] == outs[1] == outs[2]

@@ -57,3 +57,32 @@ def test_binned_join_plans_as_equi_join(spark, sf_dir):
     p = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_partition_count_invariance(spark):
+    """Same result at 1, 4 and 16 input partitions — binning must not
+    depend on physical layout."""
+    import pyspark.sql.functions as F
+    from datetime import datetime
+
+    intervals = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, 0, i)) for i in range(0, 50, 5)],
+        "iid long, s timestamp",
+    )
+    points = spark.createDataFrame(
+        [(100 + i, datetime(2024, 1, 1, 0, i, 30)) for i in range(50)],
+        "pid long, p timestamp",
+    )
+    results = []
+    for parts in (1, 4, 16):
+        got = binned_interval_join(
+            intervals.repartition(parts),
+            points.repartition(parts),
+            start=F.col("s"),
+            end=F.col("s") + F.expr("INTERVAL 5 MINUTES"),
+            point=F.col("p"),
+            bin_seconds=300,
+        ).select("iid", "pid")
+        results.append(sorted((r.iid, r.pid) for r in got.collect()))
+    assert results[0] == results[1] == results[2]
+    assert results[0], "empty join result would vacuously pass"
