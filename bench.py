@@ -57,6 +57,9 @@ HEADLINE = [
     "q_text_tfidf",
     "q_tok_pack_shards",
     "q_emb_centroid",
+    "q_join_interval_binned",
+    "q_sketch_countmin",
+    "q_source_python",
 ]
 
 

@@ -86,3 +86,58 @@ def test_partition_count_invariance(spark):
         results.append(sorted((r.iid, r.pid) for r in got.collect()))
     assert results[0] == results[1] == results[2]
     assert results[0], "empty join result would vacuously pass"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ivals=st.lists(
+        st.integers(min_value=0, max_value=3600), min_size=1, max_size=8
+    ),
+    pts=st.lists(
+        st.integers(min_value=-300, max_value=4200), min_size=1, max_size=12
+    ),
+    length=st.sampled_from([60, 450, 600]),
+    bin_seconds=st.sampled_from([120, 600]),
+)
+def test_matches_bruteforce_on_random_intervals(
+    spark, ivals, pts, length, bin_seconds
+):
+    """Property: binned join ≡ brute-force [s, s+len) containment for
+    arbitrary interval/point layouts, including intervals longer than a
+    bin and points outside every interval."""
+    import pyspark.sql.functions as F
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    intervals = spark.createDataFrame(
+        [(i, base + timedelta(seconds=s)) for i, s in enumerate(ivals)],
+        "iid long, s timestamp",
+    )
+    points = spark.createDataFrame(
+        [(i, base + timedelta(seconds=p)) for i, p in enumerate(pts)],
+        "pid long, p timestamp",
+    )
+    got = sorted(
+        (r.iid, r.pid)
+        for r in binned_interval_join(
+            intervals,
+            points,
+            start=F.col("s"),
+            end=F.col("s") + F.expr(f"INTERVAL {length} SECONDS"),
+            point=F.col("p"),
+            bin_seconds=bin_seconds,
+        )
+        .select("iid", "pid")
+        .collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, s in enumerate(ivals)
+        for j, p in enumerate(pts)
+        if s <= p < s + length
+    )
+    assert got == want
