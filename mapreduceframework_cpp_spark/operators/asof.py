@@ -40,6 +40,7 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_asof",
     allow_exact_matches: bool = True,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` (or ``<`` if not ``allow_exact_matches``)
@@ -48,6 +49,11 @@ def asof_join(
 
     ``right_cols`` are the right columns to carry over, emitted as
     ``f"{col}{suffix}"``.
+
+    ``tolerance_seconds`` bounds staleness like pandas ``merge_asof``'s
+    ``tolerance``: a prior right row older than the bound is treated as
+    no match (nulls). Implemented as a post-window null-out on the
+    carried right timestamp — same single-shuffle plan.
     """
     left_side, right_side = (1, 0) if allow_exact_matches else (0, 1)
     lcols = left.columns
@@ -58,7 +64,9 @@ def asof_join(
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("_rpay"),
+        F.struct(
+            F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols]
+        ).alias("_rpay"),
     ).withColumn("_side", F.lit(right_side))
 
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
@@ -69,6 +77,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+
+    if tolerance_seconds is not None:
+        stale = (
+            F.col("_ts").cast("timestamp").cast("double")
+            - F.col("_match._rts").cast("timestamp").cast("double")
+        ) > float(tolerance_seconds)
+        matched = matched.withColumn(
+            "_match", F.when(stale, F.lit(None)).otherwise(F.col("_match"))
+        )
 
     return matched.filter(F.col("_side") == left_side).select(
         *lcols,

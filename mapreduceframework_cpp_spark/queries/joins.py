@@ -238,6 +238,49 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof_tol",
+    oracle="""
+    WITH m AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             c.ts AS ts_click, c.value AS value_click
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch(ts) - epoch(ts_click) <= 3600.0
+                THEN ts_click END AS ts_click,
+           CASE WHEN epoch(ts) - epoch(ts_click) <= 3600.0
+                THEN value_click END AS value_click
+    FROM m
+    """,
+)
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=...)``
+    semantics): a prior click older than 1 hour is no match — stale
+    context is worse than none in feature pipelines. Same
+    single-shuffle union-tag + window plan; the bound is a post-window
+    null-out of the carried right timestamp."""
+    events = tbl(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "value"],
+        suffix="_click",
+        tolerance_seconds=3600,
+    )
+
+
+@query(
     "q_join_interval",
     oracle="""
     SELECT e1.event_id AS purchase_id, e2.event_id AS error_id,

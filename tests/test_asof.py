@@ -65,3 +65,30 @@ def test_asof_partition_invariant(frames, nparts):
     )
     got = sorted((r["id"], r["v_asof"]) for r in out.collect())
     assert got == [(1, 1.0), (2, 2.0), (3, None), (4, None)]
+
+
+def test_tolerance_bounds_staleness(spark):
+    """merge_asof-style tolerance: a match exactly at the bound stays, one
+    second past it becomes null (row preserved, left-join semantics)."""
+    from datetime import datetime
+
+    from mapreduceframework_cpp_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 1, 0, 0)), (2, datetime(2024, 1, 1, 3, 0, 0))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0, 0), 10.0),
+         (2, datetime(2024, 1, 1, 1, 59, 59), 20.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r.k: r.v_r
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], suffix="_r",
+            tolerance_seconds=3600,
+        ).collect()
+    }
+    assert out[1] == 10.0          # exactly 3600s old → kept
+    assert out[2] is None          # 3601s old → nulled, row kept
