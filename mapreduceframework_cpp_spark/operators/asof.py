@@ -41,21 +41,37 @@ def asof_join(
     suffix: str = "_asof",
     allow_exact_matches: bool = True,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` (or ``<`` if not ``allow_exact_matches``)
-    within the same ``on`` key group. Left rows with no prior right row
-    get nulls (left-join semantics).
+    ``right.ts <= left.ts`` (``direction="backward"``, the default) or
+    the earliest right row with ``right.ts >= left.ts``
+    (``direction="forward"``) within the same ``on`` key group —
+    strict inequalities if not ``allow_exact_matches``. Left rows with
+    no matching right row get nulls (left-join semantics).
 
     ``right_cols`` are the right columns to carry over, emitted as
     ``f"{col}{suffix}"``.
 
     ``tolerance_seconds`` bounds staleness like pandas ``merge_asof``'s
-    ``tolerance``: a prior right row older than the bound is treated as
-    no match (nulls). Implemented as a post-window null-out on the
-    carried right timestamp — same single-shuffle plan.
+    ``tolerance``: a match farther than the bound (in the match
+    direction) is treated as no match (nulls). Implemented as a
+    post-window null-out on the carried right timestamp — same
+    single-shuffle plan.
+
+    Side-tag truth table (ties sort by ``_side`` ascending): the right
+    row at an equal timestamp must fall INSIDE the window frame exactly
+    when ``allow_exact_matches`` — backward frames end at the current
+    row, so the right row must sort first (side 0) to be included;
+    forward frames start at the current row, so it must sort last.
     """
-    left_side, right_side = (1, 0) if allow_exact_matches else (0, 1)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    backward = direction == "backward"
+    if backward:
+        left_side, right_side = (1, 0) if allow_exact_matches else (0, 1)
+    else:
+        left_side, right_side = (0, 1) if allow_exact_matches else (1, 0)
     lcols = left.columns
 
     l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn(
@@ -71,20 +87,25 @@ def asof_join(
 
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wbase = Window.partitionBy(*on).orderBy(
+        F.col("_ts").asc(), F.col("_side").asc()
     )
-    matched = u.withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+    if backward:
+        w = wbase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        matched = u.withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+    else:
+        w = wbase.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        matched = u.withColumn("_match", F.first("_rpay", ignorenulls=True).over(w))
 
     if tolerance_seconds is not None:
-        stale = (
-            F.col("_ts").cast("timestamp").cast("double")
-            - F.col("_match._rts").cast("timestamp").cast("double")
-        ) > float(tolerance_seconds)
+        l_sec = F.col("_ts").cast("timestamp").cast("double")
+        r_sec = F.col("_match._rts").cast("timestamp").cast("double")
+        gap = (l_sec - r_sec) if backward else (r_sec - l_sec)
         matched = matched.withColumn(
-            "_match", F.when(stale, F.lit(None)).otherwise(F.col("_match"))
+            "_match",
+            F.when(gap > float(tolerance_seconds), F.lit(None)).otherwise(
+                F.col("_match")
+            ),
         )
 
     return matched.filter(F.col("_side") == left_side).select(

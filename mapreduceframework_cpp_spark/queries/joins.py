@@ -281,6 +281,40 @@ def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof_fwd",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS ts_click, c.value AS value_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched to the user's NEXT click at
+    or after it (`merge_asof(direction='forward')`) — the
+    "what happened next" feature join. Mirrored window frame
+    (currentRow→unboundedFollowing + first ignorenulls), still one
+    shuffle; oracle is DuckDB's forward ASOF (`p.ts <= c.ts`)."""
+    events = tbl(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "value"],
+        suffix="_click",
+        direction="forward",
+    )
+
+
+@query(
     "q_join_interval",
     oracle="""
     SELECT e1.event_id AS purchase_id, e2.event_id AS error_id,

@@ -92,3 +92,46 @@ def test_tolerance_bounds_staleness(spark):
     }
     assert out[1] == 10.0          # exactly 3600s old → kept
     assert out[2] is None          # 3601s old → nulled, row kept
+
+
+def test_forward_direction(spark):
+    """direction='forward': earliest right row at-or-after each left
+    row; exact-match inclusion and strict mode mirror backward."""
+    from datetime import datetime
+
+    from mapreduceframework_cpp_spark.operators.asof import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10)), (2, t(30)), (3, t(50))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 1.0), (1, t(20), 2.0), (2, t(25), 3.0), (2, t(40), 4.0)],
+        "k long, ts timestamp, v double",
+    )
+    fwd = {
+        r.k: r.v_r
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], suffix="_r",
+            direction="forward",
+        ).collect()
+    }
+    assert fwd == {1: 1.0, 2: 4.0, 3: None}  # 1: exact match; 3: nothing after
+
+    strict = {
+        r.k: r.v_r
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], suffix="_r",
+            direction="forward", allow_exact_matches=False,
+        ).collect()
+    }
+    assert strict[1] == 2.0  # equal-ts right excluded → next one
+
+    tol = {
+        r.k: r.v_r
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], suffix="_r",
+            direction="forward", tolerance_seconds=300,
+        ).collect()
+    }
+    assert tol == {1: 1.0, 2: None, 3: None}  # 2's match is 600s ahead
