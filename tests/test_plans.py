@@ -106,7 +106,9 @@ def test_no_driver_collect_in_operators():
     import mapreduceframework_cpp_spark as pkg_mod
 
     pkg = pathlib.Path(pkg_mod.__file__).parent
-    pattern = re.compile(r"\.(collect|toPandas|take|head|first)\(")
+    # (?<!F) excludes the AGGREGATE functions F.first(...)/F.take — only
+    # DataFrame-method calls are driver-side materialization
+    pattern = re.compile(r"(?<!F)\.(collect|toPandas|take|head|first)\(")
     offenders = []
     for f in pkg.rglob("*.py"):
         if f.name == "progress.py":  # documented blocking wait (≙ waitForJob)
