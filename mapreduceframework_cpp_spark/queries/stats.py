@@ -196,6 +196,33 @@ def q_ts_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_agg_hll_rollup")  # rows-only: sketch binaries are engine-specific
+def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Datasketches HLL, Spark 4): per-day
+    sketches of active users built once, then UNIONED into the monthly
+    distinct-user count — re-aggregation without rescanning, the
+    pattern that makes distinct-count rollups incremental at 100 TB
+    (store daily sketches, merge any date range on demand). Returns
+    per-day estimates plus a month row (day null). Tests bound both
+    against exact distinct counts; no SQL oracle — sketch estimates
+    are engine-specific."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+        "n_events",
+    )
+    month = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    ).select(F.lit(None).cast("date").alias("day"), "approx_users", "n_events")
+    return per_day.unionByName(month)
+
+
 @query("q_agg_approx_quantile")  # rows-only: sketch estimates are engine-specific
 def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95 of order totals via the Greenwald-Khanna

@@ -25,3 +25,29 @@ def test_approx_quantile_within_1pct(spark, oracle_sf_dir, duck):
     ).fetchone()
     assert abs(row.p50 - exact[0]) / exact[0] <= 0.01, (row.p50, exact[0])
     assert abs(row.p95 - exact[1]) / exact[1] <= 0.01, (row.p95, exact[1])
+
+
+def test_hll_rollup_within_5pct(spark, oracle_sf_dir, duck):
+    """Daily HLL estimates AND the merged month estimate must land
+    within 5% of exact distinct users — the union must not degrade
+    accuracy (sketches merge losslessly)."""
+    from mapreduceframework_cpp_spark.registry import all_queries
+
+    rows = all_queries()["q_agg_hll_rollup"](spark, oracle_sf_dir).collect()
+    exact_day = dict(
+        duck.execute(
+            "SELECT CAST(date_trunc('day', ts) AS DATE), count(DISTINCT user_id) "
+            "FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    exact_month = duck.execute(
+        "SELECT count(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    month_rows = [r for r in rows if r.day is None]
+    assert len(month_rows) == 1
+    assert abs(month_rows[0].approx_users - exact_month) / exact_month <= 0.05
+    day_rows = [r for r in rows if r.day is not None]
+    assert len(day_rows) == len(exact_day)
+    for r in day_rows:
+        exact = exact_day[r.day]
+        assert abs(r.approx_users - exact) / exact <= 0.05, (r.day, r.approx_users, exact)
