@@ -235,3 +235,56 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
         F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95"),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, o_orderpriority, count(*) AS cnt
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT c_mktsegment, o_orderpriority, cnt,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM c
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority,
+           CAST(cnt AS BIGINT) AS n
+    FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE aggregate (most frequent order priority per market segment)
+    with a deterministic tie-break, via sub-aggregated counts +
+    ``max_by`` over (count, value) struct ordering — two partial-agg
+    shuffles over shrinking data, never a sort of raw rows. The oracle
+    states the same thing with a window because DuckDB's ``mode()``
+    tie-break is unspecified. The struct tie-break inverts the priority
+    string ordering trick: max_by wants the LARGEST key, so the value
+    leg enters negated via the window form on the oracle side and via
+    ordering inversion here — both reduce to (cnt DESC, priority ASC)."""
+    from pyspark.sql import functions as SF
+
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    counts = (
+        o.join(SF.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(SF.count("*").alias("cnt"))
+    )
+    # (cnt DESC, priority ASC) == max over struct(cnt, neg-ordered prio):
+    # encode the ASC leg by flipping each char's code point so struct
+    # max ordering yields the lexicographically SMALLEST priority on ties
+    flipped = SF.expr(
+        "transform(split(o_orderpriority, ''), ch -> chr(1114111 - ascii(ch)))"
+    )
+    key = SF.struct(
+        SF.col("cnt"), SF.concat_ws("", flipped).alias("_inv")
+    )
+    return counts.groupBy("c_mktsegment").agg(
+        SF.max_by("o_orderpriority", key).alias("mode_priority"),
+        SF.max_by("cnt", key).cast("long").alias("n"),
+    )

@@ -196,3 +196,63 @@ def q_win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "q_win_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           first_value(o_orderkey) OVER w AS cheapest_order,
+           last_value(o_orderkey)  OVER w AS priciest_order,
+           nth_value(o_orderkey, 2) OVER w AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over a pinned full-partition
+    frame (the default orderBy frame ends at the current row, which
+    makes last_value a silent identity — the classic window footgun;
+    the explicit UNBOUNDED FOLLOWING frame is both correct and what the
+    oracle states)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(w).alias("priciest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest"),
+    )
+
+
+@query(
+    "q_win_distinct_count",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(count(DISTINCT event_type)
+                OVER (PARTITION BY user_id) AS BIGINT) AS n_types_user
+    FROM events
+    """,
+)
+def q_win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count as a window column. Spark rejects DISTINCT
+    aggregates over windows, so this uses the standard emulation:
+    dense_rank over (partition, ORDER BY value) reaches its maximum at
+    the number of distinct values — max(dense_rank) over the bare
+    partition is the windowed COUNT(DISTINCT). Two window passes over
+    ONE sort+exchange (same partition key); DuckDB supports the literal
+    form, which is the oracle."""
+    ev = tbl(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("user_id").orderBy("event_type")
+    w_all = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("_dr", F.dense_rank().over(w_rank))
+        .withColumn("n_types_user", F.max("_dr").over(w_all).cast("long"))
+        .select("event_id", "user_id", "event_type", "n_types_user")
+    )
