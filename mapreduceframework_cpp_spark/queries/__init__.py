@@ -32,6 +32,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     behavior,
     curation,
     py_sources,
+    safety,
 )
 
 #: round-3 verification window: the 49 queries with no CORRECTNESS row

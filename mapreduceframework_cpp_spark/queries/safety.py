@@ -1,0 +1,264 @@
+"""Data-safety / corpus-hygiene queries (SURVEY.md §2.2-K, round-2
+batch 3): the filter-and-route stages that sit in front of every
+training-data pipeline — PII redaction, C4/Gopher-style quality gates,
+deterministic train/val/test splitting, and source blocklisting.
+
+Kernel lowering: every stage here is an R3 map-side row function
+(``MapReduceClient.h:57-59`` — the client map may emit 0..n rows) feeding
+an R6/R8 count shape; none of them shuffles anything wider than the
+final small aggregate, which is what makes them viable as the FIRST
+stage of a 100 TB pass (the full corpus streams through the scan once,
+projection-pruned to the needed columns, and only per-group counters
+cross the wire).
+
+Cross-engine determinism: regex patterns are restricted to the
+Java-regex ∩ RE2 common subset (no backrefs, no lookaround); hashes are
+``sha256``/``md5`` hex (lowercase in both engines); ratios divide exact
+integers so double comparisons agree bit-for-bit.
+
+The synthetic ``documents.text`` contains no real PII, so
+``q_text_pii_scrub`` plants deterministic contact strings derived from
+``doc_id`` — IDENTICALLY in the Spark query and the DuckDB oracle — so
+the extraction/redaction machinery is exercised for real (the planted
+rows are the positive class, untouched rows the negative).
+
+Registered AFTER the round-1 families (see queries/__init__.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+#: Java-regex ∩ RE2 safe patterns (no backrefs / lookaround).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+#: Sources dropped by the blocklist gate (q_source_blocklist).
+_BLOCKED_SOURCES = ("src4", "src13", "src17")
+
+
+def _aug_sql() -> str:
+    """The PII-planting expression, DuckDB dialect (see module doc)."""
+    return (
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' reach me at user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com' "
+        "WHEN doc_id % 3 = 1 THEN text || ' call 415-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "ELSE text END"
+    )
+
+
+def _aug_col() -> F.Column:
+    """Same planting expression, Spark side (kept in lockstep with
+    :func:`_aug_sql` — the pair IS the query's input contract)."""
+    return (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+@query(
+    "q_text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_aug_sql()} AS t FROM documents),
+    red AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+             regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                            '{_PHONE_RE}', '[PHONE]', 'g') AS r
+      FROM aug
+    )
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           md5(r) AS redacted_md5
+    FROM red
+    """,
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction per document: count email/phone
+    occurrences, replace them with typed placeholder tokens, emit an
+    md5 of the redacted text (compact proof the rewrite is identical
+    across engines). Pure JVM regex in one projection — no shuffle at
+    all until a downstream consumer aggregates; at 100 TB this is a
+    map-only pass fused into the scan stage (kernel: R3 row map,
+    ``MapReduceClient.h:57-59``)."""
+    aug = tbl(spark, sf_dir, "documents").select("doc_id", _aug_col().alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("t"), F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(_PHONE_RE),
+        F.lit("[PHONE]"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+@query(
+    "q_text_quality_gates",
+    oracle="""
+    WITH g AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n,
+             len(replace(text, ' ', '')) AS nchars_nospace,
+             list_contains(string_split(text, ' '), 'the') AS has_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ),
+    p AS (
+      SELECT lang,
+             CAST(n BETWEEN 40 AND 1000 AS INT) AS p_len,
+             CAST(CAST(nchars_nospace AS DOUBLE) / n BETWEEN 3 AND 8 AS INT)
+               AS p_wl,
+             CAST(has_stop AS INT) AS p_stop,
+             CAST(CAST(n_distinct AS DOUBLE) / n >= 0.35 AS INT) AS p_dist
+      FROM g
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p_len) AS BIGINT) AS pass_len,
+           CAST(sum(p_wl) AS BIGINT) AS pass_wordlen,
+           CAST(sum(p_stop) AS BIGINT) AS pass_stopword,
+           CAST(sum(p_dist) AS BIGINT) AS pass_distinct,
+           CAST(sum(p_len * p_wl * p_stop * p_dist) AS BIGINT) AS pass_all
+    FROM p GROUP BY lang
+    """,
+)
+def q_text_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality gates per language: document length in
+    [40, 1000] words, mean word length in [3, 8], contains a stopword,
+    distinct-token ratio >= 0.35 — plus the conjunction. Each gate is
+    exact-integer arithmetic (ratios divide exact ints, identical in
+    IEEE double both engines); the corpus collapses to one counter row
+    per language before anything shuffles (kernel: R3 map + R16
+    combiner ≙ partial aggregation)."""
+    docs = tbl(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    gated = docs.select(
+        "lang",
+        (n.between(40, 1000)).cast("int").alias("p_len"),
+        (
+            (F.length(F.regexp_replace("text", " ", "")).cast("double") / n)
+            .between(3, 8)
+        )
+        .cast("int")
+        .alias("p_wl"),
+        F.array_contains(words, "the").cast("int").alias("p_stop"),
+        ((F.size(F.array_distinct(words)).cast("double") / n) >= 0.35)
+        .cast("int")
+        .alias("p_dist"),
+    )
+    return gated.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("p_len").cast("long").alias("pass_len"),
+        F.sum("p_wl").cast("long").alias("pass_wordlen"),
+        F.sum("p_stop").cast("long").alias("pass_stopword"),
+        F.sum("p_dist").cast("long").alias("pass_distinct"),
+        F.sum(
+            F.col("p_len") * F.col("p_wl") * F.col("p_stop") * F.col("p_dist")
+        )
+        .cast("long")
+        .alias("pass_all"),
+    )
+
+
+@query(
+    "q_dataset_split",
+    oracle="""
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train'
+                  WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY lang, split
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    hash of the document id: the first hex byte of sha256 partitions
+    the id space ~90/5/5 ('e6' = 230/256, 'f3' = 243/256). Lexicographic
+    compare of lowercase hex is engine-portable (no hex→int conversion
+    needed, which DuckDB and Spark spell differently). Reproducible
+    under any partitioning, any engine, any run — the property a
+    training split must have. Map-side CASE; only (lang, split)
+    counters shuffle."""
+    h2 = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    split = (
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+    )
+    return (
+        tbl(spark, sf_dir, "documents")
+        .select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "q_source_blocklist",
+    oracle=f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens
+    FROM documents
+    WHERE source NOT IN {_BLOCKED_SOURCES!r}
+    GROUP BY lang
+    """,
+)
+def q_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level blocklist (the takedown/robots/opt-out gate): drop
+    every document whose source is on a curated blocklist, report the
+    surviving volume per language. Implemented as a BROADCAST left-anti
+    join against the blocklist table — the shape that scales when the
+    blocklist is 10^6 domains rather than an IN literal (Catalyst turns
+    a literal IN into a scan filter, but a real blocklist arrives as a
+    table; broadcasting it keeps the corpus scan shuffle-free)."""
+    blk = spark.createDataFrame(
+        [(s,) for s in _BLOCKED_SOURCES], "source string"
+    )
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(blk), "source", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
