@@ -246,8 +246,10 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(DISTINCT event_type) AS n_types,
-           coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS clicks,
-           coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchases
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)
+                AS BIGINT) AS clicks,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+                AS BIGINT) AS purchases
     FROM events
     GROUP BY user_id
     """,

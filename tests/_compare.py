@@ -6,6 +6,15 @@ Stricter than tolerant: values must match exactly after canonicalization
 (floats compared by exact value after rounding to 9 decimals) — if this
 passes, the driver's value-hash should too; near-misses fail loudly here
 so float-instability bugs surface locally.
+
+Also dtype-strict: the driver materializes both sides through pandas
+before hashing, so a DuckDB HUGEINT sum (→ float64) against a Spark
+bigint (→ int64) hash-mismatches even when every value is equal
+(round-2's q_map_funcs failure). We reproduce that lens here — a column
+that is integer-kind on one side and float-kind on the other fails,
+forcing oracles to CAST(... AS BIGINT). Nullable ints widen to float64
+identically on BOTH sides (pandas inference and duckdb .df(), verified
+empirically), so null-bearing int columns don't false-positive.
 """
 
 from __future__ import annotations
@@ -13,6 +22,28 @@ from __future__ import annotations
 import datetime as dt
 import math
 from decimal import Decimal
+
+import pandas as pd
+
+#: numpy dtype.kind → the coarse numeric kind the driver's hash can
+#: distinguish. Anything else (object/bool/datetime) is out of scope.
+_NUMERIC_KIND = {"i": "int", "u": "int", "f": "float"}
+
+
+def _assert_dtype_kinds_match(
+    name: str, spark_cols, spark_rows, duck_con, oracle: str
+) -> None:
+    spark_pdf = pd.DataFrame(spark_rows or None, columns=spark_cols)
+    duck_pdf = duck_con.execute(oracle).df()
+    for c in spark_cols:
+        sk = _NUMERIC_KIND.get(spark_pdf[c].dtype.kind)
+        dk = _NUMERIC_KIND.get(duck_pdf[c].dtype.kind) if c in duck_pdf else None
+        assert sk is None or dk is None or sk == dk, (
+            f"{name}: dtype drift on column {c!r}: spark={sk} "
+            f"({spark_pdf[c].dtype}) vs oracle={dk} ({duck_pdf[c].dtype}) — "
+            "the driver's pandas value-hash distinguishes these; "
+            "CAST the oracle side (DuckDB sum() returns HUGEINT → float64)"
+        )
 
 
 def _norm_val(v):
@@ -63,6 +94,8 @@ def assert_df_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?") -
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )
+
+    _assert_dtype_kinds_match(name, spark_cols, spark_rows, duck_con, oracle)
 
     s = _normalize(spark_cols, spark_rows)
     d = _normalize(duck_cols, duck_rows)
