@@ -18,3 +18,28 @@ def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     co-located."""
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism, key)
+
+
+#: frames persisted mid-composition by operators (plan diamonds). The
+#: operator itself runs no action, so it cannot unpersist; a long-lived
+#: session that never releases would accumulate cached shingle /
+#: fingerprint blocks in executor storage memory.
+_PERSISTED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """``persist()`` plus session-level bookkeeping so callers with a
+    natural batch boundary (bench loop, streaming foreachBatch, test
+    teardown) can release every operator-held cache in one call."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked frame; returns how many were released."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n

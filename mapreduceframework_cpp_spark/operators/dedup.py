@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from mapreduceframework_cpp_spark.operators.common import spread
+from mapreduceframework_cpp_spark.operators.common import persist_tracked, spread
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -90,7 +90,7 @@ def jaccard_pairs(
     """
     # the shingle pipeline feeds three plan branches (sizes + both join
     # sides) — persist so it computes once, not three times
-    shingled = shingled.persist()
+    shingled = persist_tracked(shingled)
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = shingled.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = shingled.select(F.col("doc_id").alias("doc_id_b"), "shingle")
@@ -288,7 +288,7 @@ def minhash_lsh_near_dups(
     """
     if num_hashes != bands * rows_per_band:
         raise ValueError("num_hashes must equal bands * rows_per_band")
-    arrays = shingle_arrays(spread(docs), n=n).persist()
+    arrays = persist_tracked(shingle_arrays(spread(docs), n=n))
     cands = _pairs_from_banded(
         lsh_banded(arrays, bands=bands, rows_per_band=rows_per_band)
     )
@@ -317,9 +317,9 @@ def incremental_near_dups(
     ``corpus_banded``/``corpus_arrays``, e.g. read back from parquet) so
     per-batch cost is O(batch) banding + a key join against the index —
     the corpus documents themselves are never re-shingled."""
-    batch_arrays = shingle_arrays(spread(batch_docs), n=n).persist()
+    batch_arrays = persist_tracked(shingle_arrays(spread(batch_docs), n=n))
     if corpus_arrays is None:
-        corpus_arrays = shingle_arrays(spread(corpus_docs), n=n).persist()
+        corpus_arrays = persist_tracked(shingle_arrays(spread(corpus_docs), n=n))
     if corpus_banded is None:
         corpus_banded = lsh_banded(corpus_arrays, bands=bands, rows_per_band=rows_per_band)
     batch_banded = lsh_banded(batch_arrays, bands=bands, rows_per_band=rows_per_band)
@@ -367,7 +367,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     guaranteed; 4 blocks is the standard 64-bit recipe)."""
     # the 64-sum fingerprint aggregate feeds both self-join sides —
     # persist so it computes once
-    fp = simhash_fingerprints(docs).persist()
+    fp = persist_tracked(simhash_fingerprints(docs))
     blocks = fp.select(
         "doc_id",
         "simhash",

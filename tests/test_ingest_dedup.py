@@ -59,3 +59,29 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     q = start_dedup_ingest(spark, str(src), str(corpus), str(ckpt))
     q.awaitTermination()
     assert _corpus_ids(spark, corpus) == {1, 2, 11, 13}
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """At-least-once replay: re-running the SAME (batch, batch_id) after
+    its output was already committed must reproduce the partition, not
+    flag every doc as a near-dup of its own prior attempt and wipe it."""
+    from mapreduceframework_cpp_spark.streaming.ingest_dedup import (
+        process_dedup_batch,
+    )
+
+    corpus = tmp_path / "corpus"
+    b0 = spark.createDataFrame([(1, BASE), (2, OTHER)], "doc_id long, text string")
+    process_dedup_batch(b0, 0, str(corpus))
+    assert _corpus_ids(spark, corpus) == {1, 2}
+
+    # batch 1: doc 20 novel, doc 21 near-dup of corpus doc 1
+    b1 = spark.createDataFrame(
+        [(20, THIRD), (21, BASE + " tail")], "doc_id long, text string"
+    )
+    process_dedup_batch(b1, 1, str(corpus))
+    assert _corpus_ids(spark, corpus) == {1, 2, 20}
+
+    # replay batch 1 (foreachBatch at-least-once): identical outcome —
+    # doc 20 must NOT be rejected as a dup of its own committed copy
+    process_dedup_batch(b1, 1, str(corpus))
+    assert _corpus_ids(spark, corpus) == {1, 2, 20}
