@@ -236,7 +236,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens
     FROM documents
-    WHERE source NOT IN {_BLOCKED_SOURCES!r}
+    WHERE source IS NULL OR source NOT IN {_BLOCKED_SOURCES!r}
     GROUP BY lang
     """,
 )
@@ -247,7 +247,11 @@ def q_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against the blocklist table — the shape that scales when the
     blocklist is 10^6 domains rather than an IN literal (Catalyst turns
     a literal IN into a scan filter, but a real blocklist arrives as a
-    table; broadcasting it keeps the corpus scan shuffle-free)."""
+    table; broadcasting it keeps the corpus scan shuffle-free).
+
+    NULL sources survive the gate on both sides: left_anti keeps rows
+    whose null key matches nothing, and the oracle says so explicitly
+    (bare ``NOT IN`` would evaluate NULL to NULL and silently drop)."""
     blk = spark.createDataFrame(
         [(s,) for s in _BLOCKED_SOURCES], "source string"
     )

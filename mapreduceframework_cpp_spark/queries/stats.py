@@ -259,13 +259,14 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MODE aggregate (most frequent order priority per market segment)
     with a deterministic tie-break, via sub-aggregated counts +
-    ``max_by`` over (count, value) struct ordering — two partial-agg
-    shuffles over shrinking data, never a sort of raw rows. The oracle
-    states the same thing with a window because DuckDB's ``mode()``
-    tie-break is unspecified. The struct tie-break inverts the priority
-    string ordering trick: max_by wants the LARGEST key, so the value
-    leg enters negated via the window form on the oracle side and via
-    ordering inversion here — both reduce to (cnt DESC, priority ASC)."""
+    ``min_by`` over a (-count, value) struct — two partial-agg shuffles
+    over shrinking data, never a sort of raw rows. The oracle states the
+    same thing with a window because DuckDB's ``mode()`` tie-break is
+    unspecified. ``min_by`` expresses (cnt DESC, priority ASC) directly:
+    struct ordering compares -cnt first (min of -cnt = max cnt), then
+    the priority string ascending — sound for ANY strings, including
+    prefix ties, unlike code-point-flip encodings (flipped('A') <
+    flipped('AB') would pick the longer string)."""
     from pyspark.sql import functions as SF
 
     o = tbl(spark, sf_dir, "orders")
@@ -275,16 +276,10 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(SF.count("*").alias("cnt"))
     )
-    # (cnt DESC, priority ASC) == max over struct(cnt, neg-ordered prio):
-    # encode the ASC leg by flipping each char's code point so struct
-    # max ordering yields the lexicographically SMALLEST priority on ties
-    flipped = SF.expr(
-        "transform(split(o_orderpriority, ''), ch -> chr(1114111 - ascii(ch)))"
-    )
     key = SF.struct(
-        SF.col("cnt"), SF.concat_ws("", flipped).alias("_inv")
+        (-SF.col("cnt")).alias("neg_cnt"), SF.col("o_orderpriority")
     )
     return counts.groupBy("c_mktsegment").agg(
-        SF.max_by("o_orderpriority", key).alias("mode_priority"),
-        SF.max_by("cnt", key).cast("long").alias("n"),
+        SF.min_by("o_orderpriority", key).alias("mode_priority"),
+        SF.min_by("cnt", key).cast("long").alias("n"),
     )

@@ -247,12 +247,29 @@ def q_win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the number of distinct values — max(dense_rank) over the bare
     partition is the windowed COUNT(DISTINCT). Two window passes over
     ONE sort+exchange (same partition key); DuckDB supports the literal
-    form, which is the oracle."""
+    form, which is the oracle.
+
+    NULL handling: see :func:`with_windowed_count_distinct`."""
     ev = tbl(spark, sf_dir, "events")
-    w_rank = Window.partitionBy("user_id").orderBy("event_type")
-    w_all = Window.partitionBy("user_id")
+    return with_windowed_count_distinct(
+        ev, "user_id", "event_type", "n_types_user"
+    ).select("event_id", "user_id", "event_type", "n_types_user")
+
+
+def with_windowed_count_distinct(
+    df: DataFrame, part: str, col: str, out: str
+) -> DataFrame:
+    """Append ``out`` = COUNT(DISTINCT col) OVER (PARTITION BY part).
+
+    dense_rank counts a NULL as a distinct value (NULLs sort first,
+    taking rank 1) while COUNT(DISTINCT) ignores NULLs, so partitions
+    containing a NULL subtract one — exact because NULLs occupy exactly
+    one dense rank when present."""
+    w_rank = Window.partitionBy(part).orderBy(col)
+    w_all = Window.partitionBy(part)
+    has_null = F.max(F.col(col).isNull().cast("int")).over(w_all)
     return (
-        ev.withColumn("_dr", F.dense_rank().over(w_rank))
-        .withColumn("n_types_user", F.max("_dr").over(w_all).cast("long"))
-        .select("event_id", "user_id", "event_type", "n_types_user")
+        df.withColumn("_dr", F.dense_rank().over(w_rank))
+        .withColumn(out, (F.max("_dr").over(w_all) - has_null).cast("long"))
+        .drop("_dr")
     )
