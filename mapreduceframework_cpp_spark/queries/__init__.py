@@ -35,40 +35,48 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     safety,
 )
 
-#: round-3 verification window: the 49 queries with no CORRECTNESS row
-#: yet + q_agg_collect (err row in round 1, fixed since) = exactly 50.
-#: Immediately after: the two fixed rows-only array-output queries.
+#: round-4 verification window (50 slots). Cumulative driver signal
+#: after round 2: 89 hash-green + 7 rows-only clean of 117. This window
+#: leads with every query that still lacks a hard driver row:
+#: 18 never-verified + 2 round-1 errs fixed at rotation positions 51-52
+#: + q_map_funcs (round-2 hash-fail, oracle cast fixed) = 21, then any
+#: queries added this round, then rows-only and round-1 hash-green
+#: re-confirmations to fill the window.
 #: (tests/test_driver_contract.py asserts registration follows this.)
 VERIFY_ROTATION = [
-        # relational, minus the four verified in round 1
-        "q_case_expr", "q_sort_multi", "q_sort_limit", "q_union_all",
-        "q_union_distinct", "q_intersect", "q_except", "q_pivot", "q_unpivot",
-        # scalar-function family
-        "q_str_funcs", "q_str_regexp", "q_str_split_explode", "q_date_funcs",
-        "q_math_funcs", "q_json_funcs", "q_array_funcs", "q_map_funcs",
-        "q_str_distance",
-        # window family
-        "q_win_rank", "q_win_topk_group", "q_win_lag_lead", "q_win_running",
-        "q_win_range_frame", "q_win_ntile_pct",
-        # streaming-shape family
-        "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-        "q_ts_gapfill",
-        # UDF surface
-        "q_udf_scalar", "q_udaf_grouped", "q_udtf_flatmap",
-        # round-1 canonicalizer err, now '|'-serialized
-        "q_agg_collect",
-        # round-2 additions (no driver row yet)
-        "q_text_repetition", "q_text_contamination", "q_text_length_hist",
-        "q_sample_hash_per_group", "q_mm_frames", "q_dedup_incremental",
-        "q_agg_stats", "q_agg_minmax_by",
-        "q_udtf_native",
-        "q_win_dedup", "q_events_sessionize", "q_events_funnel",
-        "q_events_retention",
-        "q_corpus_mixture", "q_tok_pack_shards", "q_text_tfidf",
-        "q_emb_centroid", "q_emb_norm_stats",
-        # positions 51-52: round-1 err rows, rows-only by design, fixed
-        # by serializing their array outputs
+        # -- 21 queries with no green driver row yet ---------------------
+        # data-safety family (registered after the round-2 window)
+        "q_text_pii_scrub", "q_text_quality_gates", "q_dataset_split",
+        "q_source_blocklist",
+        # Spark-4-native surfaces
+        "q_source_python", "q_json_variant", "q_udaf_arrow",
+        # as-of variants + binned interval join
+        "q_join_asof_tol", "q_join_asof_fwd", "q_join_interval_binned",
+        # skew / rollup / approx / mode / sketch aggregates
+        "q_skew_keys", "q_ts_rollup_multi", "q_agg_hll_rollup",
+        "q_agg_approx_quantile", "q_agg_mode", "q_sketch_countmin",
+        # window additions
+        "q_win_first_last", "q_win_distinct_count",
+        # round-1 err rows, fixed by serialization, parked at 51-52 in r2
         "q_text_fingerprint", "q_mm_features",
+        # round-2 hash-fail: oracle HUGEINT now CAST to BIGINT
+        "q_map_funcs",
+        # -- round-3 additions (driver rows needed this round) -----------
+        # (inserted here as they land)
+        # -- backfill: rows-only re-confirmations -------------------------
+        "q_agg_approx_distinct", "q_dedup_simhash", "q_sim_lsh_topk",
+        "q_text_langid", "q_mm_decode", "q_sim_ivf_topk",
+        "q_sample_stratified",
+        # -- backfill: round-1 hash-green re-confirmations (regression
+        #    guard on the highest-value paths) ----------------------------
+        "q_pipeline_e2e", "q_dedup_near", "q_dedup_exact",
+        "q_dedup_clusters", "q_dedup_ngram_jaccard", "q_dedup_embedding",
+        "q_sim_topk", "q_dedup_incremental", "q_join_asof",
+        "q_join_interval", "q_join_salted", "q_tpch_q3_shape",
+        "q_tpch_q5_shape", "q_agg_groupby", "q_agg_rollup",
+        "q_agg_percentile", "q_scalar_subquery", "q_flagship_charcount",
+        "q_join_inner", "q_join_broadcast", "q_text_stats",
+        "q_text_quality",
 ]
 
 registry.reorder(VERIFY_ROTATION)

@@ -48,6 +48,18 @@ def test_registration_follows_verify_rotation():
 
     registered = list(_QUERIES)
     assert registered[: len(VERIFY_ROTATION)] == VERIFY_ROTATION
-    assert len(VERIFY_ROTATION) == 52  # 50-window + 2 fixed rows-only
+    assert len(VERIFY_ROTATION) == 50  # exactly the driver's window
     # window entries are unique and the window is full
     assert len(set(VERIFY_ROTATION)) == len(VERIFY_ROTATION)
+    # every query that still lacks a hard driver correctness row
+    # (see VERDICT round 2) must sit inside the window
+    unproven = {
+        "q_text_pii_scrub", "q_text_quality_gates", "q_dataset_split",
+        "q_source_blocklist", "q_source_python", "q_json_variant",
+        "q_udaf_arrow", "q_join_asof_tol", "q_join_asof_fwd",
+        "q_join_interval_binned", "q_skew_keys", "q_ts_rollup_multi",
+        "q_agg_hll_rollup", "q_agg_approx_quantile", "q_agg_mode",
+        "q_sketch_countmin", "q_win_first_last", "q_win_distinct_count",
+        "q_text_fingerprint", "q_mm_features", "q_map_funcs",
+    }
+    assert unproven <= set(VERIFY_ROTATION)
