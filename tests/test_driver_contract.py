@@ -63,3 +63,23 @@ def test_registration_follows_verify_rotation():
         "q_text_fingerprint", "q_mm_features", "q_map_funcs",
     }
     assert unproven <= set(VERIFY_ROTATION)
+
+
+def test_survey_totals_match_registry():
+    """SURVEY.md §2.2's declared totals stay in lockstep with the
+    registry — the declared contract is the source of truth."""
+    import re
+
+    from mapreduceframework_cpp_spark.registry import all_oracles
+
+    text = open("SURVEY.md").read()
+    m = re.search(
+        r"\*\*Totals: (\d+) registered queries\*\* \((\d+) SQL-oracle, "
+        r"(\d+) rows-only\)",
+        text,
+    )
+    assert m, "SURVEY.md totals line not found"
+    total, n_sql, n_rows_only = map(int, m.groups())
+    assert total == len(_QUERIES)
+    assert n_sql == len(all_oracles())
+    assert n_rows_only == len(_QUERIES) - len(all_oracles())
