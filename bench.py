@@ -60,6 +60,18 @@ HEADLINE = [
     "q_join_interval_binned",
     "q_sketch_countmin",
     "q_source_python",
+    # round-3 additions: one representative per previously-unbenched
+    # family so perf regressions there are visible round-over-round
+    "q_win_first_last",
+    "q_win_distinct_count",
+    "q_agg_mode",
+    "q_agg_approx_quantile",
+    "q_ts_rollup_multi",
+    "q_join_asof_tol",
+    "q_json_variant",
+    "q_udaf_arrow",
+    "q_text_pii_scrub",
+    "q_source_blocklist",
 ]
 
 
@@ -87,6 +99,8 @@ def main() -> None:
     # best-of-2 per query: first run pays whole-stage-codegen JIT and is
     # exposed to background-load noise (observed ±70% on shared boxes);
     # the min is the reproducible figure.
+    from mapreduceframework_cpp_spark.operators.common import release_persisted
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -94,6 +108,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
+            release_persisted()  # operator-held caches don't leak across queries
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
