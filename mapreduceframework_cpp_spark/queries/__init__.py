@@ -33,6 +33,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     curation,
     py_sources,
     safety,
+    warehouse,
 )
 
 #: round-4 verification window (50 slots). Cumulative driver signal
@@ -62,7 +63,7 @@ VERIFY_ROTATION = [
         # round-2 hash-fail: oracle HUGEINT now CAST to BIGINT
         "q_map_funcs",
         # -- round-3 additions (driver rows needed this round) -----------
-        # (inserted here as they land)
+        "q_merge_upsert", "q_scd2_intervals", "q_ts_interpolate",
         # -- backfill: rows-only re-confirmations -------------------------
         "q_agg_approx_distinct", "q_dedup_simhash", "q_sim_lsh_topk",
         "q_text_langid", "q_mm_decode", "q_sim_ivf_topk",
@@ -75,8 +76,7 @@ VERIFY_ROTATION = [
         "q_join_interval", "q_join_salted", "q_tpch_q3_shape",
         "q_tpch_q5_shape", "q_agg_groupby", "q_agg_rollup",
         "q_agg_percentile", "q_scalar_subquery", "q_flagship_charcount",
-        "q_join_inner", "q_join_broadcast", "q_text_stats",
-        "q_text_quality",
+        "q_join_inner",
 ]
 
 registry.reorder(VERIFY_ROTATION)

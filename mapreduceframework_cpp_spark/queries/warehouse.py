@@ -1,0 +1,219 @@
+"""Warehouse-maintenance queries (SURVEY.md §2.2-M, round 3): the
+incremental-update shapes a corpus/feature store needs between full
+rebuilds — CDC merge (upsert), SCD-2 validity-interval history, and
+time-series linear interpolation over gaps.
+
+Kernel lowering: merge is R6 shuffle on the key + R8 latest-wins fold;
+SCD-2 and interpolation are the ordered per-key fold (R8 — the reference
+hands ``reduce`` the whole group as a vector, ``MapReduceClient.h:61-64``).
+
+Cross-engine determinism: every derived value is built from exact
+integers or single double operations on identical inputs (int ratios,
+``double + literal``), so DuckDB and Spark agree bit-for-bit; interval
+endpoints come from the data's own timestamps, never from epoch
+arithmetic (session-timezone-proof — positions use row_number over the
+dense grid instead of unix epochs).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 100 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM updates
+    UNION ALL
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+    FROM orders o
+    WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD-1 latest-wins upsert) without a
+    transactional table: a CDC batch of modified rows (keys % 7, price
+    bumped) and brand-new rows (keys % 13, remapped id) merges into the
+    base — updates win, untouched base rows pass through. Spark shape:
+    broadcast left-anti join (base minus touched keys) + union; the CDC
+    batch is small by nature, so the 100 TB base is scanned exactly once
+    with no shuffle. Pair with partition-overwrite for the write side.
+    Kernel: R6 key shuffle + R8 latest-wins fold."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    kept = o.join(F.broadcast(updates.select("o_orderkey")), "o_orderkey", "left_anti")
+    return updates.unionByName(kept)
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type, ts FROM x
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    FROM s
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build: compress each user's event stream into
+    state-change rows (consecutive identical ``event_type`` collapsed)
+    with [valid_from, valid_to) validity intervals; the open current
+    state has NULL valid_to. Two window passes over ONE exchange (both
+    windows partition on user_id); (user_id, ts) is unique in the data
+    and event_id tie-breaks the change detection, so the islands are
+    deterministic. Kernel: R8 ordered per-key fold."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
+@query(
+    "q_ts_interpolate",
+    oracle="""
+    WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+                      date_trunc('hour', max(ts)) AS t1
+               FROM events GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+             FROM b),
+    h AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                 count(*) AS n FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT g.user_id, g.hour, h.n,
+             CAST(row_number() OVER (PARTITION BY g.user_id ORDER BY g.hour)
+                  AS BIGINT) AS pos
+      FROM grid g LEFT JOIN h USING (user_id, hour)
+    ),
+    n4 AS (
+      SELECT user_id, hour, n, pos,
+             last_value(n IGNORE NULLS) OVER wp AS prev_v,
+             last_value(CASE WHEN n IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER wp AS prev_p,
+             first_value(n IGNORE NULLS) OVER wn AS next_v,
+             first_value(CASE WHEN n IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER wn AS next_p
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour,
+           CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+                WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(pos - prev_p AS DOUBLE)
+                        / CAST(next_p - prev_p AS DOUBLE))
+           END AS n_interp
+    FROM n4
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over time-series gaps (the resample+interp
+    pattern): the dense hourly grid from q_ts_gapfill, with missing
+    hours filled by linear interpolation between the nearest observed
+    neighbors instead of zeros. Gap positions use row_number over the
+    dense grid — pure ordinals, so no epoch arithmetic and no session-
+    timezone sensitivity — and every interpolated value is exact-int
+    arithmetic followed by the same two double ops in both engines
+    (hash-identical). last/first IGNORE NULLS over mirrored frames finds
+    neighbors in two window passes over ONE exchange."""
+    ev = tbl(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("hour"),
+    )
+    hourly = (
+        ev.select("user_id", hour.alias("hour"))
+        .groupBy("user_id", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    w_pos = Window.partitionBy("user_id").orderBy("hour")
+    j = grid.join(hourly, ["user_id", "hour"], "left").withColumn(
+        "pos", F.row_number().over(w_pos).cast("long")
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pos_if_obs = F.when(F.col("n").isNotNull(), F.col("pos"))
+    n4 = (
+        j.withColumn("prev_v", F.last("n", ignorenulls=True).over(wp))
+        .withColumn("prev_p", F.last(pos_if_obs, ignorenulls=True).over(wp))
+        .withColumn("next_v", F.first("n", ignorenulls=True).over(wn))
+        .withColumn("next_p", F.first(pos_if_obs, ignorenulls=True).over(wn))
+    )
+    frac = (F.col("pos") - F.col("prev_p")).cast("double") / (
+        F.col("next_p") - F.col("prev_p")
+    ).cast("double")
+    interp = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(F.col("prev_v").isNull(), F.col("next_v").cast("double"))
+        .when(F.col("next_v").isNull(), F.col("prev_v").cast("double"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return n4.select("user_id", "hour", interp.alias("n_interp"))
