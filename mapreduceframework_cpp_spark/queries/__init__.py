@@ -34,6 +34,8 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     py_sources,
     safety,
     warehouse,
+    sparse_text,
+    gateway,
 )
 
 #: round-4 verification window (50 slots). Cumulative driver signal
@@ -64,6 +66,8 @@ VERIFY_ROTATION = [
         "q_map_funcs",
         # -- round-3 additions (driver rows needed this round) -----------
         "q_merge_upsert", "q_scd2_intervals", "q_ts_interpolate",
+        "q_text_bigram_lm", "q_tfidf_cosine", "q_dedup_cluster_sizes",
+        "q_sql_gateway", "q_stream_enrich",
         # -- backfill: rows-only re-confirmations -------------------------
         "q_agg_approx_distinct", "q_dedup_simhash", "q_sim_lsh_topk",
         "q_text_langid", "q_mm_decode", "q_sim_ivf_topk",
@@ -74,9 +78,7 @@ VERIFY_ROTATION = [
         "q_dedup_clusters", "q_dedup_ngram_jaccard", "q_dedup_embedding",
         "q_sim_topk", "q_dedup_incremental", "q_join_asof",
         "q_join_interval", "q_join_salted", "q_tpch_q3_shape",
-        "q_tpch_q5_shape", "q_agg_groupby", "q_agg_rollup",
-        "q_agg_percentile", "q_scalar_subquery", "q_flagship_charcount",
-        "q_join_inner",
+        "q_tpch_q5_shape", "q_agg_groupby",
 ]
 
 registry.reorder(VERIFY_ROTATION)

@@ -374,6 +374,45 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= 0.7),
+    edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+              UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    members AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM members GROUP BY cluster_id)
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup QA report (how
+    much boilerplate mass sits in giant clusters vs simple pairs).
+    Composition on top of q_dedup_clusters' components: two further
+    count aggregations over the (doc, cluster) frame, each shrinking
+    the data, so the histogram adds no meaningful cost to the
+    clustering it audits."""
+    from mapreduceframework_cpp_spark.operators.dedup import dedup_clusters
+
+    pairs = minhash_lsh_near_dups(
+        tbl(spark, sf_dir, "documents"),
+        n=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.7,
+    )
+    sizes = dedup_clusters(pairs).groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+
+
+@query(
     "q_pipeline_e2e",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_CTE},

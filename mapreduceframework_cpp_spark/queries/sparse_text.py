@@ -1,0 +1,172 @@
+"""Sparse lexical statistics & similarity (SURVEY.md §2.2-N, round 3):
+the token-level corpus models a training-data pipeline derives beyond
+per-doc features — an n-gram language model (bigram conditional
+probabilities) and sparse TF-IDF cosine similarity between documents
+(the lexical complement to the embedding-cosine path in
+operators/similarity.py).
+
+Kernel lowering: both are R3 flat-map (token/bigram emission,
+``MapReduceClient.h:57-59``) into R6 key shuffles over *token-sized*
+keys — the corpus text itself never crosses the wire after the scan.
+
+Float discipline (FIXTURES.md §3): probabilities are ratios of exact
+integer counts; TF-IDF weights are quantized onto a 1e-4 grid as BIGINTs
+before any cross-row sum, so dot products and norms are exact integers
+and the final cosine is the same two double ops in both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+#: minimum bigram-head occurrences for a stable LM row
+_MIN_HEAD = 50
+#: document-frequency cap: terms appearing in more docs carry little
+#: idf weight and quadratically inflate the inverted-index join
+_MAX_DF = 50
+#: weight quantization grid (1e-4) — see module doc
+_SCALE = 10000
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(lower(text), ' ') AS l FROM documents),
+    big AS (
+      SELECT l[i] AS w1, l[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(l))) AS t(i)
+      WHERE len(l) >= 2
+    ),
+    c AS (SELECT w1, w2, count(*) AS cnt FROM big GROUP BY 1, 2),
+    h AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY 1),
+    r AS (
+      SELECT c.w1, c.w2, c.cnt, h.total,
+             row_number() OVER (PARTITION BY c.w1
+                                ORDER BY c.cnt DESC, c.w2) AS rn
+      FROM c JOIN h USING (w1)
+      WHERE h.total >= {_MIN_HEAD}
+    )
+    SELECT w1, w2, cnt, total, cnt / total AS prob
+    FROM r WHERE rn <= 3
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model over the corpus: for every head token with
+    >= _MIN_HEAD continuations, the top-3 next tokens with conditional
+    probability P(w2|w1) = c(w1,w2) / Σc(w1,·). Bigram emission is one
+    shuffle-free array transform per row; both aggregations shuffle
+    token-pair keys only. prob is a ratio of exact counts (identical
+    doubles cross-engine); ties break (cnt DESC, w2 ASC)."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("l")).filter(
+        F.size("l") >= 2
+    )
+    big = toks.select(
+        F.expr(
+            "explode(transform(sequence(0, size(l) - 2), "
+            "i -> struct(l[i] AS w1, l[i + 1] AS w2))) AS b"
+        )
+    ).select("b.w1", "b.w2")
+    c = big.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    h = c.groupBy("w1").agg(F.sum("cnt").alias("total"))
+    w = Window.partitionBy("w1").orderBy(F.desc("cnt"), "w2")
+    return (
+        c.join(h, "w1")
+        .filter(F.col("total") >= _MIN_HEAD)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("w1", "w2", "cnt", "total", (F.col("cnt") / F.col("total")).alias("prob"))
+    )
+
+
+@query(
+    "q_tfidf_cosine",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(floor(tf.cnt * ln((n.n_docs + 1.0) / (dfreq.df + 1.0))
+                        * {_SCALE} + 0.5) AS BIGINT) AS wq
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      WHERE dfreq.df <= {_MAX_DF}
+    ),
+    norms AS (SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS n2
+              FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(sum(a.wq * b.wq) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_id_a
+    JOIN norms nb ON nb.doc_id = doc_id_b
+    WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.5
+    """,
+)
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs (lexical near-dup signal,
+    complementing MinHash-Jaccard and embedding cosine): documents as
+    rare-term TF-IDF vectors (df <= _MAX_DF — high-df terms carry
+    ~zero idf weight and quadratically inflate the index join, so
+    pruning them is both the quality and the scale move), paired via
+    the inverted term index, cosine from exact integer dot/norms.
+
+    Scale: the term join shuffles (term, doc, weight) triples, and the
+    df cap bounds each term's posting list, so pair work is
+    O(Σ df²) over RARE terms only — the standard index-pruned sparse
+    similarity shape; the LSH path (q_dedup_near) remains the
+    unbounded-corpus fallback."""
+    docs = tbl(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .filter(F.col("df") <= _MAX_DF)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("cnt")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                * _SCALE
+                + 0.5
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("doc_id_a"), "term", F.col("wq").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_id_b"), "term", F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_id_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_id_b"), F.col("n2").alias("n2b"))
+    cos = F.col("dot") / (F.sqrt("n2a") * F.sqrt("n2b"))
+    return (
+        dots.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .filter(cos >= 0.5)
+        .select("doc_id_a", "doc_id_b", F.round(cos, 6).alias("cos_sim"))
+    )

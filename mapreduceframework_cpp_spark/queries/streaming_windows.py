@@ -72,6 +72,47 @@ def session_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def enriched_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: each event joined to the static
+    customer dimension (broadcast — the canonical stream-static join:
+    the dim never shuffles and the stream side needs no state), then
+    per-(segment, type) counts + decimal-exact value sums."""
+    dim = F.broadcast(
+        customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (batch form; parity with the readStream form
+    asserted in tests/test_streaming.py): enrich the event stream with
+    the customer dimension, aggregate per (segment, event type). In
+    Structured Streaming the static side is re-broadcast per
+    micro-batch, so dimension updates are picked up without restarting
+    the query — the standard streaming-enrichment shape."""
+    return enriched_counts(
+        tbl(spark, sf_dir, "events"), tbl(spark, sf_dir, "customer")
+    )
+
+
 @query(
     "q_stream_tumbling",
     oracle="""

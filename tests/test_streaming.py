@@ -33,6 +33,20 @@ def test_batch_stream_parity(spark, sf_dir, fn):
     assert _rows(got) == _rows(batch)
 
 
+def test_stream_static_join_parity(spark, sf_dir):
+    """q_stream_enrich's transformation over a real stream (static dim
+    joined per micro-batch) must equal its batch form."""
+    from mapreduceframework_cpp_spark.queries.streaming_windows import (
+        enriched_counts,
+    )
+
+    customer = tbl(spark, sf_dir, "customer")
+    batch = enriched_counts(tbl(spark, sf_dir, "events"), customer)
+    stream = enriched_counts(events_stream(spark, sf_dir), customer)
+    got = run_to_memory(stream, "parity_enrich", output_mode="complete")
+    assert _rows(got) == _rows(batch)
+
+
 def test_watermark_append_smoke(spark, sf_dir):
     """Watermarked tumbling agg in append mode emits finalized windows."""
     # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
