@@ -5,6 +5,7 @@ totals (parity with batch aggregation)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from mapreduceframework_cpp_spark.operators.similarity import cosine_topk, ivf_topk
 from mapreduceframework_cpp_spark.operators.skew import salted_join
@@ -69,6 +70,26 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
         for r in ivf_topk(q, emb, k=5, n_cells=8, n_probe=8).collect()
     }
     assert full == exact5
+
+
+@pytest.mark.parametrize("qname", ["q_win_distinct_count", "q_agg_mode"])
+def test_tiebreak_queries_shuffle_partition_invariant(spark, oracle_sf_dir, qname):
+    """The dense-rank COUNT(DISTINCT) emulation and the min_by MODE
+    tie-break must produce identical rows no matter how the planner
+    splits the shuffle — the property that keeps their driver hashes
+    stable when the cluster re-partitions 10× more data differently."""
+    from mapreduceframework_cpp_spark.registry import all_queries
+
+    fn = all_queries()[qname]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(sorted(map(tuple, fn(spark, oracle_sf_dir).collect())))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1] == results[2]
 
 
 def test_stateful_running_totals_matches_batch(spark, sf_dir):
