@@ -36,6 +36,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     warehouse,
     sparse_text,
     gateway,
+    profiling,
 )
 
 #: round-4 verification window (50 slots). Cumulative driver signal
@@ -68,6 +69,8 @@ VERIFY_ROTATION = [
         "q_merge_upsert", "q_scd2_intervals", "q_ts_interpolate",
         "q_text_bigram_lm", "q_tfidf_cosine", "q_dedup_cluster_sizes",
         "q_sql_gateway", "q_stream_enrich",
+        "q_events_p99_outliers", "q_orders_rfm", "q_sample_weighted",
+        "q_dup_rate_by_source",
         # -- backfill: rows-only re-confirmations -------------------------
         "q_agg_approx_distinct", "q_dedup_simhash", "q_sim_lsh_topk",
         "q_text_langid", "q_mm_decode", "q_sim_ivf_topk",
@@ -77,8 +80,7 @@ VERIFY_ROTATION = [
         "q_pipeline_e2e", "q_dedup_near", "q_dedup_exact",
         "q_dedup_clusters", "q_dedup_ngram_jaccard", "q_dedup_embedding",
         "q_sim_topk", "q_dedup_incremental", "q_join_asof",
-        "q_join_interval", "q_join_salted", "q_tpch_q3_shape",
-        "q_tpch_q5_shape", "q_agg_groupby",
+        "q_join_interval",
 ]
 
 registry.reorder(VERIFY_ROTATION)

@@ -1,0 +1,201 @@
+"""Profiling & selection queries (SURVEY.md §2.2-O, round 3): the
+report/selection shapes that sit AROUND a curation pipeline — outlier
+detection against exact percentiles, RFM-style quantile segmentation,
+deterministic weighted sampling (Efraimidis–Spirakis with hash-derived
+uniforms, so the "random" sample is reproducible and oracle-checkable),
+and a near-duplication rate report by source pair.
+
+Kernel lowering: aggregate-first shapes (R6 shuffle on small keys, R8
+fold), then windows over the already-tiny aggregate — never a global
+sort of raw rows.
+
+Float discipline: percentiles interpolate identical doubles in both
+engines (proven by q_agg_percentile); sampling keys are pow/division
+chains over exact integers; monetary sums go through DECIMAL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mapreduceframework_cpp_spark.queries.llm_pipeline import _SHINGLE_CTE
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+#: fold the first 6 hex chars of an md5 into an exact int in [0, 16^6):
+#: pure ANSI (instr/substr), so the SAME text runs in Spark and DuckDB —
+#: the hash-derived uniform that makes weighted sampling deterministic.
+_HEX6 = " + ".join(
+    f"(instr('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (6 - i)}"
+    for i in range(1, 7)
+)
+
+
+@query(
+    "q_events_p99_outliers",
+    oracle="""
+    WITH p AS (SELECT event_type, quantile_cont(value, 0.99) AS p99
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value, p.p99
+    FROM events e JOIN p USING (event_type)
+    WHERE e.value > p.p99
+    """,
+)
+def q_events_p99_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection against an exact per-group p99: the threshold
+    aggregate is tiny (one row per event type) and broadcasts back onto
+    the scan, so the 100 TB pass is scan + broadcast-filter — no second
+    shuffle. Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    the interpolation definition, so thresholds (and therefore the
+    selected rows) match exactly."""
+    ev = tbl(spark, sf_dir, "events")
+    p = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.99)).alias("p99")
+    )
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .filter(F.col("value") > F.col("p99"))
+        .select("event_id", "event_type", "value", "p99")
+    )
+
+
+@query(
+    "q_orders_rfm",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey, max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey)
+                AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                AS BIGINT) AS m_score
+    FROM m
+    """,
+)
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quantile segmentation (recency/frequency/monetary quintiles
+    per customer) — the aggregate-first discipline: the windows rank
+    the one-row-per-customer AGGREGATE, never raw orders, so the
+    unpartitioned ntile sorts |customers| rows, not |orders|. Every
+    ORDER BY carries the custkey tie-break, making quintile edges
+    deterministic; monetary is a decimal-exact sum cast to double."""
+    o = tbl(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    wr = Window.orderBy(F.desc("last_order"), "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
+    return m.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    )
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, lang, n_chars,
+             pow(({_HEX6} + 0.5) / 16777216.0, 1.0 / n_chars) AS samp_key
+      FROM u
+    ),
+    r AS (
+      SELECT doc_id, lang, n_chars, samp_key,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY samp_key DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, round(samp_key, 9) AS samp_key
+    FROM r WHERE rn <= 5
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k=5 per language, weight =
+    document length — the Efraimidis–Spirakis A-ES scheme (key =
+    u^(1/w), take the top-k keys), with the uniform u derived from an
+    md5 of the doc id instead of RNG state. Fully deterministic and
+    partition-invariant: the same doc wins on any cluster layout, reruns
+    are reproducible (the property a 100 TB sampling job actually
+    needs), and the oracle can check it exactly. One scan + one per-lang
+    top-k window over scalar keys."""
+    docs = tbl(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    keyed = u.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(
+            f"pow((({_HEX6}) + 0.5) / 16777216.0, 1.0 / n_chars)"
+        ).alias("samp_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("samp_key"), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "n_chars", F.round("samp_key", 9).alias("samp_key"))
+    )
+
+
+@query(
+    "q_dup_rate_by_source",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= 0.7)
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = doc_id_a
+    JOIN documents db ON db.doc_id = doc_id_b
+    GROUP BY 1, 2
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate by source pair — the provenance report that
+    tells a curation team WHICH feeds duplicate each other (mirror
+    detection, scraper overlap). Pair detection is the verified
+    MinHash-LSH path; attributing pairs to sources is two joins against
+    the docs' (doc_id, source) projection and a count over source-pair
+    keys — negligible on top of the LSH it audits."""
+    from mapreduceframework_cpp_spark.operators.dedup import minhash_lsh_near_dups
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(
+        docs, n=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.7
+    )
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
