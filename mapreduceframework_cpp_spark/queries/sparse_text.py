@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from mapreduceframework_cpp_spark.operators.common import persist_tracked
 from mapreduceframework_cpp_spark.registry import query
 from mapreduceframework_cpp_spark.sources.tables import tbl
 
@@ -71,7 +72,9 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> struct(l[i] AS w1, l[i + 1] AS w2))) AS b"
         )
     ).select("b.w1", "b.w2")
-    c = big.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    # the bigram-count aggregate feeds two plan branches (the head
+    # totals and the join) — persist so the explode+count runs once
+    c = persist_tracked(big.groupBy("w1", "w2").agg(F.count("*").alias("cnt")))
     h = c.groupBy("w1").agg(F.sum("cnt").alias("total"))
     w = Window.partitionBy("w1").orderBy(F.desc("cnt"), "w2")
     return (
@@ -128,14 +131,18 @@ def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity shape; the LSH path (q_dedup_near) remains the
     unbounded-corpus fallback."""
     docs = tbl(spark, sf_dir, "documents")
-    tf = (
+    # tf feeds the df aggregate AND the weight join; the weight frame
+    # feeds norms and BOTH sides of the term self-join — persist each
+    # diamond or the whole token pipeline re-executes per branch (at
+    # 100 TB these become checkpointed index tables)
+    tf = persist_tracked(
         docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("cnt"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
-    w = (
+    w = persist_tracked(
         tf.join(dfreq, "term")
         .filter(F.col("df") <= _MAX_DF)
         .crossJoin(F.broadcast(n))
