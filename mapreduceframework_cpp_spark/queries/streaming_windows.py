@@ -114,6 +114,29 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts, p.value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join, batch form (click → purchase attribution
+    within 1h; streaming parity asserted in tests/test_streaming.py —
+    watermarks bound both sides' state to the hour of relevance, so
+    the continuous job holds O(rate × window) state, not the stream)."""
+    from mapreduceframework_cpp_spark.streaming.joins import (
+        click_purchase_attribution,
+    )
+
+    return click_purchase_attribution(tbl(spark, sf_dir, "events"))
+
+
+@query(
     "q_stream_tumbling",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,

@@ -33,6 +33,21 @@ def test_batch_stream_parity(spark, sf_dir, fn):
     assert _rows(got) == _rows(batch)
 
 
+def test_stream_stream_join_parity(spark, sf_dir):
+    """Watermarked stream-stream range join over a real stream must
+    reproduce the batch range join (availableNow processes the backlog
+    in one batch, so no rows are watermark-dropped)."""
+    from mapreduceframework_cpp_spark.streaming.joins import (
+        click_purchase_attribution,
+    )
+
+    batch = click_purchase_attribution(tbl(spark, sf_dir, "events"))
+    stream = click_purchase_attribution(events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "parity_ss_join", output_mode="append")
+    assert got.count() > 0
+    assert _rows(got) == _rows(batch)
+
+
 def test_stream_static_join_parity(spark, sf_dir):
     """q_stream_enrich's transformation over a real stream (static dim
     joined per micro-batch) must equal its batch form."""
