@@ -20,6 +20,7 @@ results.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -57,3 +58,52 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog-table scan (bucket metadata applies, unlike a bare path
     read)."""
     return spark.table(table)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:
+    """Z-order (Morton) interleave expression over numeric columns.
+
+    Each column is min-max scaled onto [0, 2^bits) using scalar bounds
+    gathered in one tiny aggregate, then the bit planes are interleaved:
+    bit b of column c lands at position ``b * len(cols) + c``. Sorting by
+    the resulting key clusters rows so that EVERY dimension's values are
+    locally close — after writing, per-file min/max column statistics
+    become tight on ALL the z-ordered columns at once, and data skipping
+    prunes multi-dimensional predicates (a single-column sort only ever
+    tightens one dimension). Pure JVM bit arithmetic, no UDFs."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    ).collect()[0]  # scalar bounds only — one short driver round-trip
+    n = len(cols)
+    top = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        mn, mx = bounds[f"_mn_{c}"], bounds[f"_mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled = F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+        ).cast("long")
+        for b in range(bits):
+            bit = F.shiftright(scaled, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + ci))
+    return key
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8, bits: int = 8
+) -> None:
+    """Rewrite ``df`` as ``n_files`` parquet files clustered along the
+    z-curve of ``cols`` — the layout-compaction job run after ingest so
+    later multi-dimensional range scans skip most files via footer
+    min/max stats. repartitionByRange on the key gives equal-size,
+    key-contiguous files (range exchange, no driver materialization)."""
+    (
+        df.withColumn("_z", zorder_key(df, cols, bits=bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
