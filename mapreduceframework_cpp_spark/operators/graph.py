@@ -1,0 +1,69 @@
+"""Iterative graph algorithms beyond connected components
+(operators/dedup.dedup_clusters): PageRank by power iteration, used to
+rank documents inside near-dup neighborhoods (a high-rank doc is the
+"hub" copy others derive from — a useful canonical-selection signal
+besides min-id).
+
+Determinism discipline: ranks are EXACT integers ("nano-rank" units,
+1e9 per node). Per-edge contributions use integer division, the
+per-node aggregation sums exact longs (order-independent), and the only
+float op per iteration is one double multiply + floor on an exact
+integer — so results are bit-identical on any partitioning, any
+cluster. Same ``localCheckpoint`` lineage-truncation pattern as
+``dedup_clusters``: executor-side materialization per round, scalars
+never hit the driver.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: one rank unit = 1e9 nano-ranks
+_UNIT = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame, damping: float = 0.85, max_iter: int = 10
+) -> DataFrame:
+    """PageRank over directed (src, dst) edges; returns (node, rank)
+    with rank in units of 1.0-per-node (sum ≈ n_nodes minus the mass
+    dangling/rounding drops — the standard simplification).
+
+    Each iteration is one join + one partial-aggregated group-by over
+    (dst, contribution) pairs — R6/R8 kernel shapes; cost per round is
+    O(|edges|) shuffled on node keys."""
+    nodes = (
+        edges.select("src")
+        .union(edges.select(F.col("dst").alias("src")))
+        .distinct()
+        .select(F.col("src").alias("node"))
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # degree-annotated edge list is loop-invariant: materialize once
+    edges_deg = edges.join(out_deg, "src").localCheckpoint()
+
+    base = int((1.0 - damping) * _UNIT)
+    ranks = nodes.withColumn("rank_q", F.lit(_UNIT).cast("long")).localCheckpoint()
+    for _ in range(max_iter):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_q div deg").alias("c"),  # exact integer division
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_q"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(damping * F.coalesce("in_q", F.lit(0)))
+                ).cast("long").alias("rank_q"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round(F.col("rank_q") / _UNIT, 9).alias("rank"))

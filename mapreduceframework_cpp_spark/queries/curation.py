@@ -291,3 +291,58 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select(F.col("key").alias("token"), "est", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@query(
+    "q_emb_quantize_int8",
+    oracle="""
+    WITH x AS (
+      SELECT label, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    b AS (SELECT label, min(v) AS mn, (max(v) - min(v)) / 255.0 AS scale
+          FROM x GROUP BY label),
+    e AS (
+      SELECT x.label,
+             CAST(floor(abs(x.v - (b.mn + floor((x.v - b.mn) / b.scale + 0.5)
+                                   * b.scale)) * 1e9 + 0.5) AS BIGINT) AS err_q
+      FROM x JOIN b USING (label)
+    )
+    SELECT e.label, CAST(count(*) AS BIGINT) AS n_vals,
+           round(any_value(b.scale), 9) AS scale,
+           round(max(err_q) / 1e9, 9) AS max_err,
+           round(CAST(sum(err_q) AS BIGINT) / (count(*) * 1e9), 9) AS mean_err
+    FROM e JOIN b USING (label)
+    GROUP BY e.label
+    """,
+)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 vector-quantization audit (the compression step before
+    shipping embeddings to an ANN index): per label, min-max scale onto
+    [0, 255], quantize with floor(+0.5), and report the reconstruction
+    error envelope. Bounds are a tiny per-label aggregate broadcast
+    back onto the component stream (same shape as q_events_p99_outliers
+    — no second wide shuffle); errors are quantized onto a 1e-9 grid as
+    BIGINTs before the cross-row mean so the aggregate is exact and
+    order-independent (FIXTURES.md §3 discipline)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.explode("embedding").alias("vf")
+    ).select("label", F.col("vf").cast("double").alias("v"))
+    b = x.groupBy("label").agg(
+        F.min("v").alias("mn"),
+        ((F.max("v") - F.min("v")) / 255.0).alias("scale"),
+    )
+    j = x.join(F.broadcast(b), "label")
+    recon = F.col("mn") + F.floor((F.col("v") - F.col("mn")) / F.col("scale") + 0.5) * F.col("scale")
+    e = j.select(
+        "label",
+        "scale",
+        F.floor(F.abs(F.col("v") - recon) * 1e9 + 0.5).cast("long").alias("err_q"),
+    )
+    return e.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vals"),
+        F.round(F.first("scale"), 9).alias("scale"),
+        F.round(F.max("err_q") / 1e9, 9).alias("max_err"),
+        F.round(F.sum("err_q") / (F.count("*") * 1e9), 9).alias("mean_err"),
+    )

@@ -160,6 +160,31 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_graph_pagerank")  # rows-only: iterative + xxhash-derived graph
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph (operators/graph.py): rank
+    documents inside duplicate neighborhoods — the hub copy others
+    derive from is a better canonical than min-id when provenance
+    matters. Integer nano-rank power iteration: bit-identical on any
+    partitioning (tests/test_graph.py). Rows-only: iterative + the
+    LSH-derived edge set has no DuckDB equivalent; invariants
+    (determinism, mass conservation, hand-checked fixtures) are
+    pytest-bound instead."""
+    from mapreduceframework_cpp_spark.operators.dedup import minhash_lsh_near_dups
+    from mapreduceframework_cpp_spark.operators.graph import pagerank
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(
+        docs, n=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.7
+    )
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    )
+    return pagerank(edges, max_iter=8)
+
+
 @query(
     "q_dup_rate_by_source",
     oracle=f"""
