@@ -266,3 +266,70 @@ def q_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+
+@query(
+    "q_dq_audit",
+    oracle="""
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS orphan_orders,
+      (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM
+         (SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1) d) AS dup_orderkeys,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderpriority IS NULL) AS null_priority,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_totalprice <= 0) AS nonpos_prices
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the constraint checks a warehouse runs after
+    every load: row volume, referential integrity both directions
+    (orphan orders / orphan lineitems via anti joins), key uniqueness
+    (surplus rows per duplicated key), null-rate and domain checks.
+    One row of exact counters; each check is an independent aggregate
+    over one scan, composed by single-row cross joins (the established
+    scalar-attachment pattern). Checks that find zero violations are
+    the point — the report certifies the load."""
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    li = tbl(spark, sf_dir, "lineitem")
+
+    n_orders = o.agg(F.count("*").alias("n_orders"))
+    orphan_orders = (
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_orders"))
+    )
+    dup_orderkeys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("long")
+            .alias("dup_orderkeys")
+        )
+    )
+    null_priority = o.filter(F.col("o_orderpriority").isNull()).agg(
+        F.count("*").alias("null_priority")
+    )
+    orphan_lineitems = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    nonpos_prices = o.filter(F.col("o_totalprice") <= 0).agg(
+        F.count("*").alias("nonpos_prices")
+    )
+    return (
+        n_orders.crossJoin(orphan_orders)
+        .crossJoin(dup_orderkeys)
+        .crossJoin(null_priority)
+        .crossJoin(orphan_lineitems)
+        .crossJoin(nonpos_prices)
+    )
