@@ -72,6 +72,15 @@ HEADLINE = [
     "q_udaf_arrow",
     "q_text_pii_scrub",
     "q_source_blocklist",
+    # round-3 families
+    "q_merge_upsert",
+    "q_ts_interpolate",
+    "q_text_bigram_lm",
+    "q_tfidf_cosine",
+    "q_stream_stream_join",
+    "q_sample_weighted",
+    "q_dq_audit",
+    "q_graph_pagerank",
 ]
 
 

@@ -74,7 +74,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
-    ).collect()[0]  # scalar bounds only — one short driver round-trip
+    ).collect()[0]  # scalar-probe: 2·|cols| bounds, never a result set
     n = len(cols)
     top = (1 << bits) - 1
     key = F.lit(0).cast("long")
