@@ -33,15 +33,19 @@ def pagerank(
     Each iteration is one join + one partial-aggregated group-by over
     (dst, contribution) pairs — R6/R8 kernel shapes; cost per round is
     O(|edges|) shuffled on node keys."""
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # degree-annotated edge list is loop-invariant: materialize once,
+    # and derive EVERYTHING the loop touches from the checkpoint —
+    # a node frame built on the raw edges would re-run the upstream
+    # pipeline (e.g. MinHash-LSH) once per iteration
+    edges_deg = edges.join(out_deg, "src").localCheckpoint()
     nodes = (
-        edges.select("src")
-        .union(edges.select(F.col("dst").alias("src")))
+        edges_deg.select("src")
+        .union(edges_deg.select(F.col("dst").alias("src")))
         .distinct()
         .select(F.col("src").alias("node"))
+        .localCheckpoint()
     )
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # degree-annotated edge list is loop-invariant: materialize once
-    edges_deg = edges.join(out_deg, "src").localCheckpoint()
 
     base = int((1.0 - damping) * _UNIT)
     ranks = nodes.withColumn("rank_q", F.lit(_UNIT).cast("long")).localCheckpoint()

@@ -190,6 +190,12 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = grid.join(hourly, ["user_id", "hour"], "left").withColumn(
         "pos", F.row_number().over(w_pos).cast("long")
     )
+    # both neighbor scans are GROWING frames ([unbounded preceding,
+    # current]) — Spark evaluates those incrementally in O(n); the
+    # symmetric [current, unbounded following] frame is re-scanned per
+    # row (O(n²) on long partitions — measured 27 s at sf0.1), so the
+    # forward neighbor uses last-over-DESC-order instead: same exchange,
+    # one extra in-partition sort, linear time
     wp = (
         Window.partitionBy("user_id")
         .orderBy("pos")
@@ -197,15 +203,15 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pos_if_obs = F.when(F.col("n").isNotNull(), F.col("pos"))
     n4 = (
         j.withColumn("prev_v", F.last("n", ignorenulls=True).over(wp))
         .withColumn("prev_p", F.last(pos_if_obs, ignorenulls=True).over(wp))
-        .withColumn("next_v", F.first("n", ignorenulls=True).over(wn))
-        .withColumn("next_p", F.first(pos_if_obs, ignorenulls=True).over(wn))
+        .withColumn("next_v", F.last("n", ignorenulls=True).over(wn))
+        .withColumn("next_p", F.last(pos_if_obs, ignorenulls=True).over(wn))
     )
     frac = (F.col("pos") - F.col("prev_p")).cast("double") / (
         F.col("next_p") - F.col("prev_p")

@@ -207,3 +207,32 @@ def test_ts_rollup_single_expand(spark, sf_dir):
     # detail section — one Expand node ⇒ exactly one "Expand (n)" header
     assert p.count("Expand (") == 1, p
     assert "Union" not in p
+
+
+def test_merge_upsert_anti_join_broadcasts(spark, sf_dir):
+    """The CDC batch must broadcast into the anti join — the base table
+    is the 100 TB side and may not shuffle for the merge."""
+    p = plan(_Q["q_merge_upsert"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+
+
+def test_p99_outliers_threshold_broadcasts(spark, sf_dir):
+    """The per-group threshold aggregate broadcasts back onto the scan;
+    the events side must not shuffle for the join."""
+    p = plan(_Q["q_events_p99_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_stream_enrich_dim_broadcasts(spark, sf_dir):
+    p = plan(_Q["q_stream_enrich"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """Both window passes partition on user_id — the plan must contain
+    exactly ONE shuffle exchange."""
+    p = plan(_Q["q_scd2_intervals"](spark, sf_dir))
+    import re as _re
+
+    n_shuffles = len(_re.findall(r"\(\d+\) Exchange", p))
+    assert n_shuffles == 1, p
