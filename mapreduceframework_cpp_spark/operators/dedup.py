@@ -118,6 +118,42 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(shingled: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Asymmetric CONTAINMENT between document pairs sharing ≥1 shingle:
+    cont(A→B) = |A∩B| / |A|. Catches near-SUPERSET duplication (a doc
+    embedded verbatim inside a larger one) that symmetric Jaccard
+    misses — |A∩B|/|A∪B| stays small when |B| ≫ |A| even though A is
+    wholly contained. Emits both directions per (a < b) pair, keeping
+    pairs where either direction clears ``threshold``. Same inverted-
+    index shape (and scale caveats) as :func:`jaccard_pairs`; LSH over
+    the smaller doc's shingles is the scale path."""
+    shingled = persist_tracked(shingled)
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingled.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = shingled.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("sz_b"))
+    cont_a = F.col("inter") / F.col("sz_a")
+    cont_b = F.col("inter") / F.col("sz_b")
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .filter(F.greatest(cont_a, cont_b) >= threshold)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(cont_a, 6).alias("cont_a"),
+            F.round(cont_b, 6).alias("cont_b"),
+        )
+    )
+
+
 def minhash_signatures(shingled_arrays: DataFrame, num_hashes: int = 128) -> DataFrame:
     """MinHash signature per doc: slot i's value = min over shingles of
     xxhash64(xxhash64(shingle), i). Each shingle STRING is hashed to a

@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreduceframework_cpp_spark.operators.dedup import (
+    containment_pairs,
     exact_dedup_groups,
     minhash_lsh_near_dups,
     jaccard_pairs,
@@ -168,6 +169,30 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small-corpus/verification path."""
     return jaccard_pairs(
         shingle_sets(spread(tbl(spark, sf_dir, "documents"))), threshold=0.5
+    )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id_a, doc_id_b,
+           round(i * 1.0 / sa.sz, 6) AS cont_a,
+           round(i * 1.0 / sb.sz, 6) AS cont_b
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_id_a
+    JOIN sz sb ON sb.doc_id = doc_id_b
+    WHERE greatest(i * 1.0 / sa.sz, i * 1.0 / sb.sz) >= 0.9
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (|A∩B|/|A| ≥ 0.9 in either
+    direction): catches a document embedded near-verbatim inside a
+    larger one, which symmetric Jaccard structurally misses when sizes
+    diverge — the boilerplate-wrapper and quote-expansion case every
+    curation pipeline hits (operators/dedup.containment_pairs)."""
+    return containment_pairs(
+        shingle_sets(spread(tbl(spark, sf_dir, "documents"))), threshold=0.9
     )
 
 

@@ -61,6 +61,44 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     assert _corpus_ids(spark, corpus) == {1, 2, 11, 13}
 
 
+def test_precomputed_corpus_index_roundtrips_through_parquet(spark, sf_dir, tmp_path):
+    """The 100 TB ingest shape: the corpus band index is computed once,
+    persisted, and read back per batch — results must be identical to
+    recomputing it from the corpus documents."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.operators.dedup import (
+        incremental_near_dups,
+        lsh_banded,
+        shingle_arrays,
+    )
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+
+    docs = tbl(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    ref = sorted(
+        map(tuple, incremental_near_dups(
+            corpus, batch, n=3, bands=32, rows_per_band=2, threshold=0.7
+        ).collect())
+    )
+
+    arrays_p, banded_p = str(tmp_path / "arrays"), str(tmp_path / "banded")
+    arrays = shingle_arrays(corpus, n=3)
+    arrays.write.parquet(arrays_p)
+    lsh_banded(arrays, bands=32, rows_per_band=2).write.parquet(banded_p)
+
+    got = sorted(
+        map(tuple, incremental_near_dups(
+            corpus, batch, n=3, bands=32, rows_per_band=2, threshold=0.7,
+            corpus_arrays=spark.read.parquet(arrays_p),
+            corpus_banded=spark.read.parquet(banded_p),
+        ).collect())
+    )
+    assert got == ref and ref  # identical, and the fixture finds pairs
+
+
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     """At-least-once replay: re-running the SAME (batch, batch_id) after
     its output was already committed must reproduce the partition, not
