@@ -72,7 +72,7 @@ VERIFY_ROTATION = [
         "q_events_p99_outliers", "q_orders_rfm", "q_sample_weighted",
         "q_dup_rate_by_source", "q_stream_stream_join",
         "q_emb_quantize_int8", "q_graph_pagerank", "q_dq_audit",
-        "q_dedup_containment",
+        "q_dedup_containment", "q_table_profile",
         # -- backfill: rows-only re-confirmations -------------------------
         "q_agg_approx_distinct", "q_dedup_simhash", "q_sim_lsh_topk",
         "q_text_langid", "q_mm_decode", "q_sim_ivf_topk",
@@ -80,7 +80,7 @@ VERIFY_ROTATION = [
         # -- backfill: round-1 hash-green re-confirmations (regression
         #    guard on the highest-value paths) ----------------------------
         "q_pipeline_e2e", "q_dedup_near", "q_dedup_exact",
-        "q_dedup_clusters", "q_dedup_ngram_jaccard",
+        "q_dedup_clusters",
 ]
 
 registry.reorder(VERIFY_ROTATION)

@@ -224,3 +224,76 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@query(
+    "q_table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           min(o_totalprice), max(o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic column profiler (the exact analog of DESCRIBE /
+    df.summary(), which uses approximate quantiles and so can't be
+    oracle-checked): one row per column with null count, exact distinct
+    count, and typed min/max. ALL columns profile in ONE scan — a
+    single aggregate computes every counter, then an executor-side
+    stack pivots it to rows; at 100 TB this is one pass over the table
+    regardless of column count. Numeric mins/maxes stay DOUBLE, string
+    ones stay VARCHAR (cross-engine float→string formatting is not
+    canonical, so types never mix)."""
+    o = tbl(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in num_cols + str_cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    one = o.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            f"struct('{c}' AS col, nn_{c} AS n_nulls, nd_{c} AS n_distinct, "
+            f"CAST(mn_{c} AS DOUBLE) AS min_num, CAST(mx_{c} AS DOUBLE) AS max_num, "
+            f"CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str)"
+        )
+    for c in str_cols:
+        rows.append(
+            f"struct('{c}' AS col, nn_{c} AS n_nulls, nd_{c} AS n_distinct, "
+            f"CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+            f"mn_{c} AS min_str, mx_{c} AS max_str)"
+        )
+    return one.select(
+        F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("p")
+    ).select("p.*")

@@ -79,15 +79,21 @@ def start_dedup_ingest(
     checkpoint_dir: str,
     n: int = 3,
     threshold: float = 0.7,
+    max_files_per_trigger: int | None = None,
 ):
     """Watch ``src_dir`` for document parquet files; gate every
     micro-batch through near-dup detection; append survivors to
     ``corpus_dir``. Returns the started StreamingQuery (availableNow:
-    processes the backlog exactly once per checkpoint, then stops)."""
+    processes the backlog exactly once per checkpoint, then stops).
+    ``max_files_per_trigger`` splits the backlog into several
+    micro-batches — later batches dedup against earlier batches' output
+    within the same run (the admission-controlled ingest shape)."""
 
+    reader = spark.readStream.schema(DOCS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return (
-        spark.readStream.schema(DOCS_DDL)
-        .parquet(src_dir)
+        reader.parquet(src_dir)
         .writeStream.foreachBatch(
             lambda batch_df, batch_id: process_dedup_batch(
                 batch_df, batch_id, corpus_dir, n=n, threshold=threshold

@@ -61,6 +61,31 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     assert _corpus_ids(spark, corpus) == {1, 2, 11, 13}
 
 
+def test_multi_microbatch_run_dedups_across_batches(spark, tmp_path):
+    """One availableNow run split by maxFilesPerTrigger=1 must process
+    each staged file as its own micro-batch, with later batches deduped
+    against earlier batches' committed output."""
+    from mapreduceframework_cpp_spark.streaming.ingest_dedup import (
+        start_dedup_ingest,
+    )
+
+    src, ckpt, corpus = tmp_path / "src", tmp_path / "ckpt", tmp_path / "corpus"
+    b1 = spark.createDataFrame([(1, BASE), (2, OTHER)], "doc_id long, text string")
+    # 30 = near-dup of file-1's doc 1 → must be rejected by batch 2
+    b2 = spark.createDataFrame(
+        [(30, BASE + " coda"), (31, THIRD)], "doc_id long, text string"
+    )
+    _stage(b1, tmp_path / "s1", src, "b1.parquet")
+    _stage(b2, tmp_path / "s2", src, "b2.parquet")
+
+    q = start_dedup_ingest(
+        spark, str(src), str(corpus), str(ckpt), max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2  # really ran as separate batches
+    assert _corpus_ids(spark, corpus) == {1, 2, 31}
+
+
 def test_precomputed_corpus_index_roundtrips_through_parquet(spark, sf_dir, tmp_path):
     """The 100 TB ingest shape: the corpus band index is computed once,
     persisted, and read back per batch — results must be identical to
