@@ -73,14 +73,14 @@ VERIFY_ROTATION = [
         "q_dup_rate_by_source", "q_stream_stream_join",
         "q_emb_quantize_int8", "q_graph_pagerank", "q_dq_audit",
         "q_dedup_containment", "q_table_profile",
+        "q_events_paths", "q_events_cooccurrence", "q_events_value_hist",
         # -- backfill: rows-only re-confirmations -------------------------
         "q_agg_approx_distinct", "q_dedup_simhash", "q_sim_lsh_topk",
         "q_text_langid", "q_mm_decode", "q_sim_ivf_topk",
         "q_sample_stratified",
         # -- backfill: round-1 hash-green re-confirmations (regression
         #    guard on the highest-value paths) ----------------------------
-        "q_pipeline_e2e", "q_dedup_near", "q_dedup_exact",
-        "q_dedup_clusters",
+        "q_pipeline_e2e",
 ]
 
 registry.reorder(VERIFY_ROTATION)

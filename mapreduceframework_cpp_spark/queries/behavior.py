@@ -211,3 +211,98 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+@query(
+    "q_events_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    ), r AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ), p AS (
+      SELECT user_id, sid,
+             concat_ws('>',
+               max(CASE WHEN rn = 1 THEN event_type END),
+               max(CASE WHEN rn = 2 THEN event_type END),
+               max(CASE WHEN rn = 3 THEN event_type END)) AS path
+      FROM r GROUP BY user_id, sid
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    """,
+)
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: the first three event types of every
+    session (30-min gaps-and-islands, same contract as
+    q_events_sessionize) folded into a '>'-joined path string, counted
+    across sessions — the entry-journey report. The rank-1..3 pivot is
+    three conditional MAXes (deterministic: (ts, event_id) orders
+    uniquely; concat_ws skips NULLs identically in both engines for
+    short sessions). Shuffles: one on user_id for the windows, one on
+    the tiny (user, sid) aggregate, one on path counts."""
+    ev = tbl(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts")
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # TIMESTAMP_NTZ → epoch seconds via TIMESTAMP (session tz pinned UTC)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    sess = (
+        ev.withColumn(
+            "new_sess",
+            F.when(sec - F.lag(sec).over(w_lag) <= 1800.0, 0).otherwise(1),
+        )
+        .withColumn("sid", F.sum("new_sess").over(w_run))
+    )
+    w_rn = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    r = sess.withColumn("rn", F.row_number().over(w_rn)).filter(F.col("rn") <= 3)
+    p = r.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return p.groupBy("path").agg(F.count("*").alias("n_sessions"))
+
+
+@query(
+    "q_events_cooccurrence",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM d a JOIN d b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence mining (market-basket shape): for every
+    unordered type pair, how many users exhibit both. The DISTINCT
+    projection shrinks the input to (user, type) pairs BEFORE the
+    self-join, so join fan-out is bounded by types-per-user (small by
+    domain), not events-per-user — the aggregate-first discipline that
+    keeps basket mining viable on 100 TB of raw events."""
+    ev = tbl(spark, sf_dir, "events")
+    d = ev.select("user_id", "event_type").distinct()
+    a = d.select("user_id", F.col("event_type").alias("type_a"))
+    b = d.select(F.col("user_id").alias("uid_b"), F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, (a.user_id == b.uid_b) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -283,3 +283,48 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SF.min_by("o_orderpriority", key).alias("mode_priority"),
         SF.min_by("cnt", key).cast("long").alias("n"),
     )
+
+
+@query(
+    "q_events_value_hist",
+    oracle="""
+    WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    h AS (
+      SELECT least(CAST(floor((value - mn) / ((mx - mn) / 20.0)) AS BIGINT),
+                   CAST(19 AS BIGINT)) AS bin,
+             mn, mx
+      FROM events, b
+    )
+    SELECT bin,
+           round(mn + bin * ((mx - mn) / 20.0), 6) AS bin_lo,
+           round(mn + (bin + 1) * ((mx - mn) / 20.0), 6) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM h GROUP BY bin, mn, mx
+    """,
+)
+def q_events_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width numeric histogram with data-derived bounds (the
+    continuous companion to q_text_length_hist's integer buckets):
+    global min/max as a broadcast scalar aggregate, 20 bins, the max
+    value clamped into the last bin. Two passes over the scan (bounds,
+    then binning) — the unavoidable shape for data-driven bounds; bin
+    edges are the identical double expression chain in both engines."""
+    ev = tbl(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / 20.0
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("mn")) / width).cast("long"),
+        F.lit(19).cast("long"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select(bin_.alias("bin"), "mn", "mx")
+        .groupBy("bin", "mn", "mx")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("mn") + F.col("bin") * width, 6).alias("bin_lo"),
+            F.round(F.col("mn") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+            "n",
+        )
+    )
