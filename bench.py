@@ -81,6 +81,17 @@ HEADLINE = [
     "q_sample_weighted",
     "q_dq_audit",
     "q_graph_pagerank",
+    # round-3 late additions
+    "q_tpch_q7_shape",
+    "q_tpch_q10_shape",
+    "q_ts_ewma",
+    "q_graph_triangles",
+    "q_dedup_editdist",
+    "q_dedup_bow",
+    "q_text_ngram_topk",
+    "q_events_paths",
+    "q_events_cooccurrence",
+    "q_events_value_hist",
 ]
 
 

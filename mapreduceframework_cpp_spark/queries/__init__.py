@@ -74,12 +74,11 @@ VERIFY_ROTATION = [
         "q_emb_quantize_int8", "q_graph_pagerank", "q_dq_audit",
         "q_dedup_containment", "q_table_profile",
         "q_events_paths", "q_events_cooccurrence", "q_events_value_hist",
-        # -- backfill: rows-only re-confirmations -------------------------
-        "q_agg_approx_distinct", "q_dedup_simhash", "q_sim_lsh_topk",
-        "q_text_langid", "q_mm_decode", "q_sim_ivf_topk",
-        "q_sample_stratified",
-        # -- backfill: round-1 hash-green re-confirmations (regression
-        #    guard on the highest-value paths) ----------------------------
+        "q_tpch_q7_shape", "q_tpch_q10_shape", "q_ts_ewma",
+        "q_graph_triangles", "q_dedup_editdist", "q_dedup_bow",
+        "q_text_ngram_topk",
+        # -- backfill: round-1 hash-green re-confirmation (regression
+        #    guard on the highest-value path) -----------------------------
         "q_pipeline_e2e",
 ]
 

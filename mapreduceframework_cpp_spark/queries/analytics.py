@@ -143,3 +143,101 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
         """
     )
+
+
+@query(
+    "q_tpch_q7_shape",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue
+    FROM supplier s, lineitem l, orders o, customer c,
+         nation sn, nation cn
+    WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+      AND c.c_custkey = o.o_custkey
+      AND s.s_nationkey = sn.n_nationkey AND c.c_nationkey = cn.n_nationkey
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade revenue between
+    two nations by ship year. The nation dimension broadcasts TWICE
+    (supplier side and customer side — Catalyst keeps them as two
+    independent broadcast joins); the nation-pair disjunction is a
+    residual filter after both joins, and only lineitem⋈orders
+    shuffles. The year comes from TIMESTAMP_NTZ, so extraction is
+    session-timezone-proof."""
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q10_shape",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c, orders o, lineitem l, nation n
+    WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    lost revenue on returned lineitems in one quarter. The orderdate
+    predicate prunes orders BEFORE the fact join; customer and nation
+    broadcast; the top-k plans as TakeOrderedAndProject (no global
+    sort materializes). Tie-break on c_custkey keeps the LIMIT
+    deterministic across engines."""
+    cutoff_lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    cutoff_hi = F.lit("1996-07-01").cast("timestamp_ntz")
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    ).select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

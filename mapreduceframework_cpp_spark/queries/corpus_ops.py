@@ -237,3 +237,111 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
         )
     )
+
+
+@query(
+    "q_dedup_editdist",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars // 32 AS bkt,
+                      substr(lower(text), 1, 64) AS pfx
+               FROM documents)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 16
+    """,
+)
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection with blocking — the character-
+    level modality (catches small in-place edits that shift every
+    word-shingle, where Jaccard/MinHash under-score). Quadratic
+    levenshtein is only viable under two scale guards: (1) candidate
+    pairs are blocked on (lang, 32-char length bucket) — an equi-key
+    the shuffle co-locates, so comparisons never cross blocks and the
+    pair count is sum of per-block squares, not corpus-squared;
+    (2) the distance runs over a fixed 64-char prefix, bounding each
+    comparison at 64x64 cells. Both engines implement the standard
+    Wagner-Fischer distance, so scores agree exactly. The blocking
+    deliberately misses cross-bucket pairs (documented recall
+    tradeoff; MinHash-LSH is the recall path — this one is precision
+    on candidate neighbourhoods)."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / F.lit(32)).cast("long").alias("bkt"),
+        F.substring(F.lower(F.col("text")), 1, 64).alias("pfx"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("bkt").alias("bkt_a"),
+        F.col("pfx").alias("pfx_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("bkt").alias("bkt_b"),
+        F.col("pfx").alias("pfx_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("bkt_a") == F.col("bkt_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b")),
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("pfx_a"), F.col("pfx_b")).cast("long"),
+        )
+        .filter(F.col("edit_dist") <= 16)
+        .select("doc_id_a", "doc_id_b", "edit_dist")
+    )
+
+
+@query(
+    "q_dedup_bow",
+    oracle="""
+    WITH f AS (
+      SELECT lang,
+             md5(array_to_string(
+                 list_sort(string_split(lower(trim(text)), ' ')[1:20]),
+                 ' ')) AS fp
+      FROM documents
+    ), g AS (SELECT lang, fp, CAST(count(*) AS BIGINT) AS sz
+             FROM f GROUP BY 1, 2)
+    SELECT lang,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(sz) - count(*) AS BIGINT) AS n_dup_docs
+    FROM g GROUP BY lang
+    """,
+)
+def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words head fingerprint dedup: the first 20 tokens,
+    SORTED, hashed — word-order-invariant, so it catches shuffled or
+    re-templated boilerplate heads that defeat exact hashing (every
+    permutation has a distinct md5) without paying MinHash. Per-lang
+    dup-mass report. Scale shape: one narrow (lang, 16-byte fp) pair
+    per doc crosses the wire — the document text never shuffles; both
+    group-bys are partial-agg friendly. Sorting is byte-order in both
+    engines (UTF-8 byte order == code-point order), so fingerprints
+    agree cross-engine."""
+    f = tbl(spark, sf_dir, "documents").select(
+        "lang",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.sort_array(
+                    F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 20)
+                ),
+            )
+        ).alias("fp"),
+    )
+    g = f.groupBy("lang", "fp").agg(F.count("*").alias("sz"))
+    return g.groupBy("lang").agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_groups"),
+        (F.sum("sz") - F.count("*")).cast("long").alias("n_dup_docs"),
+    )

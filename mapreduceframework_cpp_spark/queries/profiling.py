@@ -297,3 +297,101 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("p")
     ).select("p.*")
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    ok AS (SELECT p FROM ps GROUP BY p HAVING count(*) <= 64),
+    co AS (
+      SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS shared
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      WHERE a.p IN (SELECT p FROM ok)
+      GROUP BY 1, 2
+    ),
+    dir AS (SELECT sa AS src, sb AS dst, shared FROM co
+            UNION ALL
+            SELECT sb AS src, sa AS dst, shared FROM co),
+    rk AS (SELECT src, dst,
+                  row_number() OVER (PARTITION BY src
+                                     ORDER BY shared DESC, dst ASC) AS rn
+           FROM dir),
+    knn AS (SELECT src, dst FROM rk WHERE rn <= 10),
+    e AS (SELECT x.src AS a, x.dst AS b
+          FROM knn x JOIN knn y ON x.src = y.dst AND x.dst = y.src
+          WHERE x.src < x.dst),
+    tri AS (SELECT e1.a, e1.b, e2.b AS c
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+            WHERE EXISTS (SELECT 1 FROM e e3
+                          WHERE e3.a = e1.a AND e3.b = e2.b))
+    SELECT
+      (SELECT CAST(count(DISTINCT v) AS BIGINT)
+       FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)) AS n_vertices,
+      (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the mutual-kNN co-supply graph — the
+    clustering-coefficient precursor used to QA similarity graphs (a
+    near-dup or co-occurrence graph whose triangle density collapses
+    after an ingest change is a red flag). Three standard scale guards,
+    each of which is a no-op at test SF but load-bearing at 100 TB:
+    (1) hyper-common parts (>64 distinct suppliers) are dropped before
+    the quadratic part self-join — the stop-item cap of co-occurrence
+    mining; (2) each vertex keeps only its 10 strongest neighbours
+    (shared-part count, id tie-break), so the edge set is O(V), not
+    O(V^2); (3) mutuality (both directions survive the cap) makes the
+    kNN graph symmetric. Triangle enumeration then orders vertices
+    (a<b<c) so each triangle is found exactly once, and the degree cap
+    bounds the e1⋈e2 wedge fan-out at 10 per vertex."""
+    from mapreduceframework_cpp_spark.operators.common import persist_tracked
+
+    ps = (
+        tbl(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    ok = ps.groupBy("p").agg(F.count("*").alias("n_s")).filter(F.col("n_s") <= 64)
+    ps_ok = persist_tracked(ps.join(ok.select("p"), "p"))
+    a = ps_ok.select("p", F.col("s").alias("sa"))
+    b = ps_ok.select(F.col("p").alias("pb"), F.col("s").alias("sb"))
+    co = (
+        a.join(b, (a.p == b.pb) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("shared"))
+    )
+    direct = co.select(
+        F.col("sa").alias("src"), F.col("sb").alias("dst"), "shared"
+    ).unionAll(
+        co.select(F.col("sb").alias("src"), F.col("sa").alias("dst"), "shared")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
+    knn = persist_tracked(
+        direct.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("src", "dst")
+    )
+    x = knn.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    y = knn.select(F.col("dst").alias("ya"), F.col("src").alias("yb"))
+    e = persist_tracked(
+        x.join(y, (x.a == y.ya) & (x.b == y.yb))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    e1 = e.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    e2 = e.select(F.col("a").alias("wb"), F.col("b").alias("tc"))
+    wedges = e1.join(e2, F.col("tb") == F.col("wb")).select("ta", "tb", "tc")
+    closing = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = wedges.join(closing, ["ta", "tc"], "left_semi")
+
+    verts = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .agg(F.count_distinct("v").cast("long").alias("n_vertices"))
+    )
+    edges = e.agg(F.count("*").cast("long").alias("n_edges"))
+    tris = tri.agg(F.count("*").cast("long").alias("n_triangles"))
+    out = verts.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(tris))
+    return out.select("n_vertices", "n_edges", "n_triangles")

@@ -177,3 +177,56 @@ def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.5)
         .select("doc_id_a", "doc_id_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+@query(
+    "q_text_ngram_topk",
+    oracle="""
+    WITH toks AS (SELECT lang, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    tri AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
+      FROM toks WHERE len(t) >= 3
+    ),
+    cnt AS (SELECT lang, trigram, CAST(count(*) AS BIGINT) AS n
+            FROM tri GROUP BY 1, 2),
+    rk AS (SELECT lang, trigram, n,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, trigram ASC) AS rn
+           FROM cnt)
+    SELECT lang, trigram, n, rn FROM rk WHERE rn <= 5
+    """,
+)
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word trigrams per language — the frequent-phrase mining
+    report (boilerplate discovery, contamination screening candidates).
+    Trigram emission is an executor-side array transform (R3 flat-map
+    over token positions, no Python); counting collapses to (lang,
+    trigram) keys before the wire, and the top-k window runs over the
+    already-aggregated counts — raw text never sorts. Deterministic
+    tie-break on the trigram string keeps rank stable across engines
+    and partitionings."""
+    toks = tbl(spark, sf_dir, "documents").select(
+        "lang", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    tri = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                )
+            ).alias("trigram"),
+        )
+    )
+    cnt = tri.groupBy("lang", "trigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("trigram"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "trigram", "n", "rn")
+    )

@@ -223,3 +223,59 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
     )
     return n4.select("user_id", "hour", interp.alias("n_interp"))
+
+
+@query(
+    "q_ts_ewma",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           (value
+            + coalesce(lag(value, 1) OVER w, 0) * 0.5
+            + coalesce(lag(value, 2) OVER w, 0) * 0.25
+            + coalesce(lag(value, 3) OVER w, 0) * 0.125
+            + coalesce(lag(value, 4) OVER w, 0) * 0.0625
+            + coalesce(lag(value, 5) OVER w, 0) * 0.03125
+            + coalesce(lag(value, 6) OVER w, 0) * 0.015625
+            + coalesce(lag(value, 7) OVER w, 0) * 0.0078125)
+           /
+           (1.0
+            + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 0.5 END
+            + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 0.25 END
+            + CASE WHEN lag(value, 3) OVER w IS NULL THEN 0 ELSE 0.125 END
+            + CASE WHEN lag(value, 4) OVER w IS NULL THEN 0 ELSE 0.0625 END
+            + CASE WHEN lag(value, 5) OVER w IS NULL THEN 0 ELSE 0.03125 END
+            + CASE WHEN lag(value, 6) OVER w IS NULL THEN 0 ELSE 0.015625 END
+            + CASE WHEN lag(value, 7) OVER w IS NULL THEN 0 ELSE 0.0078125 END)
+           AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-horizon EWMA smoothing per user (alpha = 0.5, 8 taps):
+    the streaming-feature shape (smoothed engagement value) expressed as
+    a FIXED-tap FIR filter so it is order-independent-safe — an exact
+    recursive EWMA needs an unbounded ordered fold, but 8 taps of a
+    halving kernel bound the truncation error at 2^-8 while keeping the
+    whole computation one window pass (ONE sort+exchange on user_id,
+    all 8 lags share it).
+
+    Cross-engine determinism: every weight is a power of two, so each
+    product is an exact mantissa shift; numerator and denominator are
+    the same left-to-right double chains in both engines, then one
+    division. Normalizing by the present-tap weight sum keeps series
+    heads unbiased (a plain recursive EWMA over-weights the first
+    sample the same way)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("value")
+    den = F.lit(1.0)
+    for j in range(1, 8):
+        wt = 2.0 ** -j
+        lagged = F.lag("value", j).over(w)
+        num = num + F.coalesce(lagged, F.lit(0.0)) * wt
+        den = den + F.when(lagged.isNull(), 0.0).otherwise(wt)
+    return (
+        tbl(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("ewma", num / den)
+    )
