@@ -266,12 +266,18 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately misses cross-bucket pairs (documented recall
     tradeoff; MinHash-LSH is the recall path — this one is precision
     on candidate neighbourhoods)."""
+    from mapreduceframework_cpp_spark.operators.common import spread
+
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / F.lit(32)).cast("long").alias("bkt"),
         F.substring(F.lower(F.col("text")), 1, 64).alias("pfx"),
     )
+    # the probe side must be spread to full parallelism: the narrow doc
+    # scan arrives in O(file-size) partitions, but the pair×levenshtein
+    # stage is compute-bound (see operators/common.spread)
+    d = spread(d, "doc_id")
     a = d.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("lang").alias("lang_a"),
@@ -292,10 +298,12 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_id_a") < F.col("doc_id_b")),
         )
         .withColumn(
+            # banded DP (threshold arg): O(k·n) cells instead of O(n²),
+            # returns -1 past the band — same distances for kept pairs
             "edit_dist",
-            F.levenshtein(F.col("pfx_a"), F.col("pfx_b")).cast("long"),
+            F.levenshtein(F.col("pfx_a"), F.col("pfx_b"), 17).cast("long"),
         )
-        .filter(F.col("edit_dist") <= 16)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 16))
         .select("doc_id_a", "doc_id_b", "edit_dist")
     )
 
