@@ -140,3 +140,15 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4) -> DataFrame:
     return video.select(
         "doc_id", F.explode(offsets).alias("frame_offset")
     )
+
+
+# The mapInPandas closures above reference module-level helpers
+# (_decode_image_bytes, schema constants). Ship this module by VALUE in
+# cloudpickle so the decode/feature stages run even when the package is
+# not importable on the executors' PYTHONPATH (driver-side sys.path
+# insert only, or a cluster without the wheel shipped).
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

@@ -21,8 +21,10 @@ are plain dicts checkpointed by the engine).
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator, Sequence
 
+from pyspark import cloudpickle as _cloudpickle
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -104,3 +106,11 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
 def register(spark) -> None:  # noqa: ANN001
     """Idempotent registration of the custom source."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# The DataSource class is cloudpickled onto Python workers. Ship it by
+# VALUE so the engine works even when this package is not importable on
+# the executors' PYTHONPATH (a driver that only sys.path-inserts the repo
+# in its own process, a cluster without the wheel shipped) — the same
+# self-containment every closure-style UDF in this repo already has.
+_cloudpickle.register_pickle_by_value(sys.modules[__name__])

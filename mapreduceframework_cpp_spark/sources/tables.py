@@ -54,15 +54,23 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)  # pin UTC etc. even on externally built sessions
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS,false) — illegal for Spark's
-        # reader; nanosAsLong (set in session.RUNTIME_CONFS) surfaces it
-        # as nanos-since-epoch. floor(ns/1000) == truncation for the
-        # all-positive testdata, matching DuckDB's ns→µs fetch behavior.
+        # Normalize ts to TIMESTAMP_NTZ whatever the file stores. Older
+        # driver datasets wrote parquet TIMESTAMP(NANOS,false) — illegal
+        # for Spark's reader; nanosAsLong (session.RUNTIME_CONFS)
+        # surfaces it as nanos-since-epoch and floor(ns/1000) matches
+        # DuckDB's ns→µs truncation for the all-positive testdata.
+        # Newer datasets store TIMESTAMP(MICROS,false), which Spark
+        # already reads as timestamp_ntz — just pin the type.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampNTZType()))
     _TBL_CACHE[key] = df
     return df
 

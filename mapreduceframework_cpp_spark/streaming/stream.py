@@ -21,10 +21,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mapreduceframework_cpp_spark.session import tune
 
-#: Physical schema of events.parquet — ts is TIMESTAMP(NANOS) read as
-#: long (see sources.tables), converted below exactly like the batch path.
-_EVENTS_DDL = (
+#: Physical schemas of events.parquet, keyed by how the file stores ts.
+#: Older driver datasets use TIMESTAMP(NANOS), which Spark only reads as
+#: long (nanosAsLong, see sources.tables); newer ones use
+#: TIMESTAMP(MICROS,false) == timestamp_ntz natively. The streaming file
+#: source needs the schema up front, so peek at the parquet footer
+#: (driver-side metadata read, no job) and pick the matching DDL +
+#: normalization — both paths yield the exact batch ``tbl()`` schema.
+_EVENTS_DDL_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+_EVENTS_DDL_MICROS = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -32,18 +41,24 @@ _EVENTS_DDL = (
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table, normalized to the same schema
     the batch ``tbl()`` produces (ts: timestamp_ntz)."""
+    import pyarrow.parquet as pq
+
     tune(spark)
+    ts_unit = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    nanos = str(ts_unit) == "timestamp[ns]"
     # the streaming file source requires a directory; select the single
     # events file out of the table dir via glob filter
     raw = (
-        spark.readStream.schema(_EVENTS_DDL)
+        spark.readStream.schema(_EVENTS_DDL_NANOS if nanos else _EVENTS_DDL_MICROS)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-    )
+    if nanos:
+        return raw.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return raw
 
 
 def run_to_memory(
