@@ -37,6 +37,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     sparse_text,
     gateway,
     profiling,
+    decision_support,
 )
 
 #: round-4 verification window (50 slots). Cumulative driver signal

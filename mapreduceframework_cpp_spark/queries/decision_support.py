@@ -1,0 +1,279 @@
+"""Decision-support query shapes II (TPC-H Q11/Q12/Q14/Q18/Q22 analogues).
+
+Round-3 widening of the analytic surface begun in queries/analytics.py
+(Q3/Q5/Q7/Q10/Q17 shapes): global-threshold HAVING, date-interval lag
+predicates, conditional revenue shares, IN-subquery fact filters and
+NOT-EXISTS anti joins — the remaining classic warehouse shapes a user of
+the reference engine would expect from a complete SQL surface
+(composition of SURVEY.md §2.1 primitives R3/R5/R8/R15, lowered exactly
+like `MapReduceFramework.cpp:69-149`'s map→shuffle→reduce chain, twice
+or more in sequence).
+
+Scale notes: every dimension side broadcasts; each query keeps exactly
+one fact shuffle (orders⋈lineitem on orderkey, or a groupBy on the
+fact key); global scalars travel driver-free as 1-row broadcast
+cross joins. Decimal-exact sums (order-independent) feed double-typed
+outputs so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+_REV_SQL = (
+    "sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(18,4))))"
+)
+
+
+def _rev():
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+
+
+@query(
+    "q_tpch_q11_shape",
+    oracle=f"""
+    WITH nat_rev AS (
+      SELECT n_name, {_REV_SQL} AS rev
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name, CAST(rev AS DOUBLE) AS revenue
+    FROM nat_rev
+    WHERE CAST(rev AS DOUBLE) >
+          (SELECT CAST(sum(rev) AS DOUBLE) * 0.02 FROM nat_rev)
+    """,
+)
+def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important-stock value): supplier nations whose
+    revenue exceeds 2% of global revenue. The global threshold is a
+    1-row aggregate attached via broadcast cross join — no second scan
+    of lineitem (the per-nation aggregate is reused for both sides) and
+    no driver round-trip. Threshold compare happens in double on both
+    engines (decimal*0.02 would type-drift)."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nat_rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    total = nat_rev.agg(
+        (F.sum("rev").cast("double") * F.lit(0.02)).alias("_thresh")
+    )
+    return (
+        nat_rev.crossJoin(F.broadcast(total))
+        .filter(F.col("rev").cast("double") > F.col("_thresh"))
+        .select("n_name", F.col("rev").cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q12_shape",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def q_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority): lineitems shipped >60
+    days after order placement, split by order priority per year. The
+    lag predicate compares two columns of the SAME joined row — a
+    residual filter on the one orders⋈lineitem shuffle, never a second
+    pass. Conditional counts are a map-side-combinable sum of 0/1."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q14_shape",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                         ELSE 0 END) AS DOUBLE) AS promo_rev,
+           CAST({_REV_SQL} AS DOUBLE) AS total_rev,
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                         ELSE 0 END) AS DOUBLE)
+           / CAST({_REV_SQL} AS DOUBLE) AS promo_share
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): monthly share of revenue from
+    PROMO-type parts. part broadcasts into the lineitem scan, so the
+    only exchange is the month groupBy; both sums come out of ONE
+    aggregate (no self-join), decimal-exact, and the share divides in
+    double identically on both engines."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    out = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate")
+            .cast("timestamp_ntz")
+            .alias("ship_month")
+        )
+        .agg(
+            F.sum(promo).cast("double").alias("promo_rev"),
+            F.sum(_rev()).cast("double").alias("total_rev"),
+        )
+    )
+    return out.select(
+        "ship_month",
+        "promo_rev",
+        "total_rev",
+        (F.col("promo_rev") / F.col("total_rev")).alias("promo_share"),
+    )
+
+
+@query(
+    "q_tpch_q18_shape",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY 1
+                         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY 1, 2, 3, 4
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): top-50 orders whose
+    total quantity exceeds 150 units. The IN-subquery lowers to a
+    groupBy(orderkey) + semi join — both sides partition on orderkey,
+    so AQE can plan the semi join shuffle-free against the re-aggregate;
+    customer broadcasts at the end. Deterministic tie-break on
+    o_orderkey keeps the LIMIT stable across engines."""
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_tq"))
+        .filter(F.col("_tq") > 150)
+        .select(F.col("l_orderkey").alias("_bigkey"), "_tq")
+    )
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, o.o_orderkey == F.col("_bigkey"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("_tq").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "q_tpch_q22_shape",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0)
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg_bal FROM pos)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): wealthy customers
+    with no recent orders, aggregated by nation. Composes the global
+    scalar (decimal-exact mean over positive balances, broadcast-
+    attached), a LEFT ANTI join against recent orders (the NOT EXISTS
+    lowering — orders is pre-filtered on date BEFORE the anti join so
+    the build side shrinks), and a broadcast nation rollup."""
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    recent = (
+        tbl(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_avg_bal")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
