@@ -245,3 +245,45 @@ def embedding_near_dups(
         .filter(F.col("_cos") >= threshold)
         .select("vec_id_a", "vec_id_b", F.round("_cos", 6).alias("cos_sim"))
     )
+
+
+def label_blocked_knn(
+    emb: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """Exact k-NN within coarse blocks (the IVF idea with a stored
+    cell id): candidates are restricted to vectors sharing ``block_col``,
+    so the pair space is sum-of-squared-cell-sizes instead of n² and the
+    join is a plain co-partitioned equi join on the block key — each
+    cell's pairs materialize on one executor, no broadcast of the full
+    corpus anywhere. Output: vec_id, neighbor_id, cos_sim (6dp), rank."""
+    a = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(block_col).alias("_blk"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    b = with_norm(spread(emb, id_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(block_col).alias("_blk_b"),
+        F.col("_v").alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    scored = a.join(
+        b,
+        (F.col("_blk") == F.col("_blk_b"))
+        & (F.col("vec_id") != F.col("neighbor_id")),
+    ).withColumn(
+        "_cos", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id", "neighbor_id", F.round("_cos", 6).alias("cos_sim"), "rank"
+        )
+    )

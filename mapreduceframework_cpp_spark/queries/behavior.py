@@ -306,3 +306,94 @@ def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "q_events_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (SELECT event_type, next_type, count(*) AS n
+          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+           / sum(n) OVER (PARTITION BY event_type) AS p
+    FROM c
+    """,
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    count and row-normalized probability for every (type → next type)
+    edge. One window pass builds the successor pairs (ordered by ts with
+    event_id tie-break so duplicate timestamps stay deterministic), then
+    the transition counts aggregate to ~|types|² rows — the normalizing
+    window runs over that tiny aggregate, never the raw events."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias("p"),
+    )
+
+
+@query(
+    "q_events_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1),
+    s AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+                 sqrt((CAST(sum(n * n) AS DOUBLE)
+                       - CAST(sum(n) AS DOUBLE) * sum(n) / count(*))
+                      / (count(*) - 1)) AS sd
+          FROM daily)
+    SELECT day, CAST(n AS BIGINT) AS n_events,
+           CAST((n - mu) / sd AS DOUBLE) AS zscore
+    FROM daily, s
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly score: z-score of each day's event count
+    against the corpus of days. Counts are exact integers, so the
+    mean/stddev come from integer power sums (the queries/stats.py
+    float discipline — order-independent, partition-invariant); the
+    1-row stats aggregate broadcasts back onto the daily counts, so
+    nothing touches the driver."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day")
+    ).agg(F.count("*").alias("n"))
+    s = daily.agg(
+        F.sum("n").alias("_sn"),
+        F.sum(F.col("n") * F.col("n")).alias("_snn"),
+        F.count("*").alias("_cnt"),
+    ).select(
+        (F.col("_sn").cast("double") / F.col("_cnt")).alias("_mu"),
+        F.sqrt(
+            (
+                F.col("_snn").cast("double")
+                - F.col("_sn").cast("double") * F.col("_sn") / F.col("_cnt")
+            )
+            / (F.col("_cnt") - 1)
+        ).alias("_sd"),
+    )
+    return daily.crossJoin(F.broadcast(s)).select(
+        "day",
+        F.col("n").alias("n_events"),
+        ((F.col("n") - F.col("_mu")) / F.col("_sd"))
+        .cast("double")
+        .alias("zscore"),
+    )

@@ -353,3 +353,51 @@ def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_groups"),
         (F.sum("sz") - F.count("*")).cast("long").alias("n_dup_docs"),
     )
+
+
+@query(
+    "q_doc_chunks",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               0, CAST(greatest(0, floor((n_chars - 1) / 96)) AS BIGINT))) AS k
+      FROM documents)
+    SELECT doc_id, k AS chunk_id,
+           substr(text, CAST(1 + 96 * k AS INTEGER), 128) AS chunk_text,
+           CAST(length(substr(text, CAST(1 + 96 * k AS INTEGER), 128))
+                AS BIGINT) AS chunk_len
+    FROM g
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: every document split into 128-char
+    windows with a 32-char overlap (stride 96) — the standard pre-
+    tokenization step that turns variable-length documents into
+    bounded model inputs. Pure JVM ``sequence``+``explode``+
+    ``substring`` (no Python in the path); chunk count derives from the
+    stored n_chars, so the explode fan-out is known to the optimizer
+    and the output inherits the scan's partitioning (no shuffle at
+    all — a map-only pass even at 100 TB)."""
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    n_chunks_last = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((F.col("n_chars") - 1) / 96).cast("long"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks_last)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr("substring(text, CAST(1 + 96 * chunk_id AS INT), 128)").alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )

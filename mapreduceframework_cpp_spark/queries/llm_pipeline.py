@@ -45,6 +45,7 @@ from mapreduceframework_cpp_spark.operators.multimodal import (
 from mapreduceframework_cpp_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dups,
+    label_blocked_knn,
     lsh_topk,
 )
 from mapreduceframework_cpp_spark.operators.text import (
@@ -498,3 +499,32 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline. Bernoulli per-row sampling: no shuffle, scales linearly."""
     fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
     return tbl(spark, sf_dir, "documents").sampleBy("lang", fractions, seed=42)
+
+
+@query(
+    "q_knn_blocked",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                 {_COSINE_PAIR} AS cos
+          FROM e a JOIN e b
+            ON a.label = b.label AND a.vec_id <> b.vec_id),
+    r AS (SELECT vec_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT vec_id, neighbor_id, round(cos, 6) AS cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph restricted to coarse blocks (stored IVF cell = the
+    label column): every vector's 3 nearest cosine neighbors within its
+    block, built by a co-partitioned self-join on the block key — the
+    similarity-graph construction step (for clustering / graph dedup)
+    whose pair space is sum-of-cell-sizes², not corpus², and whose only
+    exchange is the hash partition on the block key
+    (operators/similarity.label_blocked_knn)."""
+    return label_blocked_knn(tbl(spark, sf_dir, "embeddings"), k=3)

@@ -279,3 +279,55 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "value")
         .withColumn("ewma", num / den)
     )
+
+
+@query(
+    "q_date_spine",
+    oracle="""
+    WITH b AS (SELECT min(date_trunc('day', o_orderdate)) AS lo,
+                      max(date_trunc('day', o_orderdate)) AS hi
+               FROM orders),
+    spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                          AS TIMESTAMP) AS day
+              FROM b),
+    daily AS (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n
+              FROM orders GROUP BY 1)
+    SELECT CAST(EXTRACT(year FROM spine.day) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS empty_days,
+           CAST(coalesce(sum(daily.n), 0) AS BIGINT) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    GROUP BY 1
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine completeness report: manufacture a dense daily
+    spine between the data's own min/max order dates (no magic
+    literals), left-join the real daily counts onto it, and report
+    per-year coverage including days with zero orders — the gap a
+    plain GROUP BY can never see. The spine explodes from the 1-row
+    min/max aggregate and the daily counts (one row per day however
+    big the fact table is) broadcast as the build side of the outer
+    join - the raw fact table is touched only by its own aggregate,
+    never reshuffled for the spine."""
+    o = tbl(spark, sf_dir, "orders")
+    day = F.date_trunc("day", "o_orderdate").cast("timestamp_ntz")
+    bounds = o.agg(F.min(day).alias("_lo"), F.max(day).alias("_hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = o.groupBy(day.alias("day")).agg(F.count("*").alias("n"))
+    return (
+        spine.join(F.broadcast(daily), "day", "left")
+        .groupBy(F.year("day").cast("long").alias("yr"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0)).alias(
+                "empty_days"
+            ),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
