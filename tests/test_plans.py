@@ -236,3 +236,52 @@ def test_scd2_windows_share_one_exchange(spark, sf_dir):
 
     n_shuffles = len(_re.findall(r"\(\d+\) Exchange", p))
     assert n_shuffles == 1, p
+
+
+def test_doc_chunks_is_map_only(spark, sf_dir):
+    """Chunking must be a pure map-side pass: no exchange anywhere —
+    the explode inherits the scan's partitioning."""
+    p = plan(_Q["q_doc_chunks"](spark, sf_dir))
+    assert "Exchange" not in p, p
+    assert "Generate" in p  # the explode
+
+
+def test_tpch_q12_single_fact_shuffle(spark, sf_dir):
+    """The late-shipment predicate is a residual on the one
+    orders⋈lineitem join — no second pass, no nested loop."""
+    p = plan(_Q["q_tpch_q12_shape"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q14_part_broadcasts(spark, sf_dir):
+    """part joins into the lineitem scan as a broadcast — the fact side
+    shuffles only for the month groupBy."""
+    p = plan(_Q["q_tpch_q14_shape"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_tpch_q22_anti_join_stays_hash(spark, sf_dir):
+    """NOT EXISTS lowers to a HASH anti join, never a nested loop. (The
+    plan's one BroadcastNestedLoopJoin is the sanctioned 1-row scalar
+    attachment — a cross join against the broadcast global average —
+    not the anti join.)"""
+    p = plan(_Q["q_tpch_q22_shape"](spark, sf_dir))
+    assert "BroadcastHashJoin LeftAnti" in p, p
+
+
+def test_knn_blocked_join_is_hash_on_block(spark, sf_dir):
+    """The block-restricted self-join must plan as an equi hash join on
+    the block key (broadcast at test scale, shuffled-hash at 100 TB) —
+    the inequality is a residual, not a nested-loop condition."""
+    p = plan(_Q["q_knn_blocked"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_markov_counts_before_normalizing_window(spark, sf_dir):
+    """The normalizing window must run over the aggregated transition
+    counts (|types|² rows), not the raw events: plan order is
+    lead-window → aggregate → sum-window."""
+    p = plan(_Q["q_events_markov"](spark, sf_dir))
+    assert "partial_count" in p, p
