@@ -92,6 +92,17 @@ HEADLINE = [
     "q_events_paths",
     "q_events_cooccurrence",
     "q_events_value_hist",
+    # decision-support II + training-pipeline additions
+    "q_tpch_q11_shape",
+    "q_tpch_q12_shape",
+    "q_tpch_q14_shape",
+    "q_tpch_q18_shape",
+    "q_tpch_q22_shape",
+    "q_events_markov",
+    "q_events_anomaly",
+    "q_doc_chunks",
+    "q_knn_blocked",
+    "q_date_spine",
 ]
 
 
