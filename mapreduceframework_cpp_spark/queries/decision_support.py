@@ -277,3 +277,49 @@ def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_orders_cohort",
+    oracle="""
+    WITH f AS (SELECT o_custkey,
+                      min(date_trunc('month', o_orderdate)) AS cohort
+               FROM orders GROUP BY 1)
+    SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+           CAST(date_diff('month', f.cohort,
+                          date_trunc('month', o.o_orderdate)) AS BIGINT)
+             AS months_since,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_custs,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention/revenue matrix: customers grouped by first-order
+    month, activity and revenue tracked by months-since-acquisition.
+    The first-order aggregate and the fact join both hash on custkey —
+    one partitioning reused across the two stages (AQE keeps them
+    co-located); months_since is exact month arithmetic on truncated
+    timestamps, identical in both engines."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    month = F.date_trunc("month", "o_orderdate").cast("timestamp_ntz")
+    f = o.groupBy("o_custkey").agg(F.min(month).alias("cohort"))
+    return (
+        o.join(f, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(month, F.col("cohort"))
+            .cast("long")
+            .alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("active_custs"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

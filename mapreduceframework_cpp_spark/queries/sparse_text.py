@@ -230,3 +230,141 @@ def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "trigram", "n", "rn")
     )
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents),
+    c AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+    r AS (SELECT tok, n,
+                 row_number() OVER (ORDER BY n DESC, tok) AS rank,
+                 sum(n) OVER () AS total
+          FROM c)
+    SELECT CAST(rank AS BIGINT) AS rank, tok, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / total AS freq,
+           CAST(rank * n AS BIGINT) AS rank_x_n
+    FROM r WHERE rank <= 50
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf profile of the corpus: the 50 most frequent tokens with
+    rank, absolute and relative frequency, and the rank×count product
+    (constant under an ideal Zipf law — drift across ingests flags a
+    distribution shift). Token emission is an executor-side explode;
+    counting collapses to token keys before the wire; the ranking
+    window runs over the tiny vocabulary aggregate. Deterministic
+    tie-break on the token string."""
+    docs = tbl(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    wt = Window.partitionBy()
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("total", F.sum("n").over(wt))
+        .filter(F.col("rank") <= 50)
+        .select(
+            "rank",
+            "tok",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("freq"),
+            (F.col("rank") * F.col("n")).alias("rank_x_n"),
+        )
+    )
+
+
+@query(
+    "q_text_hapax",
+    oracle="""
+    WITH tok AS (SELECT source,
+                        unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents),
+    tc AS (SELECT source, tok, count(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS hapax_ratio
+    FROM tc GROUP BY 1
+    """,
+)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena audit: vocabulary size, number of
+    once-occurring tokens, and their ratio — a fast lexical-diversity
+    signal (templated/boilerplate sources collapse toward 0, organic
+    text sits high). Two exact-integer aggregations; the hapax ratio is
+    one double division."""
+    docs = tbl(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return tc.groupBy("source").agg(
+        F.count("*").alias("vocab"),
+        hapax.alias("hapax"),
+        (hapax.cast("double") / F.count("*")).alias("hapax_ratio"),
+    )
+
+
+@query(
+    "q_doc_entropy",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    d AS (SELECT doc_id, sum(c) AS n,
+                 sum(CAST(round(c * log2(c) * 1000000000) AS BIGINT)) AS slq
+          FROM tc GROUP BY 1)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(log2(CAST(n AS DOUBLE))
+                - (CAST(slq AS DOUBLE) / 1000000000) / n AS DOUBLE)
+             AS token_entropy
+    FROM d
+    """,
+)
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (bits):
+    H = log2(n) − Σ c·log2(c) / n over token counts c — the
+    repetition/quality signal that separates natural text from
+    copy-paste loops. Float discipline: each c·log2(c) term is computed
+    identically in both engines then quantized onto a 1e-9 grid as a
+    BIGINT before the cross-row sum (exact, order-independent); the
+    final entropy is two double ops on exact integers."""
+    docs = tbl(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    term_q = F.round(
+        F.col("c") * F.log2("c") * F.lit(1000000000.0)
+    ).cast("long")
+    d = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.sum(term_q).alias("slq")
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        (
+            F.log2(F.col("n").cast("double"))
+            - (F.col("slq").cast("double") / F.lit(1000000000.0)) / F.col("n")
+        )
+        .cast("double")
+        .alias("token_entropy"),
+    )

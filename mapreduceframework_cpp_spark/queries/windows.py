@@ -273,3 +273,37 @@ def with_windowed_count_distinct(
         .withColumn(out, (F.max("_dr").over(w_all) - has_null).cast("long"))
         .drop("_dr")
     )
+
+
+@query(
+    "q_win_median",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(quantile_cont(o_totalprice, 0.5) OVER (
+                  PARTITION BY o_orderpriority
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS med5
+    FROM orders
+    """,
+)
+def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row median of order value per priority class — the
+    robust rolling statistic (median smoothing) that mean-based running
+    windows can't give. ``percentile`` as a WINDOW aggregate over a
+    bounded ROWS frame: Spark keeps the frame per row (5 values), so
+    cost is O(rows × frame), one sort+exchange on the partition key.
+    Linear-interpolation semantics match DuckDB's quantile_cont exactly
+    (same bit-identical discipline as q_agg_percentile); (o_orderdate,
+    o_orderkey) ordering is unique, so frames are deterministic."""
+    o = tbl(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("percentile(o_totalprice, 0.5)").over(w).cast("double").alias("med5"),
+    )
