@@ -76,3 +76,47 @@ def test_dedup_clusters_partition_invariant(spark):
     ref = _rows(dedup_clusters(pairs))
     for n in PARTS:
         assert _rows(dedup_clusters(pairs.repartition(n))) == ref, n
+
+
+def test_doc_entropy_partition_invariant(spark, sf_dir):
+    """The 1e-9-grid quantization of c·log2(c) terms must make the
+    entropy sum exact — identical on any input layout."""
+    from mapreduceframework_cpp_spark.registry import all_queries
+
+    q = all_queries()["q_doc_entropy"]
+    ref = _rows(q(spark, sf_dir))
+    docs = tbl(spark, sf_dir, "documents")
+    for n in PARTS:
+        # same logical query over a repartitioned scan
+        docs.repartition(n).createOrReplaceTempView("_ent_docs")
+        got = _rows(
+            spark.sql(
+                """
+                WITH tc AS (
+                  SELECT doc_id, tok, count(*) AS c
+                  FROM (SELECT doc_id,
+                               explode(split(lower(text), ' ')) AS tok
+                        FROM _ent_docs)
+                  GROUP BY 1, 2)
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(log2(CAST(sum(c) AS DOUBLE))
+                            - (CAST(sum(CAST(round(c * log2(c) * 1e9) AS BIGINT))
+                                    AS DOUBLE) / 1e9) / sum(c) AS DOUBLE)
+                         AS token_entropy
+                FROM tc GROUP BY doc_id
+                """
+            )
+        )
+        assert got == ref, f"{n} partitions changed entropy values"
+
+
+def test_blocked_knn_partition_invariant(spark, sf_dir):
+    """Neighbor ranks (raw-double ordering + id tie-break) must not
+    depend on the physical layout of the embedding table."""
+    from mapreduceframework_cpp_spark.operators.similarity import label_blocked_knn
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    ref = _rows(label_blocked_knn(emb, k=3))
+    for n in PARTS:
+        got = _rows(label_blocked_knn(emb.repartition(n), k=3))
+        assert got == ref, f"{n} partitions changed the kNN graph"
