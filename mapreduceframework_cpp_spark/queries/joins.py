@@ -413,3 +413,91 @@ def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "error_id", "purchase_id", F.round(delta, 6).alias("delta_sec")
     )
+
+
+from mapreduceframework_cpp_spark.operators.bloom import (  # noqa: E402
+    H1_SQL,
+    H2_SQL,
+    K_HASHES,
+    M_BITS,
+    bloom_build,
+    bloom_probe,
+)
+
+#: DuckDB reconstruction of the operator's exact bitmap (same md5-nibble
+#: hashes, same double-hashing, same word layout) — the filter itself is
+#: hash-verified, not just its effect.
+_BLOOM_ORACLE = f"""
+WITH bk AS (SELECT DISTINCT o_orderkey AS key FROM orders
+            WHERE o_orderpriority = '1-URGENT'),
+bh AS (SELECT key, md5(CAST(key AS VARCHAR)) AS h FROM bk),
+bn AS (SELECT key, {H1_SQL} AS h1, {H2_SQL} AS h2 FROM bh),
+bpos AS (SELECT key, (h1 + i * h2) % {M_BITS} AS pos
+         FROM bn, unnest([0, 1, 2, 3]) AS t(i)),
+words AS (SELECT pos // 32 AS word_idx,
+                 bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+          FROM bpos GROUP BY 1),
+pk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+ph AS (SELECT key, md5(CAST(key AS VARCHAR)) AS h FROM pk),
+pn AS (SELECT key, {H1_SQL} AS h1, {H2_SQL} AS h2 FROM ph),
+ppos AS (SELECT key, (h1 + i * h2) % {M_BITS} AS pos
+         FROM pn, unnest([0, 1, 2, 3]) AS t(i)),
+checked AS (
+  SELECT p.key,
+         CASE WHEN w.word IS NOT NULL
+               AND (w.word & (1::BIGINT << CAST(p.pos % 32 AS INTEGER))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM ppos p LEFT JOIN words w ON w.word_idx = p.pos // 32),
+passed AS (SELECT key, (sum(hit) = {K_HASHES}) AS bloom_pass
+           FROM checked GROUP BY 1),
+flagged AS (
+  SELECT p.key, p.bloom_pass,
+         (bk.key IS NOT NULL) AS exact
+  FROM passed p LEFT JOIN bk ON bk.key = p.key)
+SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(sum(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN bloom_pass AND NOT exact THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN exact AND NOT bloom_pass THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg
+FROM flagged
+"""
+
+
+@query("q_bloom_prune", oracle=_BLOOM_ORACLE)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prune, hash-verified END TO END: build an
+    8 KB bitmap over the urgent orders' keys (operators/bloom), probe
+    every distinct lineitem orderkey against the broadcast bitmap, and
+    report probe/pass/exact/false-positive/false-negative counts (the
+    oracle rebuilds the identical bitmap in SQL, so n_false_neg = 0 is
+    verified, not asserted). At 100 TB this is the shuffle-free
+    pre-filter in front of a selective fact⋈fact semi join — the probe
+    side is pruned at scan time by a broadcast bitmap instead of
+    shuffling on the join key."""
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    build_keys = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("key")
+    )
+    bloom = bloom_build(build_keys, "key")
+    probe = li.select(F.col("l_orderkey").alias("key"))
+    passed = bloom_probe(probe, bloom, "key")
+    flagged = passed.join(
+        F.broadcast(build_keys.distinct().withColumn("_in", F.lit(1))),
+        "key",
+        "left",
+    ).select("key", "bloom_pass", F.col("_in").isNotNull().alias("exact"))
+    return flagged.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("exact"), 1).otherwise(0)).alias("n_exact"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("exact"), 1).otherwise(0)).alias(
+            "n_false_pos"
+        ),
+        F.sum(F.when(F.col("exact") & ~F.col("bloom_pass"), 1).otherwise(0)).alias(
+            "n_false_neg"
+        ),
+    )

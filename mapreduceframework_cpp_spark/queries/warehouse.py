@@ -331,3 +331,50 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_orders"),
         )
     )
+
+
+@query(
+    "q_incr_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the base period's per-priority
+    state (decimal sum + count — an ALGEBRAIC aggregate, so partials
+    merge exactly) is unioned with the new period's state and re-reduced
+    instead of rescanning history. The oracle is the full recompute over
+    all orders — hash-equality proves merge(state_old, state_delta) ==
+    recompute, the property an incremental 100 TB rollup pipeline rests
+    on. Derived averages come off the merged state only (never averaged
+    averages)."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    cutoff = F.lit("1999-01-01").cast("timestamp_ntz")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"), F.sum(price).alias("s")
+        )
+
+    base = state(o.filter(F.col("o_orderdate") < cutoff))
+    delta = state(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("s").cast("double").alias("total_price"),
+        (F.col("s").cast("double") / F.col("n_orders")).alias("avg_price"),
+    )
