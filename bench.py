@@ -103,6 +103,14 @@ HEADLINE = [
     "q_doc_chunks",
     "q_knn_blocked",
     "q_date_spine",
+    "q_win_median",
+    "q_text_zipf",
+    "q_text_hapax",
+    "q_doc_entropy",
+    "q_orders_cohort",
+    "q_bloom_prune",
+    "q_incr_agg",
+    "q_chunk_dedup",
 ]
 
 

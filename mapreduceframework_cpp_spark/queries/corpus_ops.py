@@ -379,7 +379,12 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored n_chars, so the explode fan-out is known to the optimizer
     and the output inherits the scan's partitioning (no shuffle at
     all — a map-only pass even at 100 TB)."""
-    d = tbl(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return _doc_chunks(tbl(spark, sf_dir, "documents"))
+
+
+def _doc_chunks(docs: DataFrame) -> DataFrame:
+    """128-char / stride-96 window explode (see q_doc_chunks)."""
+    d = docs.select("doc_id", "text", "n_chars")
     n_chunks_last = F.greatest(
         F.lit(0).cast("long"),
         F.floor((F.col("n_chars") - 1) / 96).cast("long"),
@@ -400,4 +405,44 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+
+
+@query(
+    "q_chunk_dedup",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             substr(text, CAST(1 + 96 * k AS INTEGER), 128) AS chunk_text
+      FROM documents,
+           unnest(generate_series(
+             0, CAST(greatest(0, floor((n_chars - 1) / 96)) AS BIGINT)))
+             AS t(k)),
+    f AS (SELECT doc_id, chunk_text FROM g WHERE length(chunk_text) = 128)
+    SELECT sha256(chunk_text) AS chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM f
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate detection: exact dedup at CHUNK
+    granularity — full-width 128-char windows repeated across (or
+    within) documents surface shared headers/footers/templates that
+    whole-document dedup can never see. The shuffle carries 32-byte
+    chunk digests, not text (the q_dedup_exact discipline applied to
+    the q_doc_chunks explode)."""
+    chunks = _doc_chunks(tbl(spark, sf_dir, "documents")).filter(
+        F.col("chunk_len") == 128
+    )
+    return (
+        chunks.groupBy(F.sha2("chunk_text", 256).alias("chunk_hash"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
     )
