@@ -246,3 +246,38 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     return grid.join(hourly, ["user_id", "hour"], "left").na.fill({"n_events": 0})
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming (applyInPandasWithState, the
+    streaming analog of the reference's reduce-with-context,
+    ``MapReduceClient.h:61-64``): per-user running totals maintained in
+    keyed executor state across micro-batches. Each batch emits the
+    updated row (update mode), so the FINAL state per user is the max
+    of its emissions — which must equal a plain batch groupBy count,
+    and that is the oracle. Counts only: the float running total is
+    emitted but not oracle-checked (micro-batch addition order is not
+    part of the contract)."""
+    from mapreduceframework_cpp_spark.streaming.stateful import (
+        running_user_totals,
+    )
+    from mapreduceframework_cpp_spark.streaming.stream import (
+        events_stream,
+        run_to_memory,
+    )
+
+    emissions = run_to_memory(
+        running_user_totals(events_stream(spark, sf_dir)),
+        name="q_stream_stateful_sink",
+        output_mode="update",
+    )
+    return emissions.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events")
+    )

@@ -50,3 +50,14 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Ship the state-update function by VALUE (it is referenced by module
+# path otherwise) so the stateful operator runs on executors that don't
+# have this package on PYTHONPATH — same rationale as
+# operators/multimodal and sources/pydatasource.
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
