@@ -446,3 +446,44 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique_texts,
+           CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT)
+             AS n_exact_dupes,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the header block of a corpus datasheet —
+    document/language/source counts, token and char volume, exact-dup
+    count (via content digests, so the distinct runs over 32-byte
+    hashes) and length envelope. ONE aggregate pass; every
+    count-distinct is over a low-cardinality or digest column, and the
+    single output row is the only thing that leaves the executors."""
+    docs = tbl(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    digest = F.sha2("text", 256)
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(n_toks).cast("long").alias("total_tokens"),
+        F.countDistinct(digest).alias("n_unique_texts"),
+        (F.count("*") - F.countDistinct(digest)).alias("n_exact_dupes"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )

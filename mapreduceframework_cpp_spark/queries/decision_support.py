@@ -19,7 +19,7 @@ outputs so both engines agree bit-for-bit.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from mapreduceframework_cpp_spark.registry import query
 from mapreduceframework_cpp_spark.sources.tables import tbl
@@ -322,4 +322,65 @@ def q_orders_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
+    )
+
+
+@query(
+    "q_orders_abc",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey, {_REV_SQL} AS rev_dec,
+             CAST({_REV_SQL} AS DOUBLE) AS rev
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT l_partkey, rev_dec, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             sum(rev) OVER () AS total
+      FROM pr),
+    c AS (
+      SELECT l_partkey, rev_dec,
+             CASE WHEN cum / total <= 0.8 THEN 'A'
+                  WHEN cum / total <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM r)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_dec) AS DOUBLE) AS class_rev
+    FROM c GROUP BY 1
+    """,
+)
+def q_orders_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: parts covering
+    the first 80% of cumulative revenue are class A, the next 15% B,
+    the tail C. The running share is a sequential window sum in a FIXED
+    total order (rev DESC, partkey tie-break), so the double cumsum is
+    bit-identical in both engines; the window runs over the per-part
+    aggregate (one row per part), never the raw fact table. Class
+    revenue re-sums the DECIMAL per-part values (order-independent) —
+    summing the double would hash on partition-dependent addition
+    order."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("rev_dec"))
+    pr = pr.withColumn("rev", F.col("rev_dec").cast("double"))
+    w_cum = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = pr.select(
+        "l_partkey",
+        "rev_dec",
+        (F.sum("rev").over(w_cum) / F.sum("rev").over(w_all)).alias("_share"),
+    ).select(
+        "l_partkey",
+        "rev_dec",
+        F.when(F.col("_share") <= 0.8, "A")
+        .when(F.col("_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return c.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("rev_dec").cast("double").alias("class_rev"),
     )
