@@ -397,3 +397,108 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("zscore"),
     )
+
+
+@query(
+    "q_events_dau_wau",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                        AS day, user_id
+               FROM events),
+    days AS (SELECT DISTINCT day FROM d),
+    wau AS (SELECT a.day, count(DISTINCT b.user_id) AS wau
+            FROM days a JOIN d b
+              ON b.day > a.day - INTERVAL 7 DAY AND b.day <= a.day
+            GROUP BY 1),
+    dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1)
+    SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product-
+    analytics headline metric. The raw stream first collapses to
+    DISTINCT (day, user) pairs (the only heavy shuffle, keyed on the
+    pair); WAU then joins the tiny day spine against those pairs with a
+    7-day band, so the fan-out is bounded at 7 rows per active
+    (day, user) regardless of event volume. A windowed COUNT(DISTINCT)
+    can't express this (users repeat across days); the band join is the
+    scalable form."""
+    ev = tbl(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = d.select("day").distinct()
+    b = d.select(F.col("day").alias("bday"), "user_id")
+    wau = (
+        days.join(
+            b,
+            (F.col("bday") > F.col("day") - F.expr("INTERVAL 7 DAYS"))
+            & (F.col("bday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = d.groupBy("day").agg(F.count("*").alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
+
+
+@query(
+    "q_events_conversion_lag",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT user_id, min(ts) AS t_buy FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+    j AS (SELECT round(epoch(t_buy) - epoch(t_view), 6) AS lag_sec
+          FROM v JOIN p USING (user_id)
+          WHERE t_buy >= t_view)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(quantile_cont(lag_sec, 0.5) AS DOUBLE) AS p50_sec,
+           CAST(quantile_cont(lag_sec, 0.9) AS DOUBLE) AS p90_sec,
+           CAST(max(lag_sec) AS DOUBLE) AS max_sec
+    FROM j
+    """,
+)
+def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view → first-purchase conversion latency percentiles: both
+    firsts are per-user MIN aggregates over one filtered scan (no
+    window, no ordering shuffle), joined on user_id; the latency
+    distribution then reduces to exact p50/p90 (linear interpolation —
+    the q_agg_percentile cross-engine discipline). Lag seconds compare
+    as round(epoch diff, 6) doubles, the established timestamp-delta
+    idiom (queries/joins.py interval join)."""
+    ev = tbl(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    sec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    j = (
+        v.join(p, "user_id")
+        .filter(F.col("t_buy") >= F.col("t_view"))
+        .select(F.round(sec("t_buy") - sec("t_view"), 6).alias("lag_sec"))
+    )
+    return j.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(lag_sec, 0.5)").cast("double").alias("p50_sec"),
+        F.expr("percentile(lag_sec, 0.9)").cast("double").alias("p90_sec"),
+        F.max("lag_sec").cast("double").alias("max_sec"),
+    )
