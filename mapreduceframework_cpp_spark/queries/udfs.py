@@ -150,3 +150,70 @@ def q_udaf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="o_orderpriority string, avg_price double, n_orders long",
         )
     )
+
+
+@query(
+    "q_cogroup_reconcile",
+    oracle="""
+    WITH lr AS (
+      SELECT l_orderkey, count(*) AS n_lines,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 10000) AS BIGINT)) AS rev_q
+      FROM lineitem GROUP BY 1)
+    SELECT o_orderkey,
+           CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(coalesce(rev_q, 0) AS DOUBLE) / 1000000 AS line_revenue
+    FROM orders LEFT JOIN lr ON o_orderkey = l_orderkey
+    """,
+)
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map surface (``cogroup().applyInPandas`` — the two-
+    input R8 fold: the engine hands BOTH key groups to user code, the
+    way the reference hands ``reduce`` one grouped vector,
+    ``MapReduceClient.h:61-64``, generalized to two inputs): per-order
+    reconciliation of the stored order total against the recomputed
+    lineitem revenue. Float discipline: per-line revenue is quantized
+    to exact int64 (cents × discount-basis-points, both near-integers
+    so rounding is unambiguous) and summed as integers inside pandas —
+    the emitted double is order-independent, so the whole Arrow-batched
+    Python path stays hash-verifiable."""
+    import pandas as pd
+
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+
+    def reconcile(key, o_pdf, l_pdf):
+        (orderkey,) = key
+        if len(o_pdf) == 0:  # lineitem without order: out of contract
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_lines", "o_totalprice", "line_revenue"]
+            )
+        if len(l_pdf):
+            cents = l_pdf["l_extendedprice"].mul(100).round().astype("int64")
+            disc_bp = (1 - l_pdf["l_discount"]).mul(10000).round().astype("int64")
+            rev_q = int((cents * disc_bp).sum())
+        else:
+            rev_q = 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": [orderkey],
+                "n_lines": [len(l_pdf)],
+                "o_totalprice": [float(o_pdf["o_totalprice"].iloc[0])],
+                "line_revenue": [rev_q / 1e6],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "o_orderkey long, n_lines long, "
+                "o_totalprice double, line_revenue double"
+            ),
+        )
+    )
