@@ -72,7 +72,20 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
     assert full == exact5
 
 
-@pytest.mark.parametrize("qname", ["q_win_distinct_count", "q_agg_mode"])
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q_win_distinct_count",
+        "q_agg_mode",
+        # round-3 determinism-sensitive additions: sequential cumsum
+        # classification, windowed percentile, quantized entropy sum,
+        # distinct-pair band join
+        "q_orders_abc",
+        "q_win_median",
+        "q_doc_entropy",
+        "q_events_dau_wau",
+    ],
+)
 def test_tiebreak_queries_shuffle_partition_invariant(spark, oracle_sf_dir, qname):
     """The dense-rank COUNT(DISTINCT) emulation and the min_by MODE
     tie-break must produce identical rows no matter how the planner
