@@ -287,3 +287,62 @@ def label_blocked_knn(
             "vec_id", "neighbor_id", F.round("_cos", 6).alias("cos_sim"), "rank"
         )
     )
+
+
+def kmeans_cluster_report(
+    emb: DataFrame,
+    k: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus (Spark ML —
+    the fit is a sequence of broadcast-centroid map passes + mean
+    aggregations, exactly the scale shape hand-rolled IVF training
+    would have), reduced to a per-cluster QA report: size, within-
+    cluster sum of squared distances, and mean L2 norm. Clustering is
+    the corpus-organization step (dedup blocking, mixture balancing,
+    curriculum buckets); the report row count is k, so nothing bigger
+    than the centroids ever leaves the executors."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = emb.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_fv", array_to_vector(F.col("_v")))
+    model = KMeans(
+        k=k, seed=seed, featuresCol="_fv", predictionCol="cluster"
+    ).fit(feats)
+    centers = model.clusterCenters()
+    assigned = model.transform(feats).select("vec_id", "_v", "cluster")
+    # squared distance to own centroid, JVM-side against literal centers
+    center_arr = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in centers
+        ]
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(center_arr, F.col("cluster") + 1),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    return (
+        assigned.withColumn("_d2", d2)
+        .withColumn("_norm", norm)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.sum(F.round(F.col("_d2"), 6)), 6).alias("wssse"),
+            F.round(F.sum(F.round(F.col("_norm"), 6)) / F.count("*"), 6).alias(
+                "mean_norm"
+            ),
+        )
+        .withColumn("cluster", F.col("cluster").cast("long"))
+    )

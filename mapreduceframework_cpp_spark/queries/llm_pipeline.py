@@ -528,3 +528,19 @@ def q_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is the hash partition on the block key
     (operators/similarity.label_blocked_knn)."""
     return label_blocked_knn(tbl(spark, sf_dir, "embeddings"), k=3)
+
+
+@query("q_emb_kmeans")  # rows-only: k-means fit is engine-specific
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means corpus organization (distributed Lloyd's via Spark ML)
+    reduced to a k-row per-cluster QA report (size, WSSSE, mean norm) —
+    the clustering step behind dedup blocking / mixture balancing /
+    curriculum buckets (operators/similarity.kmeans_cluster_report).
+    Rows-only: the fit's cell assignment depends on the engine's
+    initialization, so there is no SQL oracle; invariants are
+    pytest-bound (tests/test_llm_pipeline.py)."""
+    from mapreduceframework_cpp_spark.operators.similarity import (
+        kmeans_cluster_report,
+    )
+
+    return kmeans_cluster_report(tbl(spark, sf_dir, "embeddings"), k=8)

@@ -306,3 +306,22 @@ def test_dedup_clusters_transitive(spark):
         r.doc_id for r in canonical_docs(docs, dedup_clusters(pairs)).collect()
     )
     assert kept == [1, 2, 30]  # singletons pass through, one per cluster
+
+
+def test_kmeans_report_invariants(spark, sf_dir):
+    """k rows, sizes partition the corpus, WSSSE non-negative, and the
+    report is reproducible within a session (fixed seed)."""
+    from mapreduceframework_cpp_spark.operators.similarity import (
+        kmeans_cluster_report,
+    )
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    rep = kmeans_cluster_report(emb, k=8).collect()
+    assert len(rep) == 8
+    assert sum(r.n_members for r in rep) == emb.count()
+    assert all(r.wssse >= 0 for r in rep)
+    rep2 = kmeans_cluster_report(emb, k=8).collect()
+    assert sorted((r.cluster, r.n_members) for r in rep) == sorted(
+        (r.cluster, r.n_members) for r in rep2
+    )
