@@ -111,6 +111,10 @@ HEADLINE = [
     "q_bloom_prune",
     "q_incr_agg",
     "q_chunk_dedup",
+    "q_events_dau_wau",
+    "q_events_conversion_lag",
+    "q_cogroup_reconcile",
+    "q_emb_kmeans",
 ]
 
 
