@@ -384,3 +384,62 @@ def q_orders_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.sum("rev_dec").cast("double").alias("class_rev"),
     )
+
+
+@query(
+    "q_tpch_q21_shape",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                                      + INTERVAL 90 DAY
+                                 THEN l_suppkey END) AS n_late_supp,
+             min(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN l_suppkey END) AS late_supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY 1)
+    SELECT s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM per_order
+    JOIN supplier ON s_suppkey = late_supp
+    WHERE n_supp > 1 AND n_late_supp = 1
+    GROUP BY 1
+    """,
+)
+def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting): on finished
+    multi-supplier orders, blame the SOLE supplier that shipped >90
+    days late. The textbook form is a correlated EXISTS + NOT EXISTS
+    pair per lineitem; the scalable lowering used here folds both into
+    ONE aggregate over the order's lineitems (distinct-supplier count,
+    distinct-late-supplier count, and the blamed key as a conditional
+    MIN — well-defined because the kept orders have exactly one late
+    supplier), so the fact table is scanned once and shuffled once on
+    orderkey. supplier broadcasts at the end."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
