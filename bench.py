@@ -115,6 +115,7 @@ HEADLINE = [
     "q_events_conversion_lag",
     "q_cogroup_reconcile",
     "q_emb_kmeans",
+    "q_tpch_q21_shape",
 ]
 
 
