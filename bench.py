@@ -116,6 +116,10 @@ HEADLINE = [
     "q_cogroup_reconcile",
     "q_emb_kmeans",
     "q_tpch_q21_shape",
+    "q_tpch_q2_shape",
+    "q_tpch_q4_shape",
+    "q_tpch_q6_shape",
+    "q_tpch_q15_shape",
 ]
 
 

@@ -443,3 +443,177 @@ def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "q_tpch_q2_shape",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / sum(CAST(l_quantity AS DECIMAL(18,2))) AS unit_price
+      FROM lineitem GROUP BY 1, 2),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_price,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_price, l_suppkey) AS rn
+      FROM cost)
+    SELECT p.p_partkey, p.p_type, s.s_name, n.n_name,
+           b.unit_price AS best_unit_price
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE b.rn = 1 AND p.p_size >= 40
+    """,
+)
+def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): for each large part, the
+    supplier with the lowest realized unit price, attributed with its
+    nation. The correlated MIN subquery lowers to an argmin window over
+    the (part, supplier) aggregate — one fact shuffle for the
+    aggregate, one partition-key window, then broadcast dimension
+    attribution. Unit price divides exact decimal sums in double
+    (identical both engines); (unit_price, suppkey) ordering makes the
+    argmin deterministic."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_size") >= 40).select(
+        "p_partkey", "p_type"
+    )
+    s = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        ).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_type",
+            "s_name",
+            "n_name",
+            F.col("unit_price").alias("best_unit_price"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q4_shape",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY 1
+    """,
+)
+def q_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one half-year
+    having at least one lineitem shipped >30 days after placement. The
+    EXISTS lowers to a LEFT SEMI join whose condition spans both tables
+    (equi key + cross-table date comparison as the residual); the date
+    filter prunes orders BEFORE the semi join."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q6_shape",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS forecast_revenue_increase
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 10
+    """,
+)
+def q_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): a pure scan-
+    aggregate whose selective predicates (date range, discount band,
+    quantity cap) must ALL reach the parquet reader — the query is a
+    pushdown benchmark as much as a revenue sum. One row out, decimal-
+    exact product sum."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 10)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("forecast_revenue_increase")
+        )
+    )
+
+
+@query(
+    "q_tpch_q15_shape",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, {_REV_SQL} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE CAST(r.total_rev AS DOUBLE) =
+          (SELECT max(CAST(total_rev AS DOUBLE)) FROM rev)
+    """,
+)
+def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum
+    quarterly revenue. The CREATE VIEW + max-subquery of the original
+    is one per-supplier aggregate reused for both the rows and the
+    1-row global max (broadcast cross join — the q11 global-threshold
+    pattern); the max compares in double on both engines."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_rev"))
+    mx = rev.agg(
+        F.max(F.col("total_rev").cast("double")).alias("_max_rev")
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev").cast("double") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+        )
+    )
