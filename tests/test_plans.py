@@ -285,3 +285,30 @@ def test_markov_counts_before_normalizing_window(spark, sf_dir):
     lead-window → aggregate → sum-window."""
     p = plan(_Q["q_events_markov"](spark, sf_dir))
     assert "partial_count" in p, p
+
+
+def test_tpch_q6_predicates_reach_scan(spark, sf_dir):
+    """Q6 is the pushdown benchmark: the date/discount/quantity
+    predicates must appear in PushedFilters on the parquet scan."""
+    p = plan(_Q["q_tpch_q6_shape"](spark, sf_dir))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "[]" not in pushed[0], p
+    line = pushed[0]
+    assert "l_discount" in line and "l_quantity" in line, line
+
+
+def test_tpch_q4_semi_join_stays_hash(spark, sf_dir):
+    """The correlated EXISTS (equi key + cross-table date residual)
+    must lower to a hash LeftSemi, not a nested loop."""
+    p = plan(_Q["q_tpch_q4_shape"](spark, sf_dir))
+    assert "LeftSemi" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_tpch_q2_argmin_single_fact_shuffle(spark, sf_dir):
+    """The argmin lowering aggregates the fact table once; dimensions
+    broadcast — no SortMergeJoin anywhere."""
+    p = plan(_Q["q_tpch_q2_shape"](spark, sf_dir))
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
