@@ -502,3 +502,77 @@ def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(lag_sec, 0.9)").cast("double").alias("p90_sec"),
         F.max("lag_sec").cast("double").alias("max_sec"),
     )
+
+
+@query(
+    "q_sessions_stats",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, session_idx, count(*) AS n_events,
+             CAST(round((epoch(max(ts)) - epoch(min(ts))) * 1000000)
+                  AS BIGINT) AS dur_us
+      FROM s GROUP BY 1, 2
+    )
+    SELECT least(CAST(n_events AS BIGINT), 10) AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(dur_us) AS DOUBLE) / 1000000 / count(*) AS avg_dur_sec,
+           CAST(max(dur_us) AS DOUBLE) / 1000000 AS max_dur_sec
+    FROM sess GROUP BY 1
+    """,
+)
+def q_sessions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shape report over the gaps-and-islands sessionization:
+    sessions bucketed by event count (clamped at 10+), with count and
+    average/max duration per bucket — the engagement histogram product
+    teams read daily. Composes the q_events_sessionize machinery (same
+    ONE user_id exchange) with a per-session rollup and a tiny bucket
+    aggregate. Durations quantize to integer microseconds per session
+    BEFORE the cross-session sum, so the averages are exact-integer
+    ratios (order-independent)."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sec = F.col("ts").cast("timestamp").cast("double")
+    brk = F.when(
+        (sec - F.lag(sec).over(w) > 1800.0) | F.lag(sec).over(w).isNull(), 1
+    ).otherwise(0)
+    s = ev.withColumn("brk", brk).withColumn(
+        "session_idx", F.sum("brk").over(w_run)
+    )
+    sess = s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            (
+                F.max("ts").cast("timestamp").cast("double")
+                - F.min("ts").cast("timestamp").cast("double")
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("dur_us"),
+    )
+    return sess.groupBy(
+        F.least(F.col("n_events"), F.lit(10)).cast("long").alias("size_bucket")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        (F.sum("dur_us").cast("double") / 1000000 / F.count("*")).alias(
+            "avg_dur_sec"
+        ),
+        (F.max("dur_us").cast("double") / 1000000).alias("max_dur_sec"),
+    )
