@@ -298,3 +298,47 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    WITH t AS (SELECT nullif(o_orderstatus, 'P') AS st, o_totalprice
+               FROM orders),
+    g AS (SELECT st,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(st) AS BIGINT) AS n_nonnull,
+                 CAST(coalesce(sum(CASE WHEN o_totalprice > 100000
+                                        THEN 1 END), 0) AS BIGINT) AS n_big
+          FROM t GROUP BY 1)
+    SELECT a.st, a.n_rows, a.n_nonnull, a.n_big, b.n_rows AS n_rows_b
+    FROM g a JOIN g b ON a.st IS NOT DISTINCT FROM b.st
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity torture: a manufactured NULL group must (1)
+    survive GROUP BY as its own group, (2) be skipped by count(col) but
+    not count(*), (3) zero-fill through coalesce(sum(CASE..)), and (4)
+    match ITSELF through a null-safe equality join (Spark ``<=>`` ==
+    SQL ``IS NOT DISTINCT FROM``) — the exact places engines
+    historically diverge, pinned by the oracle hash. The null-safe self
+    join runs over the 3-row aggregate, so the pathological null×null
+    fan-out is structurally bounded."""
+    o = tbl(spark, sf_dir, "orders")
+    t = o.select(
+        F.expr("nullif(o_orderstatus, 'P')").alias("st"), "o_totalprice"
+    )
+    g = t.groupBy("st").agg(
+        F.count("*").alias("n_rows"),
+        F.count("st").alias("n_nonnull"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") > 100000, 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_big"),
+    )
+    a = g.alias("a")
+    b = g.select(F.col("st").alias("st_b"), F.col("n_rows").alias("n_rows_b"))
+    return a.join(
+        F.broadcast(b), F.expr("st <=> st_b")
+    ).select("st", "n_rows", "n_nonnull", "n_big", "n_rows_b")
