@@ -328,3 +328,54 @@ def q_events_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "q_agg_ols_trend",
+    oracle="""
+    WITH d AS (
+      SELECT lang, n_chars AS x,
+             len(string_split(text, ' ')) AS y
+      FROM documents),
+    s AS (
+      SELECT lang,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sx2
+      FROM d GROUP BY 1)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n
+             AS intercept
+    FROM s
+    """,
+)
+def q_agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ordinary-least-squares fit (tokens ~ chars per language):
+    slope and intercept from the closed form over INTEGER power sums
+    (x, y, xy, x² are exact BIGINTs; only the final closed-form
+    expression runs in double, with the identical operation tree in
+    both engines — the q_agg_stats discipline applied to regression).
+    One partial-aggregating shuffle of five scalars per language; the
+    pattern extends to any per-segment trend fit at 100 TB."""
+    docs = tbl(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    y = F.size(F.split("text", " "))
+    s = docs.select("lang", x.alias("x"), y.alias("y")).groupBy("lang").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2 = F.col("sxy"), F.col("sx2")
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    return s.select(
+        "lang",
+        n.cast("long").alias("n_docs"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
