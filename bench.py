@@ -120,6 +120,9 @@ HEADLINE = [
     "q_tpch_q4_shape",
     "q_tpch_q6_shape",
     "q_tpch_q15_shape",
+    "q_sessions_stats",
+    "q_null_semantics",
+    "q_agg_ols_trend",
 ]
 
 
