@@ -576,3 +576,83 @@ def q_sessions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.max("dur_us").cast("double") / 1000000).alias("max_dur_sec"),
     )
+
+
+@query(
+    "q_events_funnel_windowed",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN ts END
+                        IGNORE NULLS) OVER w AS last_view
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+      SELECT user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click'
+                              AND last_view IS NOT NULL
+                              AND epoch(ts) - epoch(last_view) <= 3600.0
+                             THEN ts END IGNORE NULLS) OVER w AS last_qclick
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN last_qclick IS NOT NULL
+                          AND epoch(ts) - epoch(last_qclick) <= 3600.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_complete
+    FROM c
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED funnel (the windowFunnel/CEP pattern): purchases
+    completing view→click→purchase with each hop ≤1 h. Cascaded
+    carry-forward windows — last view, then last click that was itself
+    within 1 h of a view — replace per-event subqueries or self-joins;
+    two window passes share ONE user_id exchange (vs q_events_funnel,
+    which has no time constraint). Hop gaps compare in epoch seconds
+    (identical doubles both engines); (ts, event_id) ordering makes the
+    carried state deterministic."""
+    ev = tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    o = ev.withColumn(
+        "last_view",
+        F.last(F.when(F.col("event_type") == "view", F.col("ts")), True).over(w),
+    )
+    c = o.withColumn(
+        "last_qclick",
+        F.last(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("last_view").isNotNull()
+                & (ts_sec - sec("last_view") <= 3600.0),
+                F.col("ts"),
+            ),
+            True,
+        ).over(w),
+    )
+    return (
+        c.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(
+                F.when(
+                    F.col("last_qclick").isNotNull()
+                    & (ts_sec - sec("last_qclick") <= 3600.0),
+                    1,
+                ).otherwise(0)
+            ).alias("n_funnel_complete"),
+        )
+    )

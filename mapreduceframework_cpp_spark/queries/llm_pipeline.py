@@ -544,3 +544,46 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return kmeans_cluster_report(tbl(spark, sf_dir, "embeddings"), k=8)
+
+
+@query(
+    "q_dedup_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS nhash,
+             sha256(text) AS rhash
+      FROM documents)
+    SELECT nhash AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT rhash) AS BIGINT) AS n_raw_variants,
+           min(doc_id) AS doc_id
+    FROM n GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize-then-hash dedup: lowercase, collapse whitespace,
+    trim — the normalization pass every crawl dedup runs BEFORE exact
+    hashing (it catches trivially re-encoded copies raw sha256 misses;
+    n_raw_variants > 1 marks groups exact dedup would have split).
+    Same 32-byte-digest shuffle discipline as q_dedup_exact; the
+    normalization is a pure JVM regexp in the scan projection."""
+    docs = tbl(spark, sf_dir, "documents")
+    nhash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    return (
+        docs.select(
+            "doc_id",
+            nhash.alias("nhash"),
+            F.sha2("text", 256).alias("rhash"),
+        )
+        .groupBy(F.col("nhash").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("rhash").alias("n_raw_variants"),
+            F.min("doc_id").alias("doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
