@@ -293,3 +293,46 @@ def q_str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_name", "p_type").alias("name_type_dist"),
         F.levenshtein(F.lower("p_brand"), F.lower("p_name")).alias("brand_name_dist"),
     )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS leaf, p_partkey AS node, 0 AS depth
+      FROM part WHERE p_partkey % 37 = 0
+      UNION ALL
+      SELECT leaf, node // 2 AS node, depth + 1
+      FROM anc WHERE node > 0
+    )
+    SELECT leaf,
+           CAST(max(depth) AS BIGINT) AS depth_to_root,
+           CAST(count(*) AS BIGINT) AS chain_len
+    FROM anc GROUP BY 1
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): ancestor walk over
+    the implicit binary-tree hierarchy node→node div 2, per sampled
+    leaf — the hierarchy/transitive-closure surface (org charts, BOM
+    explosions, category trees) that previously required driver-side
+    iteration (cf. operators/dedup.dedup_clusters, which hand-rolls the
+    same fixpoint for components). The engine iterates UNION ALL steps
+    to fixpoint; depth is bounded at log2(max partkey) ≈ 20, and each
+    step is a filtered projection of the tiny frontier."""
+    tbl(spark, sf_dir, "part").createOrReplaceTempView("part_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT p_partkey AS leaf, p_partkey AS node, 0 AS depth
+          FROM part_rcte WHERE p_partkey % 37 = 0
+          UNION ALL
+          SELECT leaf, node div 2 AS node, depth + 1
+          FROM anc WHERE node > 0
+        )
+        SELECT leaf,
+               CAST(max(depth) AS BIGINT) AS depth_to_root,
+               CAST(count(*) AS BIGINT) AS chain_len
+        FROM anc GROUP BY leaf
+        """
+    )
