@@ -336,3 +336,46 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY leaf
         """
     )
+
+
+@query(
+    "q_sql4_surfaces",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS disc_revenue
+    FROM lineitem
+    WHERE l_quantity >= 45.0
+    GROUP BY 1
+    """,
+)
+def q_sql4_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-language surfaces in one verified query: a SQL UDF
+    (CREATE FUNCTION ... RETURN, planned inline — no Python, full
+    codegen), a session VARIABLE carrying the filter threshold, and the
+    |> pipe syntax chaining scan → filter → aggregate. The UDF returns
+    DECIMAL so the revenue sum stays order-independent; the oracle is
+    the equivalent classic SQL."""
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sql4")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price_sql4(
+            p DOUBLE, d DOUBLE) RETURNS DECIMAL(18, 6)
+        RETURN CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,4)))
+        """
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE min_qty_sql4 DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE min_qty_sql4 = 45.0")
+    return spark.sql(
+        """
+        FROM lineitem_sql4
+        |> WHERE l_quantity >= min_qty_sql4
+        |> AGGREGATE count(*) AS n,
+                     CAST(sum(disc_price_sql4(l_extendedprice, l_discount))
+                          AS DOUBLE) AS disc_revenue
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, disc_revenue
+        """
+    )
