@@ -123,6 +123,12 @@ HEADLINE = [
     "q_sessions_stats",
     "q_null_semantics",
     "q_agg_ols_trend",
+    "q_events_funnel_windowed",
+    "q_dedup_normalized",
+    "q_recursive_cte",
+    "q_sql4_surfaces",
+    "q_brand_yoy",
+    "q_agg_mad",
 ]
 
 

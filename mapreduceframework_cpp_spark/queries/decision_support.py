@@ -617,3 +617,52 @@ def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
         )
     )
+
+
+@query(
+    "q_brand_yoy",
+    oracle="""
+    WITH r AS (
+      SELECT p_brand,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                  AS DOUBLE) AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2)
+    SELECT p_brand, yr, rev,
+           lag(rev) OVER (PARTITION BY p_brand ORDER BY yr) AS prev_rev,
+           (rev - lag(rev) OVER (PARTITION BY p_brand ORDER BY yr))
+           / lag(rev) OVER (PARTITION BY p_brand ORDER BY yr) AS yoy_growth
+    FROM r
+    """,
+)
+def q_brand_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: per-brand yearly revenue with
+    year-over-year growth — the lag-over-aggregate BI shape. The
+    window runs over the tiny (brand, year) aggregate (the only fact
+    shuffle is the aggregate itself); growth divides the SAME two
+    decimal-exact doubles in both engines; first year's growth is NULL
+    in both."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.sum(_rev()).cast("double").alias("rev"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return r.select(
+        "p_brand",
+        "yr",
+        "rev",
+        prev.alias("prev_rev"),
+        ((F.col("rev") - prev) / prev).alias("yoy_growth"),
+    )

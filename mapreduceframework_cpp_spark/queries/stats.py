@@ -379,3 +379,45 @@ def q_agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+@query(
+    "q_agg_mad",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY 1),
+    dev AS (
+      SELECT o.o_orderpriority,
+             abs(o.o_totalprice - m.med) AS adev,
+             m.med
+      FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority)
+    SELECT o_orderpriority,
+           CAST(any_value(med) AS DOUBLE) AS median_price,
+           CAST(quantile_cont(adev, 0.5) AS DOUBLE) AS mad
+    FROM dev GROUP BY 1
+    """,
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread statistic
+    (outlier-proof where stddev is not). Two grouped exact-percentile
+    passes: the per-group median (tiny aggregate) broadcasts back onto
+    the scan, absolute deviations re-aggregate with the same linear-
+    interpolation percentile — each |x − med| is one double op on
+    identical inputs, so both engines interpolate identical values."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    return dev.groupBy("o_orderpriority").agg(
+        # all rows of a group carry the same med (it was joined in), so
+        # the aggregate first() is deterministic
+        F.first("med").cast("double").alias("median_price"),
+        F.expr("percentile(adev, 0.5)").cast("double").alias("mad"),
+    )
