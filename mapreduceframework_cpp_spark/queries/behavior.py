@@ -656,3 +656,36 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_funnel_complete"),
         )
     )
+
+
+@query(
+    "q_events_seasonality",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT hour_of_day, event_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY hour_of_day)
+             AS share_of_hour
+    FROM h
+    """,
+)
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile: event mix per hour with each
+    type's share of that hour — the diurnal-pattern report (and the
+    input a rate-limiter or capacity planner reads). One aggregate to
+    24×|types| rows; the share window runs over that tiny grid. Hour
+    extraction is on TIMESTAMP_NTZ, so session timezone cannot shift
+    the profile."""
+    ev = tbl(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.hour("ts").cast("long").alias("hour_of_day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("hour_of_day")
+    return h.select(
+        "hour_of_day",
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share_of_hour"),
+    )

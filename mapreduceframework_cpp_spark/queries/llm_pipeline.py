@@ -587,3 +587,41 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@query(
+    "q_dedup_rate_curve",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs_030,
+           CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_050,
+           CAST(sum(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_070,
+           CAST(sum(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_090
+    FROM jac WHERE jaccard >= 0.3
+    """,
+)
+def q_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve for near-dedup: how many pairs
+    survive at Jaccard ≥ 0.3/0.5/0.7/0.9 — the one-row report that
+    answers 'how aggressive is this threshold?' before a full corpus
+    run. ONE pass over the exact pair set (conditional sums), reusing
+    the inverted-index machinery; at 100 TB the same curve comes from
+    the LSH candidates at matching band settings."""
+    from mapreduceframework_cpp_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+
+    pairs = jaccard_pairs(
+        shingle_sets(spread(tbl(spark, sf_dir, "documents"))), threshold=0.3
+    )
+    j = F.col("jaccard")
+    return pairs.agg(
+        F.count("*").alias("n_pairs_030"),
+        F.sum(F.when(j >= 0.5, 1).otherwise(0)).alias("n_pairs_050"),
+        F.sum(F.when(j >= 0.7, 1).otherwise(0)).alias("n_pairs_070"),
+        F.sum(F.when(j >= 0.9, 1).otherwise(0)).alias("n_pairs_090"),
+    )
