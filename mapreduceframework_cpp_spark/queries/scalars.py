@@ -379,3 +379,37 @@ def q_sql4_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, n, disc_revenue
         """
     )
+
+
+@query(
+    "q_str_collation",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN l_orderkey % 2 = 0
+                  THEN upper(l_returnflag || l_linestatus)
+                  ELSE lower(l_returnflag || l_linestatus) END AS tag
+      FROM lineitem)
+    SELECT lower(tag) AS tag_norm, CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY 1
+    """,
+)
+def q_str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE): a mixed-case tag
+    column groups under UTF8_LCASE so case variants merge WITHOUT
+    rewriting every row through lower() first — at scale the collation
+    comparator works on the raw bytes during the shuffle/aggregate.
+    The emitted key is normalized (lower) because the group's
+    representative string is first-seen; the oracle states the
+    equivalent lower()-grouping."""
+    li = tbl(spark, sf_dir, "lineitem")
+    tag = F.when(
+        F.col("l_orderkey") % 2 == 0,
+        F.upper(F.concat("l_returnflag", "l_linestatus")),
+    ).otherwise(F.lower(F.concat("l_returnflag", "l_linestatus")))
+    return (
+        li.withColumn("tag", tag)
+        .select(F.expr("tag COLLATE UTF8_LCASE").alias("tag_c"))
+        .groupBy("tag_c")
+        .agg(F.count("*").alias("n"))
+        .select(F.lower(F.col("tag_c")).alias("tag_norm"), "n")
+    )
