@@ -129,6 +129,12 @@ HEADLINE = [
     "q_sql4_surfaces",
     "q_brand_yoy",
     "q_agg_mad",
+    "q_dedup_rate_curve",
+    "q_events_seasonality",
+    "q_str_collation",
+    "q_agg_approx_topk",
+    "q_user_ltv_percentiles",
+    "q_emb_feature_stats",
 ]
 
 

@@ -689,3 +689,42 @@ def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("share_of_hour"),
     )
+
+
+@query(
+    "q_user_ltv_percentiles",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+             count(*) AS n_events
+      FROM events GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(quantile_cont(CAST(cents AS DOUBLE) / 100, 0.5) AS DOUBLE)
+             AS p50_ltv,
+           CAST(quantile_cont(CAST(cents AS DOUBLE) / 100, 0.9) AS DOUBLE)
+             AS p90_ltv,
+           CAST(quantile_cont(CAST(cents AS DOUBLE) / 100, 0.99) AS DOUBLE)
+             AS p99_ltv,
+           CAST(max(CAST(cents AS DOUBLE) / 100) AS DOUBLE) AS max_ltv
+    FROM u
+    """,
+)
+def q_user_ltv_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-of-aggregates: per-user lifetime value first (the
+    heavy groupBy), then exact percentiles OVER THE USERS — the
+    two-level shape (aggregate, then describe the aggregate) behind
+    every LTV/engagement report. Per-user sums quantize value to cents
+    BEFORE summing (exact, order-independent); the percentile pass runs
+    over one row per user."""
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = ev.groupBy("user_id").agg(F.sum(cents).alias("cents"))
+    ltv = (F.col("cents").cast("double") / 100).alias("ltv")
+    return u.select(ltv).agg(
+        F.count("*").alias("n_users"),
+        F.expr("percentile(ltv, 0.5)").cast("double").alias("p50_ltv"),
+        F.expr("percentile(ltv, 0.9)").cast("double").alias("p90_ltv"),
+        F.expr("percentile(ltv, 0.99)").cast("double").alias("p99_ltv"),
+        F.max("ltv").cast("double").alias("max_ltv"),
+    )

@@ -346,3 +346,39 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("err_q") / 1e9, 9).alias("max_err"),
         F.round(F.sum("err_q") / (F.count("*") * 1e9), 9).alias("mean_err"),
     )
+
+
+@query(
+    "q_emb_feature_stats",
+    oracle="""
+    WITH d AS (
+      SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS t(i))
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(min(v) AS DOUBLE) AS dim_min,
+           CAST(max(v) AS DOUBLE) AS dim_max,
+           CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 / count(*) AS dim_mean
+    FROM d GROUP BY 1
+    """,
+)
+def q_emb_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics over the embedding corpus
+    (min/max/mean per coordinate) — the profile a min-max scaler or
+    whitening step consumes. posexplode fans each vector to (dim,
+    value) rows that partial-aggregate BEFORE the 64-key shuffle;
+    means quantize each float32 coordinate onto a 1e-6 grid (exact for
+    float32 inputs) so the cross-row sum is order-independent."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    )
+    q = F.round(F.col("v") * 1000000).cast("long")
+    return d.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.min("v").cast("double").alias("dim_min"),
+        F.max("v").cast("double").alias("dim_max"),
+        (F.sum(q).cast("double") / 1000000 / F.count("*")).alias("dim_mean"),
+    )
