@@ -135,6 +135,8 @@ HEADLINE = [
     "q_agg_approx_topk",
     "q_user_ltv_percentiles",
     "q_emb_feature_stats",
+    "q_events_streaks",
+    "q_supplier_hhi",
 ]
 
 

@@ -728,3 +728,45 @@ def q_user_ltv_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(ltv, 0.99)").cast("double").alias("p99_ltv"),
         F.max("ltv").cast("double").alias("max_ltv"),
     )
+
+
+@query(
+    "q_events_streaks",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+               FROM events),
+    r AS (SELECT user_id, day,
+                 row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+          FROM d),
+    g AS (SELECT user_id, day,
+                 day - CAST(rn || ' days' AS INTERVAL) AS grp
+          FROM r),
+    s AS (SELECT user_id, grp, count(*) AS streak_len
+          FROM g GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY 1
+    """,
+)
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the islands
+    trick at DAY granularity (day − row_number is constant within a
+    consecutive run), distinct from time-gap sessionization. One
+    distinct-pairs collapse, one user-partitioned window, two tiny
+    aggregates; date arithmetic stays in timestamp-interval space
+    (timezone-proof on NTZ)."""
+    ev = tbl(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "grp", F.expr("day - make_interval(0, 0, 0, rn)")
+    )
+    s = g.groupBy("user_id", "grp").agg(F.count("*").alias("streak_len"))
+    return s.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )

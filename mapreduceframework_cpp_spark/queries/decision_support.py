@@ -666,3 +666,54 @@ def q_brand_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_rev"),
         ((F.col("rev") - prev) / prev).alias("yoy_growth"),
     )
+
+
+@query(
+    "q_supplier_hhi",
+    oracle=f"""
+    WITH r AS (
+      SELECT p_type, l_suppkey, {_REV_SQL} AS rev
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+      GROUP BY 1, 2),
+    t AS (SELECT p_type, l_suppkey, rev,
+                 sum(rev) OVER (PARTITION BY p_type) AS total
+          FROM r),
+    q AS (SELECT p_type,
+                 CAST(round(pow(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE),
+                                2) * 1000000000000) AS BIGINT) AS hq
+          FROM t)
+    SELECT p_type,
+           CAST(sum(hq) AS DOUBLE) / 1000000000000 AS hhi,
+           CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM q GROUP BY 1
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: Herfindahl–Hirschman index of
+    supplier revenue shares per part type (1/n = perfect competition,
+    1.0 = monopoly) — the concentration metric sourcing risk reviews
+    use. Shares divide decimal-exact revenue by the windowed total
+    (identical doubles both engines); each squared share quantizes to a
+    1e-12 grid BEFORE the cross-supplier sum, so the index is
+    order-independent."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_type")
+    r = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    w = Window.partitionBy("p_type")
+    share = F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")
+    hq = F.round(F.pow(share, 2) * F.lit(1000000000000.0)).cast("long")
+    return (
+        r.withColumn("hq", hq)
+        .groupBy("p_type")
+        .agg(
+            (F.sum("hq").cast("double") / 1000000000000).alias("hhi"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
