@@ -18,7 +18,7 @@ must not displace queries queued for driver verification.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from mapreduceframework_cpp_spark.operators.dedup import incremental_near_dups
 from mapreduceframework_cpp_spark.operators.multimodal import (
@@ -487,3 +487,41 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
     )
+
+
+@query(
+    "q_sample_balanced",
+    oracle="""
+    WITH m AS (SELECT min(cnt) AS k
+               FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY sha256(CAST(doc_id AS VARCHAR)))
+                   AS rk
+          FROM documents)
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM r, m WHERE rk <= m.k
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language reduced to the size
+    of the SMALLEST class (the mixture-equalization step before
+    training on imbalanced corpora), selecting by id-hash rank so the
+    draw is uniform, reproducible across engines/runs/partitionings,
+    and incremental-friendly. The min-class scalar broadcasts from a
+    1-row aggregate; selection is one rank window per class."""
+    docs = tbl(spark, sf_dir, "documents")
+    m = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").alias("k"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256)
+    )
+    r = docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return r.crossJoin(F.broadcast(m)).filter(
+        F.col("rk") <= F.col("k")
+    ).select("doc_id", "lang", "rk")

@@ -368,3 +368,91 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("token_entropy"),
     )
+
+
+@query(
+    "q_text_js_divergence",
+    oracle="""
+    WITH tok AS (SELECT source,
+                        unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents
+                 WHERE source IN ('src0', 'src1')),
+    c AS (SELECT source, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, sum(n) AS tn FROM c GROUP BY 1),
+    f AS (SELECT c.tok,
+                 CAST(sum(CASE WHEN c.source = 'src0' THEN c.n END)
+                      AS DOUBLE)
+                 / (SELECT CAST(tn AS DOUBLE) FROM tot
+                    WHERE source = 'src0') AS p,
+                 CAST(sum(CASE WHEN c.source = 'src1' THEN c.n END)
+                      AS DOUBLE)
+                 / (SELECT CAST(tn AS DOUBLE) FROM tot
+                    WHERE source = 'src1') AS q
+          FROM c GROUP BY 1),
+    terms AS (
+      SELECT CAST(round(
+               (CASE WHEN p > 0
+                     THEN 0.5 * p * log2(p / (0.5 * (coalesce(p, 0)
+                                                     + coalesce(q, 0))))
+                     ELSE 0 END
+                + CASE WHEN q > 0
+                       THEN 0.5 * q * log2(q / (0.5 * (coalesce(p, 0)
+                                                       + coalesce(q, 0))))
+                       ELSE 0 END) * 1000000000) AS BIGINT) AS tq
+      FROM f)
+    SELECT CAST(sum(tq) AS DOUBLE) / 1000000000 AS js_divergence,
+           CAST(count(*) AS BIGINT) AS vocab_union
+    FROM terms
+    """,
+)
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between two sources' token
+    distributions — the corpus-drift metric (0 = identical mix, 1 bit =
+    disjoint) that ingest monitoring alarms on. Per-token probabilities
+    are exact-integer count ratios; each JSD term evaluates the SAME
+    double expression tree in both engines and quantizes onto a 1e-9
+    grid before the cross-token sum (order-independent, the
+    q_doc_entropy discipline). One token-key shuffle; the two 1-row
+    totals broadcast."""
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    c = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.groupBy("source").agg(F.sum("n").alias("tn"))
+    t0 = tot.filter(F.col("source") == "src0").select(
+        F.col("tn").cast("double").alias("tn0")
+    )
+    t1 = tot.filter(F.col("source") == "src1").select(
+        F.col("tn").cast("double").alias("tn1")
+    )
+    f = (
+        c.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", F.col("n"))).alias("n0"),
+            F.sum(F.when(F.col("source") == "src1", F.col("n"))).alias("n1"),
+        )
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+        .select(
+            "tok",
+            (F.col("n0").cast("double") / F.col("tn0")).alias("p"),
+            (F.col("n1").cast("double") / F.col("tn1")).alias("q"),
+        )
+    )
+    m = 0.5 * (F.coalesce(F.col("p"), F.lit(0.0)) + F.coalesce(F.col("q"), F.lit(0.0)))
+    term = (
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log2(F.col("p") / m)).otherwise(0.0)
+        + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log2(F.col("q") / m)).otherwise(0.0)
+    )
+    tq = F.round(term * 1000000000).cast("long")
+    return f.select(tq.alias("tq")).agg(
+        (F.sum("tq").cast("double") / 1000000000).alias("js_divergence"),
+        F.count("*").alias("vocab_union"),
+    )
