@@ -134,3 +134,31 @@ def test_count_min_partition_invariance(spark, sf_dir):
         est = count_min_estimate(counters, toks, "token")
         outs.append(sorted((r.key, r.est) for r in est.collect()))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_js_divergence_bounded_and_deterministic(spark, oracle_sf_dir):
+    """0 <= JSD <= 1 bit (base-2 JSD bound), vocab_union > 0, and the
+    quantized-term sum must reproduce bit-identically across runs."""
+    from mapreduceframework_cpp_spark.registry import all_queries
+
+    jsd = all_queries()["q_text_js_divergence"]
+    row = jsd(spark, oracle_sf_dir).collect()[0]
+    assert 0.0 <= row.js_divergence <= 1.0
+    assert row.vocab_union > 0
+    row2 = jsd(spark, oracle_sf_dir).collect()[0]
+    assert row.js_divergence == row2.js_divergence
+
+
+def test_balanced_sample_equal_classes(spark, oracle_sf_dir):
+    """Every language must come out at exactly the min class size."""
+    from mapreduceframework_cpp_spark.registry import all_queries
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+
+    out = all_queries()["q_sample_balanced"](spark, oracle_sf_dir)
+    sizes = {r.lang: r.cnt for r in out.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    docs = tbl(spark, oracle_sf_dir, "documents")
+    k = min(
+        r.cnt
+        for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()
+    )
+    assert set(sizes.values()) == {k}, sizes
