@@ -82,16 +82,9 @@ VERIFY_ROTATION = [
         #    guard on the highest-value path) -----------------------------
         "q_pipeline_e2e",
 ]
-# Round-4 rotation TODO: the 28 queries registered after this window in
-# round 3 have local-diff evidence only — lead the next window with
-# whichever of them (and of this window) CORRECTNESS_r03 leaves without
-# a green row:
-#   q_tpch_q2/q4/q6/q11/q12/q14/q15/q18/q21/q22_shape, q_orders_cohort,
-#   q_orders_abc, q_events_markov, q_events_anomaly, q_events_dau_wau,
-#   q_events_conversion_lag, q_sessions_stats, q_doc_chunks,
-#   q_chunk_dedup, q_dataset_card, q_text_zipf, q_text_hapax,
-#   q_doc_entropy, q_win_median, q_knn_blocked, q_date_spine,
-#   q_bloom_prune, q_incr_agg, q_stream_stateful, q_cogroup_reconcile,
-#   q_emb_kmeans (rows-only), q_null_semantics, q_agg_ols_trend.
-
-registry.reorder(VERIFY_ROTATION)
+# Round-4 rotation TODO: every query registered after this 50-slot
+# window during round 3 (registry positions 51+; 40+ queries from
+# q_tpch_*_shape through q_sample_balanced — enumerate with
+# `list(registry.QUERIES)[50:]` minus the names above) has local
+# oracle-diff evidence only. Lead the next window with whichever of
+# them (and of this window) CORRECTNESS_r03 leaves without a green row.
