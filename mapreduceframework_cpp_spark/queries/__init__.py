@@ -88,3 +88,5 @@ VERIFY_ROTATION = [
 # `list(registry.QUERIES)[50:]` minus the names above) has local
 # oracle-diff evidence only. Lead the next window with whichever of
 # them (and of this window) CORRECTNESS_r03 leaves without a green row.
+
+registry.reorder(VERIFY_ROTATION)
