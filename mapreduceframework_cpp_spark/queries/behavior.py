@@ -770,3 +770,42 @@ def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").alias("longest_streak"),
         F.count("*").alias("n_streaks"),
     )
+
+
+@query(
+    "q_events_power_users",
+    oracle="""
+    WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    t AS (SELECT quantile_cont(CAST(n AS DOUBLE), 0.99) AS thr,
+                 sum(n) AS total FROM u)
+    SELECT CAST(count(*) AS BIGINT) AS n_power_users,
+           CAST(sum(u.n) AS BIGINT) AS power_events,
+           CAST(sum(u.n) AS DOUBLE) / CAST(any_value(t.total) AS DOUBLE)
+             AS share_of_events
+    FROM u, t WHERE CAST(u.n AS DOUBLE) >= t.thr
+    """,
+)
+def q_events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: users at or above the p99 event count and
+    their share of ALL events — the power-user/abuse-screening report.
+    Per-user counts are exact ints; the p99 threshold and the global
+    total ride one broadcast 1-row aggregate; the share is a single
+    double division of exact integers."""
+    ev = tbl(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    t = u.agg(
+        F.expr("percentile(CAST(n AS DOUBLE), 0.99)").alias("thr"),
+        F.sum("n").alias("total"),
+    )
+    return (
+        u.crossJoin(F.broadcast(t))
+        .filter(F.col("n").cast("double") >= F.col("thr"))
+        .agg(
+            F.count("*").alias("n_power_users"),
+            F.sum("n").alias("power_events"),
+            (
+                F.sum("n").cast("double")
+                / F.first("total").cast("double")
+            ).alias("share_of_events"),
+        )
+    )

@@ -717,3 +717,50 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_suppliers"),
         )
     )
+
+
+@query(
+    "q_orders_reorder_gap",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(round((epoch(o_orderdate)
+                         - epoch(lag(o_orderdate) OVER
+                             (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)))
+                        / 86400.0 * 1000000) AS BIGINT) AS gap_udays
+      FROM orders),
+    f AS (SELECT CAST(gap_udays AS DOUBLE) / 1000000 AS gap_days
+          FROM g WHERE gap_udays IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(quantile_cont(gap_days, 0.5) AS DOUBLE) AS p50_days,
+           CAST(quantile_cont(gap_days, 0.9) AS DOUBLE) AS p90_days,
+           CAST(max(gap_days) AS DOUBLE) AS max_days
+    FROM f
+    """,
+)
+def q_orders_reorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: per-customer gaps between
+    consecutive orders (lag over one custkey-partitioned window),
+    described by exact percentiles — the repeat-purchase-cadence
+    report behind churn models. Gaps quantize to integer micro-days
+    before the percentile pass so every interpolation input is
+    identical across engines."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    sec = F.col("o_orderdate").cast("timestamp").cast("double")
+    prev = F.lag(sec).over(w)
+    gap_udays = F.round((sec - prev) / 86400.0 * 1000000).cast("long")
+    f = (
+        o.withColumn("gap_udays", gap_udays)
+        .filter(F.col("gap_udays").isNotNull())
+        .select((F.col("gap_udays").cast("double") / 1000000).alias("gap_days"))
+    )
+    return f.agg(
+        F.count("*").alias("n_gaps"),
+        F.expr("percentile(gap_days, 0.5)").cast("double").alias("p50_days"),
+        F.expr("percentile(gap_days, 0.9)").cast("double").alias("p90_days"),
+        F.max("gap_days").cast("double").alias("max_days"),
+    )
