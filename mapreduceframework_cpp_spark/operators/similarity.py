@@ -305,7 +305,7 @@ def kmeans_cluster_report(
     curriculum buckets); the report row count is k, so nothing bigger
     than the centroids ever leaves the executors."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feats = emb.select(
         F.col(id_col).alias("vec_id"),

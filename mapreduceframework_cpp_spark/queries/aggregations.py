@@ -276,20 +276,20 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
     SELECT event_type AS item, CAST(n AS BIGINT) AS est_count
-    FROM c ORDER BY n DESC, event_type LIMIT 3
+    FROM c
     """,
 )
 def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based heavy hitters (Spark 4 ``approx_top_k`` —
-    DataSketches frequent-items): top-3 event types with estimated
-    counts from ONE mergeable sketch pass, no full groupBy at 100 TB.
-    At this column's cardinality (5 ≪ sketch capacity) the sketch is
-    EXACT, so the oracle is the exact top-3 — the same
-    exactness-window discipline as q_agg_approx_distinct's ±5% bound,
-    tightened to equality."""
+    DataSketches frequent-items): heavy hitters of event_type with
+    estimated counts from ONE mergeable sketch pass, no full groupBy at
+    100 TB. k equals the column's full cardinality (5 ≪ sketch
+    capacity), so the sketch is EXACT and boundary ties cannot change
+    membership — the oracle is the exact count set, equality-tight (the
+    q_agg_approx_distinct discipline with the ±bound closed to zero)."""
     ev = tbl(spark, sf_dir, "events")
     return (
-        ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        ev.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(
             F.col("e.item").alias("item"),

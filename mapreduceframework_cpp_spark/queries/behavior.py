@@ -65,11 +65,36 @@ def q_win_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_session_ids(ev: DataFrame, gap_sec: float = 1800.0) -> DataFrame:
+    """Append ``session_idx`` via gaps-and-islands: a silence longer
+    than ``gap_sec`` starts a new session. The lag and the running sum
+    share ONE sort+exchange on user_id ((ts, event_id) tie-broken so
+    assignment is deterministic under duplicate timestamps). Shared by
+    q_events_sessionize and q_sessions_stats — one definition of
+    'session' for the whole engine."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # TIMESTAMP_NTZ has no direct double cast in Spark 4; route through
+    # TIMESTAMP (session tz is pinned UTC, so the instant is unchanged)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    brk = F.when(
+        (sec - F.lag(sec).over(w) > gap_sec) | F.lag(sec).over(w).isNull(), 1
+    ).otherwise(0)
+    return ev.withColumn("brk", brk).withColumn(
+        "session_idx", F.sum("brk").over(w_run).cast("long")
+    )
+
+
+
 @query(
     "q_events_sessionize",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
                     OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS brk
@@ -78,7 +103,7 @@ def q_win_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM o
     )
@@ -91,33 +116,14 @@ def q_win_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit session IDs via gaps-and-islands: a >30-min silence
     starts a new session; the running sum of boundary flags numbers the
-    sessions. Unlike ``q_stream_session`` (which aggregates inside
-    Spark's session_window), this exposes the session id itself, which
-    downstream joins need. The lag and the running sum share ONE
-    sort+exchange on user_id (same window spec), so the whole query is
-    a single shuffle. Timestamps compare in epoch seconds (micro
+    sessions (shared helper ``_with_session_ids``). Unlike
+    ``q_stream_session`` (which aggregates inside Spark's
+    session_window), this exposes the session id itself, which
+    downstream joins need. Timestamps compare in epoch seconds (micro
     precision on both engines, identical doubles)."""
     ev = tbl(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # TIMESTAMP_NTZ has no direct double cast in Spark 4; route through
-    # TIMESTAMP (session tz is pinned UTC, so the instant is unchanged)
-    sec = F.col("ts").cast("timestamp").cast("double")
-    brk = (
-        F.when(
-            sec - F.lag(sec).over(w) > 1800.0,
-            1,
-        )
-        .when(F.lag("ts").over(w).isNull(), 1)
-        .otherwise(0)
-    )
-    wrun = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        ev.withColumn("brk", brk)
-        .withColumn("session_idx", F.sum("brk").over(wrun).cast("long"))
+        _with_session_ids(ev)
         .groupBy("user_id", "session_idx")
         .agg(
             F.min("ts").alias("session_start"),
@@ -508,7 +514,7 @@ def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessions_stats",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
                     OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS brk
@@ -517,7 +523,7 @@ def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM o
     ),
@@ -544,17 +550,7 @@ def q_sessions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the cross-session sum, so the averages are exact-integer
     ratios (order-independent)."""
     ev = tbl(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sec = F.col("ts").cast("timestamp").cast("double")
-    brk = F.when(
-        (sec - F.lag(sec).over(w) > 1800.0) | F.lag(sec).over(w).isNull(), 1
-    ).otherwise(0)
-    s = ev.withColumn("brk", brk).withColumn(
-        "session_idx", F.sum("brk").over(w_run)
-    )
+    s = _with_session_ids(ev)
     sess = s.groupBy("user_id", "session_idx").agg(
         F.count("*").alias("n_events"),
         F.round(

@@ -425,12 +425,18 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tok")
         .agg(F.count("*").alias("n"))
     )
-    tot = c.groupBy("source").agg(F.sum("n").alias("tn"))
-    t0 = tot.filter(F.col("source") == "src0").select(
-        F.col("tn").cast("double").alias("tn0")
-    )
-    t1 = tot.filter(F.col("source") == "src1").select(
-        F.col("tn").cast("double").alias("tn1")
+    # ONE 1-row totals aggregate (conditional sums) instead of two
+    # filtered frames: an empty source yields a NULL total, and the
+    # division then yields NULL p/q exactly like the oracle's scalar
+    # subqueries — a filtered-frame cross join would collapse the whole
+    # query to zero rows on that degenerate input.
+    tot = c.agg(
+        F.sum(F.when(F.col("source") == "src0", F.col("n")))
+        .cast("double")
+        .alias("tn0"),
+        F.sum(F.when(F.col("source") == "src1", F.col("n")))
+        .cast("double")
+        .alias("tn1"),
     )
     f = (
         c.groupBy("tok")
@@ -438,8 +444,7 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("source") == "src0", F.col("n"))).alias("n0"),
             F.sum(F.when(F.col("source") == "src1", F.col("n"))).alias("n1"),
         )
-        .crossJoin(F.broadcast(t0))
-        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(tot))
         .select(
             "tok",
             (F.col("n0").cast("double") / F.col("tn0")).alias("p"),

@@ -199,9 +199,19 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["o_orderkey", "n_lines", "o_totalprice", "line_revenue"]
             )
         if len(l_pdf):
-            cents = l_pdf["l_extendedprice"].mul(100).round().astype("int64")
+            import numpy as np
+
+            # floor(x + 0.5) = round-half-away-from-zero for the
+            # all-positive inputs here — pandas .round() is half-EVEN
+            # and would disagree with the oracle's SQL round() on any
+            # exact .5 boundary
+            cents = (
+                np.floor(l_pdf["l_extendedprice"].mul(100) + 0.5)
+                .astype("int64")
+            )
             disc_bp = (
-                (1 - l_pdf["l_discount"]).mul(10000).round().astype("int64")
+                np.floor((1 - l_pdf["l_discount"]).mul(10000) + 0.5)
+                .astype("int64")
             )
             per_line = pd.DataFrame(
                 {"k": l_pdf["l_orderkey"], "q": cents * disc_bp}
