@@ -378,3 +378,72 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("total_price"),
         (F.col("s").cast("double") / F.col("n_orders")).alias("avg_price"),
     )
+
+
+@query(
+    "q_scd2_pit_lookup",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    chg AS (SELECT user_id, event_type, ts FROM x
+            WHERE prev_type IS NULL OR prev_type <> event_type),
+    iv AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM chg),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT iv.state,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM p JOIN iv
+      ON p.user_id = iv.user_id
+     AND iv.valid_from <= p.ts
+     AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    GROUP BY 1
+    """,
+)
+def q_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against SCD-2 validity intervals — the
+    feature-store join that must never leak the future: each purchase
+    reads the browsing state (last non-purchase event type) that was
+    valid AT its timestamp, via [valid_from, valid_to) with a NULL open
+    end. Intervals build exactly like q_scd2_intervals (two windows,
+    one user_id exchange); the lookup joins on user_id with the
+    validity range as residual — per-user interval counts are small,
+    so the equi join carries the work and AQE handles skew. Purchases
+    before any state row are dropped (inner join), matching the
+    oracle."""
+    ev = tbl(spark, sf_dir, "events")
+    nonp = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        nonp.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    iv = chg.select(
+        F.col("user_id").alias("iv_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return (
+        p.join(
+            iv,
+            (p.user_id == iv.iv_user)
+            & (iv.valid_from <= p.ts)
+            & (iv.valid_to.isNull() | (p.ts < iv.valid_to)),
+        )
+        .groupBy("state")
+        .agg(F.count("*").alias("n_purchases"))
+    )
