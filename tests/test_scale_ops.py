@@ -84,6 +84,10 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
         "q_win_median",
         "q_doc_entropy",
         "q_events_dau_wau",
+        "q_events_streaks",
+        "q_scd2_pit_lookup",
+        "q_supplier_hhi",
+        "q_text_js_divergence",
     ],
 )
 def test_tiebreak_queries_shuffle_partition_invariant(spark, oracle_sf_dir, qname):
