@@ -382,3 +382,72 @@ def q_emb_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").cast("double").alias("dim_max"),
         (F.sum(q).cast("double") / 1000000 / F.count("*")).alias("dim_mean"),
     )
+
+
+@query(
+    "q_emb_outliers",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    m AS (SELECT CAST(sum(CAST(round(nrm * 1000000000) AS BIGINT))
+                      AS DOUBLE) / 1000000000 / count(*) AS mu
+          FROM n),
+    s AS (SELECT mu,
+                 sqrt(CAST(sum(CAST(round((nrm - mu) * (nrm - mu) * 1e15)
+                                   AS BIGINT)) AS DOUBLE) / 1e15
+                      / (count(*) - 1)) AS sd
+          FROM n, m GROUP BY mu)
+    SELECT vec_id, CAST(nrm AS DOUBLE) AS norm,
+           CAST((nrm - mu) / sd AS DOUBLE) AS zscore
+    FROM n, s
+    WHERE abs((nrm - mu) / sd) > 2.0
+    """,
+)
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-QA outlier report: vectors whose L2 norm sits more
+    than 2σ from the corpus mean — the corrupt/degenerate-vector screen
+    run before any ANN indexing. The corpus here is unit-normalized
+    (σ ≈ 1e-5), so variance needs the TWO-PASS centered form: a raw
+    power-sum loses the entire signal below any integer-quantization
+    grid coarse enough for the means (and to catastrophic cancellation
+    generally). Pass 1: 1e-9-grid mean. Pass 2: centered squares on a
+    1e-15 grid (values ~1e-10 → exact, order-independent sums). Both
+    1-row stats broadcast back onto the norms."""
+    from mapreduceframework_cpp_spark.operators.similarity import with_norm
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    n = with_norm(emb).select("vec_id", F.col("_norm").alias("nrm"))
+    q1 = F.round(F.col("nrm") * 1000000000).cast("long")
+    m = n.agg(
+        (F.sum(q1).cast("double") / 1000000000 / F.count("*")).alias("mu")
+    )
+    centered_sq = F.round(
+        (F.col("nrm") - F.col("mu")) * (F.col("nrm") - F.col("mu")) * 1e15
+    ).cast("long")
+    s = (
+        n.crossJoin(F.broadcast(m))
+        .agg(
+            F.first("mu").alias("mu"),
+            F.sum(centered_sq).alias("_sq"),
+            F.count("*").alias("_c"),
+        )
+        .select(
+            "mu",
+            F.sqrt(
+                F.col("_sq").cast("double") / 1e15 / (F.col("_c") - 1)
+            ).alias("sd"),
+        )
+    )
+    z = (F.col("nrm") - F.col("mu")) / F.col("sd")
+    return (
+        n.crossJoin(F.broadcast(s))
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "vec_id",
+            F.col("nrm").cast("double").alias("norm"),
+            z.cast("double").alias("zscore"),
+        )
+    )

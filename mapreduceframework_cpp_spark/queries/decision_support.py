@@ -764,3 +764,35 @@ def q_orders_reorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_days, 0.9)").cast("double").alias("p90_days"),
         F.max("gap_days").cast("double").alias("max_days"),
     )
+
+
+@query(
+    "q_order_size_dist",
+    oracle="""
+    WITH g AS (SELECT l_orderkey, count(*) AS n_lines
+               FROM lineitem GROUP BY 1)
+    SELECT CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) AS DOUBLE)
+           / sum(count(*)) OVER () AS frac_orders
+    FROM g GROUP BY 1
+    """,
+)
+def q_order_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size distribution: how many lineitems orders carry — the
+    fan-out histogram that sizes join plans (a shifted distribution
+    here changes every orders⋈lineitem estimate). Two cheap aggregates;
+    the share window runs over the ≤7-row histogram."""
+    li = tbl(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    h = g.groupBy(F.col("n_lines").cast("long").alias("n_lines")).agg(
+        F.count("*").alias("n_orders")
+    )
+    w = Window.partitionBy()
+    return h.select(
+        "n_lines",
+        "n_orders",
+        (F.col("n_orders").cast("double") / F.sum("n_orders").over(w)).alias(
+            "frac_orders"
+        ),
+    )
