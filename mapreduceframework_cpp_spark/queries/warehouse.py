@@ -447,3 +447,49 @@ def q_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("state")
         .agg(F.count("*").alias("n_purchases"))
     )
+
+
+@query(
+    "q_dataset_diff",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_orderkey % 5 <> 0),
+    b AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 3 <> 0),
+    d AS (
+      SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows
+    FROM d GROUP BY 1
+    """,
+)
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the data-versioning reconciliation report): two
+    dataset versions full-outer-joined on the key and every row
+    classified added / removed / changed / unchanged — what a Delta/
+    Iceberg time-travel DIFF computes, expressed on plain tables. One
+    co-partitioned join on the key; the classification is a pure
+    projection and only four counter rows leave the executors."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("ka"), F.col("o_totalprice").alias("pa")
+    )
+    b = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("kb"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100
+        ).otherwise(F.col("o_totalprice")).alias("pb"),
+    )
+    d = a.join(b, a.ka == b.kb, "full_outer").select(
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("pa") != F.col("pb"), "changed")
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return d.groupBy("status").agg(F.count("*").alias("n_rows"))
