@@ -137,6 +137,14 @@ HEADLINE = [
     "q_emb_feature_stats",
     "q_events_streaks",
     "q_supplier_hhi",
+    "q_scd2_pit_lookup",
+    "q_dataset_diff",
+    "q_order_size_dist",
+    "q_emb_outliers",
+    "q_orders_reorder_gap",
+    "q_events_power_users",
+    "q_text_js_divergence",
+    "q_sample_balanced",
 ]
 
 
