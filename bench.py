@@ -145,6 +145,14 @@ HEADLINE = [
     "q_events_power_users",
     "q_text_js_divergence",
     "q_sample_balanced",
+    # TPC-H completion (queries/tpch_complete.py): the full 22-shape set
+    "q_tpch_q1_shape",
+    "q_tpch_q8_shape",
+    "q_tpch_q9_shape",
+    "q_tpch_q13_shape",
+    "q_tpch_q16_shape",
+    "q_tpch_q19_shape",
+    "q_tpch_q20_shape",
 ]
 
 

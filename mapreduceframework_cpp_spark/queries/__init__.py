@@ -38,6 +38,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     gateway,
     profiling,
     decision_support,
+    tpch_complete,
 )
 
 #: round-4 verification window (50 slots). Cumulative driver signal

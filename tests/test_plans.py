@@ -312,3 +312,59 @@ def test_tpch_q2_argmin_single_fact_shuffle(spark, sf_dir):
     p = plan(_Q["q_tpch_q2_shape"](spark, sf_dir))
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_tpch_q1_is_pure_partial_aggregate(spark, sf_dir):
+    """Q1 (pricing summary) must be scan → partial agg → exchange →
+    final agg: no join anywhere, and map-side combine so the shuffle
+    carries 6 groups per partition, not 240 k rows."""
+    p = plan(_Q["q_tpch_q1_shape"](spark, sf_dir))
+    assert "Join" not in p, p
+    assert "partial" in p.lower(), p
+
+
+def test_tpch_q8_snowflake_broadcasts_all_dims(spark, sf_dir):
+    """Q8's 8-table snowflake: every dimension chain broadcasts; the
+    only candidate shuffle join is lineitem⋈orders. No sort-merge, no
+    cartesian."""
+    p = plan(_Q["q_tpch_q8_shape"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_tpch_q13_left_outer_is_hash(spark, sf_dir):
+    """Q13's zero-preserving outer join (equi key + priority residual
+    in the JOIN condition) must stay a hash LeftOuter — a residual
+    pushed into WHERE would drop the zero-order customers, a
+    nested-loop plan would die at scale."""
+    p = plan(_Q["q_tpch_q13_shape"](spark, sf_dir))
+    assert "LeftOuter" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_tpch_q16_supplier_blocklist_broadcast_anti(spark, sf_dir):
+    """Q16's NOT IN lowers to a broadcast LeftAnti (the blocklist
+    pattern) over the distinct part-supplier pairs."""
+    p = plan(_Q["q_tpch_q16_shape"](spark, sf_dir))
+    assert "LeftAnti" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_tpch_q19_disjunction_is_residual_on_broadcast(spark, sf_dir):
+    """Q19's OR-of-ANDs spans both tables, so it must evaluate as a
+    residual on the broadcast part join — never a cartesian."""
+    p = plan(_Q["q_tpch_q19_shape"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_tpch_q20_nested_in_is_semi_join(spark, sf_dir):
+    """Q20's IN-over-HAVING subquery lowers to a LeftSemi against the
+    aggregated mover keys; the date range reaches the parquet scan."""
+    p = plan(_Q["q_tpch_q20_shape"](spark, sf_dir))
+    assert "LeftSemi" in p, p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
+    assert pushed, p
