@@ -153,6 +153,11 @@ HEADLINE = [
     "q_tpch_q16_shape",
     "q_tpch_q19_shape",
     "q_tpch_q20_shape",
+    # mining family (queries/mining.py)
+    "q_basket_pairs",
+    "q_equidepth_hist",
+    "q_rolling_dau",
+    "q_emb_random_projection",
 ]
 
 

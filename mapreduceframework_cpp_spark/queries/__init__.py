@@ -39,6 +39,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     profiling,
     decision_support,
     tpch_complete,
+    mining,
 )
 
 #: round-4 verification window (50 slots). Cumulative driver signal

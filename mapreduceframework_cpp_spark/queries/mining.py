@@ -1,0 +1,278 @@
+"""Pattern-mining + distribution surfaces: market-basket affinity,
+equi-depth histograms, rolling-window distinct users, and
+Johnson–Lindenstrauss random projection.
+
+Each is a classic "the reference's map/reduce users would build this
+next" composition of SURVEY.md §2.1 primitives (emit2/emit3 + reduce ≙
+`MapReduceClient.h:22-39`): basket pairs are a self-joined reduce,
+rolling DAU a windowed re-reduce, the histogram a sort-then-bucket
+(R5/R6), and the projection a pure map (R3) that compresses the
+similarity-search feature space before any LSH/IVF pass.
+
+Scale notes: the basket self-join collapses the fact table to distinct
+(order, brand) FIRST (≤25 brands ⇒ ≤300 pairs per order, bounded
+fan-out) and co-partitions both sides on orderkey; the histogram's
+ntile window is the one global sort, run over the projected 2-column
+frame; rolling DAU broadcasts the tiny day spine and shuffles (day,
+user) once; the JL projection is shuffle-free and all-JVM (higher-order
+functions over the array column), with every lane quantized to a 1e-6
+integer grid so the fold is exact integer math — order-independent and
+bit-identical across engines at any partitioning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+#: JL output dimensionality — small enough that the oracle enumerates it.
+_RP_DIMS = 8
+
+
+@query(
+    "q_basket_pairs",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             count(*) AS pair_cnt
+      FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                         AND a.p_brand < b.p_brand
+      GROUP BY 1, 2),
+    single AS (
+      SELECT p_brand, count(*) AS brand_cnt FROM ob GROUP BY 1)
+    SELECT brand_a, brand_b,
+           CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(pair_cnt AS DOUBLE) / n_orders AS support,
+           CAST(pair_cnt AS DOUBLE) * n_orders
+             / (sa.brand_cnt * CAST(sb.brand_cnt AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN single sa ON sa.p_brand = brand_a
+    JOIN single sb ON sb.p_brand = brand_b
+    CROSS JOIN n
+    WHERE pair_cnt >= 50
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: brand pairs co-purchased in the same
+    order, with support and lift — the association-rule primitive.
+    The oracle states it as the textbook self-join; the Spark lowering
+    avoids the self-join entirely: ONE orderkey shuffle collects each
+    order's sorted distinct-brand set (≤25 elements), pairs generate
+    array-side (C(|set|,2) per order, bounded fan-out, no second scan
+    of the fact table), and the tiny brand/pair aggregates re-reduce
+    from the same frame. Marginals and the order total attach by
+    broadcast. Lift divides the same integers in double on both
+    engines."""
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+    )
+    from mapreduceframework_cpp_spark.operators.common import persist_tracked
+
+    # the brand-set frame feeds three consumers (total, pairs,
+    # marginals) — persist once, released by release_persisted()
+    ob = persist_tracked(ob)
+    n_orders = ob.agg(F.count(F.lit(1)).alias("n_orders"))
+    pair_arr = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
+    pairs = (
+        ob.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.brand_a", "pr.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 50)
+    )
+    single = (
+        ob.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("brand_cnt"))
+    )
+    sa = single.select(
+        F.col("p_brand").alias("brand_a"), F.col("brand_cnt").alias("cnt_a")
+    )
+    sb = single.select(
+        F.col("p_brand").alias("brand_b"), F.col("brand_cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_cnt",
+            (F.col("pair_cnt").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+            (
+                F.col("pair_cnt").cast("double")
+                * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_equidepth_hist",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS bucket_rev
+    FROM b GROUP BY 1
+    """,
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order values: 10 ntile
+    buckets with their realized [lo, hi] edges and revenue mass — the
+    quantile-sketch companion that drives skew-aware partitioning
+    decisions. The ntile window is a single global sort over a
+    projected 2-column frame (price + tie-breaking key, so bucket
+    assignment is total-order deterministic); the re-aggregate is
+    map-side combinable on 10 groups. Bucket revenue sums exact
+    decimals before the double cast."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(10).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("bucket_rev"),
+        )
+    )
+
+
+@query(
+    "q_rolling_dau",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events)
+    SELECT d.day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS rolling_7d_users,
+           CAST(count(*) AS BIGINT) AS rolling_7d_events
+    FROM days d
+    JOIN events e
+      ON CAST(date_trunc('day', e.ts) AS TIMESTAMP) <= d.day
+     AND CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+         > d.day - INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the windowed COUNT(DISTINCT)
+    that plain window frames can't express (distinct isn't
+    frame-decomposable). Lowering: broadcast the tiny day spine
+    (365 rows/year regardless of fact size) into a range join against
+    events, then one (day, user) aggregate. At 100 TB the fan-out is
+    bounded at 7× the fact rows — the scalable alternative to a
+    per-day self-union; the spine side stays broadcast so no extra
+    shuffle appears."""
+    e = tbl(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("eday"), "user_id"
+    )
+    days = e.select(F.col("eday").alias("day")).distinct()
+    return (
+        e.join(
+            F.broadcast(days),
+            (F.col("eday") <= F.col("day"))
+            & (F.col("eday") > F.col("day") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("rolling_7d_users"),
+            F.count(F.lit(1)).alias("rolling_7d_events"),
+        )
+    )
+
+
+@query(
+    "q_emb_random_projection",
+    oracle=f"""
+    WITH lanes AS (
+      SELECT vec_id, j,
+             list_sum(list_transform(range(0, len(embedding)),
+               i -> CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                         AS BIGINT)
+                    * (CASE WHEN ((i * 1103515245 + j * 12345) % 97) % 2 = 0
+                            THEN 1 ELSE -1 END))) AS acc
+      FROM embeddings, range(0, {_RP_DIMS}) t(j))
+    SELECT vec_id,
+           CAST(j AS BIGINT) AS dim,
+           CAST(acc AS DOUBLE) / 1000000 AS projected
+    FROM lanes
+    """,
+)
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of embeddings onto
+    {_RP_DIMS} ±1 lanes — the dimensionality-reduction step that makes
+    downstream LSH/IVF passes cheap at 100 TB (distance distortion
+    bounded by the JL lemma; Achlioptas-style sign matrix). The sign
+    for (input-dim i, lane j) derives from a deterministic integer LCG
+    mix — no materialized projection matrix, no randomness source, so
+    any executor recomputes the same lane. Shuffle-free map: the fold
+    runs as JVM higher-order functions over the array column; each
+    element quantizes to a 1e-6 integer grid first, so the per-lane
+    accumulator is exact int64 (order-independent, engine-identical)
+    and only the final value divides back to double."""
+    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lanes = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(_RP_DIMS - 1))).alias("j"),
+    )
+    idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+    sign = lambda i: F.when(  # noqa: E731
+        (
+            (
+                i.cast("long") * F.lit(1103515245)
+                + F.col("j").cast("long") * F.lit(12345)
+            )
+            % 97
+        )
+        % 2
+        == 0,
+        F.lit(1).cast("long"),
+    ).otherwise(F.lit(-1).cast("long"))
+    terms = F.transform(
+        idx,
+        lambda i: F.round(
+            F.element_at("embedding", (i + 1).cast("int")).cast("double")
+            * 1000000
+        )
+        .cast("long")
+        * sign(i),
+    )
+    acc = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return lanes.select(
+        "vec_id",
+        F.col("j").cast("long").alias("dim"),
+        (acc.cast("double") / 1000000).alias("projected"),
+    )

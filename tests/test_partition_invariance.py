@@ -120,3 +120,54 @@ def test_blocked_knn_partition_invariant(spark, sf_dir):
     for n in PARTS:
         got = _rows(label_blocked_knn(emb.repartition(n), k=3))
         assert got == ref, f"{n} partitions changed the kNN graph"
+
+
+def test_random_projection_partition_invariant(spark, sf_dir):
+    """The JL projection's integer-grid fold (round(x·1e6) then int64
+    sum) must be layout-independent — and so must the LCG sign mix,
+    which derives only from (dim index, lane), never from row order."""
+    from mapreduceframework_cpp_spark.registry import all_queries
+
+    q = all_queries()["q_emb_random_projection"]
+    ref = _rows(q(spark, sf_dir))
+    emb = tbl(spark, sf_dir, "embeddings")
+    from mapreduceframework_cpp_spark.queries.mining import _RP_DIMS
+
+    for n in PARTS:
+        # the query reads via tbl(); invariance is probed by recomputing
+        # the same logical plan over an explicit repartition of the input
+        lanes = emb.repartition(n).select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(_RP_DIMS - 1))).alias("j"),
+        )
+        idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+        sign = lambda i: F.when(  # noqa: E731
+            (
+                (
+                    i.cast("long") * F.lit(1103515245)
+                    + F.col("j").cast("long") * F.lit(12345)
+                )
+                % 97
+            )
+            % 2
+            == 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(-1).cast("long"))
+        terms = F.transform(
+            idx,
+            lambda i: F.round(
+                F.element_at("embedding", (i + 1).cast("int")).cast("double")
+                * 1000000
+            ).cast("long")
+            * sign(i),
+        )
+        acc = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
+        got = _rows(
+            lanes.select(
+                "vec_id",
+                F.col("j").cast("long").alias("dim"),
+                (acc.cast("double") / 1000000).alias("projected"),
+            )
+        )
+        assert got == ref, f"{n} partitions changed JL projection"

@@ -368,3 +368,30 @@ def test_tpch_q20_nested_in_is_semi_join(spark, sf_dir):
     assert "LeftSemi" in p, p
     pushed = [l for l in p.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
     assert pushed, p
+
+
+def test_basket_pairs_single_orderkey_shuffle(spark, sf_dir):
+    """Pair generation is array-side over the collected brand sets —
+    NO self-join of the fact table may appear (SortMergeJoin would mean
+    the lowering regressed to the quadratic textbook form). The one
+    nested-loop is the documented 1-row n_orders scalar attach."""
+    p = plan(_Q["q_basket_pairs"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_rolling_dau_spine_broadcasts(spark, sf_dir):
+    """The day spine must broadcast into the range join — a shuffle
+    range join over the fact table would be the 100 TB bottleneck."""
+    p = plan(_Q["q_rolling_dau"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_random_projection_is_shuffle_free_map(spark, sf_dir):
+    """JL projection is a pure map over the scan: no Exchange at all
+    before the (explode, transform, aggregate) projection."""
+    p = plan(_Q["q_emb_random_projection"](spark, sf_dir))
+    assert "Exchange" not in p, p
