@@ -158,6 +158,9 @@ HEADLINE = [
     "q_equidepth_hist",
     "q_rolling_dau",
     "q_emb_random_projection",
+    # retrieval family (queries/retrieval.py)
+    "q_text_bm25",
+    "q_dedup_prefix_filter",
 ]
 
 

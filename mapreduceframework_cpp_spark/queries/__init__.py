@@ -40,6 +40,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     decision_support,
     tpch_complete,
     mining,
+    retrieval,
 )
 
 #: round-4 verification window (50 slots). Cumulative driver signal
