@@ -343,11 +343,6 @@ def q_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes s_acctbal < 0 (the NOT-IN lowers to a broadcast LEFT ANTI
     join — the blocklist pattern). The brand/type/size predicates prune
     via the broadcast part join before the distinct-count aggregate."""
-    ps = (
-        tbl(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
     p = (
         tbl(spark, sf_dir, "part")
         .filter(
@@ -362,9 +357,23 @@ def q_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
+    # broadcast-semi BEFORE the distinct: the brand/type/size predicate
+    # keeps ~13% of parts, so filtering first shrinks the distinct's
+    # shuffle ~8× — the distinct then runs on the narrow key pair and
+    # the surviving dims re-attach by broadcast.
+    ps = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+        .distinct()
+    )
     return (
         ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
