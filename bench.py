@@ -161,6 +161,7 @@ HEADLINE = [
     # retrieval family (queries/retrieval.py)
     "q_text_bm25",
     "q_dedup_prefix_filter",
+    "q_stream_attrib_coverage",
 ]
 
 

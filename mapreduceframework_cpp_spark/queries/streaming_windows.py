@@ -281,3 +281,43 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emissions.groupBy("user_id").agg(
         F.max("n_events").alias("n_events")
     )
+
+
+@query(
+    "q_stream_attrib_coverage",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           CAST(p.value AS DOUBLE) AS value,
+           CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h,
+           min(c.ts) AS first_click_ts
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_attrib_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution coverage, batch form of the LEFT-OUTER stream-stream
+    join (streaming/joins.attribution_with_misses; watermark-bounded
+    outer semantics smoke-tested in tests/test_streaming.py): EVERY
+    purchase with its preceding-hour click count and earliest click —
+    NULLs for the unattributed ones an inner join would hide. One
+    user-keyed shuffle for the outer range join, then a purchase-keyed
+    re-aggregate; at ingest scale the streaming twin holds only the
+    hour of per-user state the watermark allows."""
+    from mapreduceframework_cpp_spark.streaming.joins import (
+        attribution_with_misses,
+    )
+
+    rows = attribution_with_misses(tbl(spark, sf_dir, "events"))
+    return rows.groupBy(
+        F.col("purchase_id"),
+        F.col("purchase_ts"),
+        F.col("value").cast("double").alias("value"),
+    ).agg(
+        F.count("click_id").alias("n_clicks_1h"),
+        F.min("click_ts").alias("first_click_ts"),
+    )

@@ -147,3 +147,36 @@ def test_stream_stream_interval_join(spark, sf_dir):
     got = run_to_memory(joined, "ss_interval_join").count()
     want = q_join_interval(spark, sf_dir).count()
     assert got == want > 0
+
+
+def test_stream_stream_outer_join_withheld_tail(spark, sf_dir):
+    """LEFT-OUTER stream-stream join semantics over a real stream:
+    matched rows reproduce the batch outer join exactly; NULL-side
+    (unmatched) rows are a SUBSET of the batch's — Spark only emits a
+    miss once the watermark passes its window, so unmatched purchases
+    younger than max(ts) − 1h are withheld in a finite availableNow
+    run. Asserting subset + exact-match parity pins both halves of the
+    contract."""
+    from mapreduceframework_cpp_spark.streaming.joins import (
+        attribution_with_misses,
+    )
+    from mapreduceframework_cpp_spark.streaming.stream import (
+        events_stream,
+        run_to_memory,
+    )
+
+    batch = attribution_with_misses(tbl(spark, sf_dir, "events"))
+    stream = attribution_with_misses(events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "parity_ss_outer", output_mode="append")
+
+    def split(df):
+        rows = _rows(df)
+        matched = [r for r in rows if r[-2] is not None]
+        missed = [r for r in rows if r[-2] is None]
+        return matched, missed
+
+    b_matched, b_missed = split(batch)
+    s_matched, s_missed = split(got)
+    assert s_matched == b_matched
+    assert set(s_missed) <= set(b_missed)
+    assert len(b_missed) > 0  # the dataset genuinely has unattributed buys
