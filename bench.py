@@ -162,6 +162,7 @@ HEADLINE = [
     "q_text_bm25",
     "q_dedup_prefix_filter",
     "q_stream_attrib_coverage",
+    "q_ts_holt",
 ]
 
 

@@ -493,3 +493,95 @@ def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status")
     )
     return d.groupBy("status").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "q_ts_holt",
+    oracle="""
+    WITH RECURSIVE
+    daily AS (SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     count(*) AS x
+              FROM events GROUP BY 1, 2),
+    ord AS (SELECT event_type, x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily),
+    n AS (SELECT event_type, max(rn) AS n_days FROM ord GROUP BY 1),
+    holt AS (
+      SELECT event_type, 1 AS rn,
+             CAST(x * 1000000 AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS t
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT h.event_type, h.rn + 1,
+             CAST(round(0.5 * (o.x * 1000000)
+                        + 0.5 * (h.l + h.t)) AS BIGINT),
+             CAST(round(0.25 * (CAST(round(0.5 * (o.x * 1000000)
+                                           + 0.5 * (h.l + h.t)) AS BIGINT)
+                                - h.l)
+                        + 0.75 * h.t) AS BIGINT)
+      FROM holt h JOIN ord o ON o.event_type = h.event_type
+                            AND o.rn = h.rn + 1)
+    SELECT h.event_type,
+           CAST(n.n_days AS BIGINT) AS n_days,
+           CAST(h.l AS DOUBLE) / 1000000 AS level,
+           CAST(h.t AS DOUBLE) / 1000000 AS trend,
+           CAST(h.l + 7 * h.t AS DOUBLE) / 1000000 AS forecast_7d
+    FROM holt h JOIN n ON n.event_type = h.event_type
+    WHERE h.rn = n.n_days
+    """,
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT recursive Holt linear smoothing (α=0.5, γ=0.25) of daily
+    event volume per type — the unbounded ordered fold q_ts_ewma's
+    fixed-tap FIR deliberately truncates. The recurrence runs as ONE
+    JVM `aggregate` over each key's array_sort-collected series (no
+    Python, no iteration driver-side; state per key is two longs), and
+    the oracle states the same recurrence as a DuckDB recursive CTE.
+
+    Cross-engine exactness: level/trend live on a 1e-6 integer grid;
+    each step's products (0.5·int, 0.25·int, 0.75·int with ints far
+    below 2^52) are exact doubles, so the only rounding is the explicit
+    round() — ties land on .5 and both engines round half away from
+    zero. Scale: per-key series must fit one executor's array (days ×
+    key — thousands of elements, not fact rows); keys distribute, the
+    fold never shuffles mid-series."""
+    e = tbl(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+
+    def step(st, el):
+        x = el["x"].cast("long") * F.lit(1000000).cast("long")
+        l_new = F.round(
+            0.5 * x.cast("double") + 0.5 * (st["l"] + st["t"]).cast("double")
+        ).cast("long")
+        t_new = F.round(
+            0.25 * (l_new - st["l"]).cast("double")
+            + 0.75 * st["t"].cast("double")
+        ).cast("long")
+        return F.struct(l_new.alias("l"), t_new.alias("t"))
+
+    init = F.struct(
+        (F.element_at("s", 1)["x"].cast("long") * 1000000).alias("l"),
+        F.lit(0).cast("long").alias("t"),
+    )
+    rest = F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0)))
+    final = F.aggregate(rest, init, step)
+    return series.select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        (final["l"].cast("double") / 1000000).alias("level"),
+        (final["t"].cast("double") / 1000000).alias("trend"),
+        ((final["l"] + 7 * final["t"]).cast("double") / 1000000).alias(
+            "forecast_7d"
+        ),
+    )

@@ -171,3 +171,51 @@ def test_random_projection_partition_invariant(spark, sf_dir):
             )
         )
         assert got == ref, f"{n} partitions changed JL projection"
+
+
+def test_holt_smoothing_partition_invariant(spark, sf_dir):
+    """The Holt fold runs over an array_sort-collected series — results
+    must not depend on how the events scan is split."""
+    from mapreduceframework_cpp_spark.registry import all_queries
+
+    ref = _rows(all_queries()["q_ts_holt"](spark, sf_dir))
+    ev = tbl(spark, sf_dir, "events")
+    for n in PARTS:
+        ev.repartition(n).createOrReplaceTempView("_holt_events")
+        got = _rows(
+            spark.sql(
+                """
+                WITH daily AS (
+                  SELECT event_type,
+                         CAST(date_trunc('day', ts) AS timestamp_ntz) AS day,
+                         count(*) AS x
+                  FROM _holt_events GROUP BY 1, 2),
+                series AS (
+                  SELECT event_type,
+                         array_sort(collect_list(struct(day, x))) AS s
+                  FROM daily GROUP BY 1),
+                folded AS (
+                  SELECT event_type, size(s) AS n_days,
+                         aggregate(
+                           slice(s, 2, greatest(size(s) - 1, 0)),
+                           struct(CAST(element_at(s, 1).x AS BIGINT)
+                                    * 1000000L AS l, 0L AS t),
+                           (st, el) -> struct(
+                             CAST(round(0.5 * CAST(el.x AS BIGINT) * 1000000
+                                        + 0.5 * (st.l + st.t)) AS BIGINT) AS l,
+                             CAST(round(
+                               0.25 * (CAST(round(0.5 * CAST(el.x AS BIGINT)
+                                                        * 1000000
+                                                  + 0.5 * (st.l + st.t))
+                                            AS BIGINT) - st.l)
+                               + 0.75 * st.t) AS BIGINT) AS t)) AS f
+                  FROM series)
+                SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                       CAST(f.l AS DOUBLE) / 1000000 AS level,
+                       CAST(f.t AS DOUBLE) / 1000000 AS trend,
+                       CAST(f.l + 7 * f.t AS DOUBLE) / 1000000 AS forecast_7d
+                FROM folded
+                """
+            )
+        )
+        assert got == ref, f"{n} partitions changed Holt smoothing"
