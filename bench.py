@@ -163,6 +163,7 @@ HEADLINE = [
     "q_dedup_prefix_filter",
     "q_stream_attrib_coverage",
     "q_ts_holt",
+    "q_emb_pca_top",
 ]
 
 

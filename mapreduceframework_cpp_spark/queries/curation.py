@@ -451,3 +451,19 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.cast("double").alias("zscore"),
         )
     )
+
+
+@query("q_emb_pca_top")  # rows-only: iterative power method
+def q_emb_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by distributed
+    power iteration (operators/pca.py) — the dominant-direction /
+    whitening primitive (ABTT-style postprocessing, drift monitoring).
+    Rows-only: iterative; correctness is pytest-bound against numpy's
+    exact eigendecomposition (cosine alignment > 0.999 and Rayleigh
+    eigenvalue within 1%, tests/test_pca.py) plus partition
+    invariance of the integer-grid accumulation."""
+    from mapreduceframework_cpp_spark.operators.pca import (
+        power_iteration_top_component,
+    )
+
+    return power_iteration_top_component(tbl(spark, sf_dir, "embeddings"))
