@@ -164,6 +164,7 @@ HEADLINE = [
     "q_stream_attrib_coverage",
     "q_ts_holt",
     "q_emb_pca_top",
+    "q_tok_bpe_merges",
 ]
 
 

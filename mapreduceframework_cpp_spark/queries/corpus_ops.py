@@ -525,3 +525,18 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(F.broadcast(m)).filter(
         F.col("rk") <= F.col("k")
     ).select("doc_id", "lang", "rk")
+
+
+@query("q_tok_bpe_merges")  # rows-only: iterative vocabulary induction
+def q_tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning over the corpus (operators/bpe.py): 5 rounds
+    of count-adjacent-pairs → merge-everywhere — the tokenizer-training
+    loop, distributed (pair-count shuffles are vocabulary-sized; the
+    merge is an executor-side array fold; the per-round winner is a
+    1-row broadcast). Rows-only: iterative; pytest checks the merge
+    table against a pure-Python reference BPE on the same documents
+    (tests/test_bpe.py) plus partition invariance of the round
+    winners."""
+    from mapreduceframework_cpp_spark.operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(tbl(spark, sf_dir, "documents"), n_merges=5)

@@ -172,28 +172,34 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduceframework_cpp_spark.operators.common import persist_tracked
 
     sh = persist_tracked(sh)
-    # global frequency rank over the DISTINCT shingle vocabulary
+    # per-shingle document frequency; the prefix order only needs a
+    # TOTAL order by rarity, so each doc's window sorts by (df,
+    # shingle) directly — a global row_number over the vocabulary
+    # would be a single-partition sort for nothing
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w_rank = Window.orderBy("df", "shingle")
-    ranked = freq.select(
-        "shingle", F.row_number().over(w_rank).alias("rank")
-    )
-    sized = sh.join(ranked, "shingle").withColumn(
+    sized = sh.join(freq, "shingle").withColumn(
         "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("rank")
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
     prefix = (
         sized.withColumn("rn", F.row_number().over(w_doc))
         .filter(
             F.col("rn")
             <= F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "sz")
     )
+    # AllPairs length filter: J(a,b) ≥ t forces t·|b| ≤ |a| (and
+    # symmetrically), so size-mismatched prefix collisions prune before
+    # the verification fan-out ever sees them.
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= F.ceil(F.col("b.sz") * F.lit(t)))
+            & (F.col("b.sz") >= F.ceil(F.col("a.sz") * F.lit(t)))
+        )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
