@@ -165,6 +165,10 @@ HEADLINE = [
     "q_ts_holt",
     "q_emb_pca_top",
     "q_tok_bpe_merges",
+    # robust-stats family (queries/robust_stats.py)
+    "q_skyline",
+    "q_agg_weighted_median",
+    "q_bootstrap_ci",
 ]
 
 

@@ -41,6 +41,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     tpch_complete,
     mining,
     retrieval,
+    robust_stats,
 )
 
 #: round-4 verification window (50 slots). Cumulative driver signal

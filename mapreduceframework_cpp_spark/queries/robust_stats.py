@@ -1,0 +1,265 @@
+"""Robust-statistics + dominance surfaces: 2-D skyline (Pareto
+frontier), exact weighted median, and the deterministic Poisson
+bootstrap — the uncertainty-quantification pass a 100 TB metrics job
+needs when a closed-form CI doesn't exist.
+
+Each re-expresses a reference-style reduce (`MapReduceClient.h:22-39`
+emit2/emit3 over the sort/shuffle kernel, `MapReduceFramework.cpp:
+100-133`) as one or two declarative exchanges:
+
+* the skyline collapses the classic O(n²) NOT-EXISTS dominance test to
+  ONE global sort window (2-D skyline ≡ running-min over the
+  size-descending order) — the textbook distributed-skyline lowering;
+* the weighted median is a value-grouped cumulative-weight scan: group
+  once on (group, value), cumsum int64 weights in a window, pick the
+  first value crossing half the total — exact, no quantile sketch;
+* the bootstrap replaces sampling-without-replacement (impossible in
+  one distributed pass) with Poisson(1) resample weights derived from
+  an md5-seeded uniform, the standard at-scale bootstrap: 32 resample
+  means in ONE scan + a 32-group aggregate, fully deterministic so the
+  DuckDB oracle reproduces it bit-for-bit.
+
+Scale notes: no query here shuffles more than (group, value) pairs or
+B=32 partial aggregates; the skyline's single sort is the only global
+exchange and would range-partition cleanly on a cluster; the bootstrap
+fan-out is map-side-combined into 32 running sums per partition before
+any exchange (the 32× explode never hits the wire).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+#: resample count for the Poisson bootstrap (small enough that the
+#: oracle enumerates it; each resample is one aggregation group).
+_BOOT_B = 32
+
+#: Poisson(1) CDF thresholds: weight k is assigned when the uniform
+#: falls in [CDF(k-1), CDF(k)); identical double literals on both
+#: engines, so the inverse-CDF draw is engine-exact.
+_POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+]
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT a.p_partkey, a.p_brand,
+           CAST(a.p_retailprice AS DOUBLE) AS p_retailprice,
+           CAST(a.p_size AS INTEGER) AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice
+        AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: cheapest-for-their-size
+    parts no other part strictly dominates (lower-or-equal price AND
+    greater-or-equal size, strict in at least one). The oracle states
+    the O(n²) NOT-EXISTS definition; the Spark lowering exploits the
+    2-D structure with aggregate-first: dominance only depends on the
+    per-size MIN price, so a map-side-combined groupBy collapses the
+    fact to ≤|distinct sizes| rows, the strict-predecessor running min
+    runs as a window over that TINY aggregate (single partition of ~50
+    rows — never the fact table), and surviving (size, min-price) pairs
+    broadcast back onto the scan. The fact side is never globally
+    sorted — the shape that survives 100 TB, vs. the one-partition
+    global-sort window a direct translation plans."""
+    p = tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    size_min = p.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("_min_same")
+    )
+    # desc range frame [unboundedPreceding, -1] = all rows with size
+    # STRICTLY greater than the current row's (over the tiny aggregate)
+    w_strict = Window.orderBy(F.desc("p_size")).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = size_min.select(
+        "p_size",
+        "_min_same",
+        F.min("_min_same").over(w_strict).alias("_min_strict"),
+    ).filter(
+        F.col("_min_strict").isNull()
+        | (F.col("_min_strict") > F.col("_min_same"))
+    )
+    return (
+        p.join(F.broadcast(frontier), "p_size")
+        .filter(F.col("p_retailprice") == F.col("_min_same"))
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT l_returnflag, price, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM g)
+    SELECT l_returnflag,
+           CAST(min(price) AS DOUBLE) AS weighted_median,
+           CAST(max(tot) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY 1
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag — the
+    weighted quantile no built-in sketch provides. Lowering: collapse
+    to (group, value) with int64 weight sums FIRST (the only full-data
+    shuffle, map-side combinable and bounded by the number of distinct
+    prices, not rows), then a per-group cumulative-weight window picks
+    the smallest value whose cumulative weight reaches half the total
+    (lower weighted median — deterministic, no interpolation). Weights
+    quantize to int64 before any sum, so the crossing test is exact
+    integer math on both engines."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    # partition on the group key alone: hash(flag) satisfies the
+    # clustered distribution of BOTH the (flag, price) aggregate and
+    # the flag-partitioned windows, so the whole query runs on ONE
+    # exchange instead of two
+    g = (
+        li.repartition("l_returnflag")
+        .groupBy("l_returnflag", "price")
+        .agg(F.sum("qty").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_all).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median"),
+            F.max("tot").alias("total_weight"),
+        )
+    )
+
+
+def _poisson_case_sql(u_expr: str) -> str:
+    """CASE chain mapping a uniform to a Poisson(1) draw (oracle side)."""
+    arms = "\n".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}"
+        for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"CASE {arms} ELSE {len(_POISSON1_CDF)} END"
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH fan AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents, b
+      FROM orders, range(0, {_BOOT_B}) t(b)),
+    draw AS (
+      SELECT b, cents,
+             {_poisson_case_sql(
+                 "CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS "
+                 "VARCHAR), '|', CAST(b AS VARCHAR))), 1, 8)) AS BIGINT) "
+                 "/ 4294967296.0")} AS w
+      FROM fan)
+    SELECT CAST(b AS BIGINT) AS resample,
+           CAST(sum(w * cents) AS DOUBLE) / (100.0 * sum(w)) AS boot_mean,
+           CAST(sum(w) AS BIGINT) AS n_eff
+    FROM draw GROUP BY 1
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order value: {_BOOT_B} resample
+    means in ONE scan — the distributed-safe bootstrap (per-row
+    Poisson(1) weights ≈ multinomial resampling; no global
+    sample-without-replacement pass exists at 100 TB). Each (order,
+    resample) weight inverts the Poisson CDF at a uniform derived from
+    md5(orderkey|b): deterministic, seedless, identical on any executor
+    AND in the DuckDB oracle — resampling as pure column math. Prices
+    quantize to int64 cents so every weighted sum is exact integer
+    arithmetic; only the final mean divides in double. The {_BOOT_B}×
+    explode map-side-combines into {_BOOT_B} running sums per partition
+    before the (only) exchange, so the fan-out never hits the wire —
+    the spread of `boot_mean` across resamples IS the standard-error
+    estimate a downstream report would quote."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    fan = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(2**32))
+    )
+    # project the uniform ONCE, then invert the CDF against the column —
+    # otherwise the CASE chain would inline (and recompute) the md5
+    # digest per arm
+    drawn = fan.select("b", "cents", u.alias("u"))
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return (
+        drawn.select("b", "cents", w.cast("long").alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / (F.lit(100.0) * F.sum("w"))
+            ).alias("boot_mean"),
+            F.sum("w").alias("n_eff"),
+        )
+        .select(
+            F.col("b").cast("long").alias("resample"), "boot_mean", "n_eff"
+        )
+    )

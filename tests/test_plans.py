@@ -395,3 +395,40 @@ def test_random_projection_is_shuffle_free_map(spark, sf_dir):
     before the (explode, transform, aggregate) projection."""
     p = plan(_Q["q_emb_random_projection"](spark, sf_dir))
     assert "Exchange" not in p, p
+
+
+def test_skyline_broadcasts_frontier(spark, sf_dir):
+    """The dominance test must reach the fact scan as a broadcast of the
+    tiny per-size frontier — never a global sort of the fact table (the
+    naive window lowering plans Exchange SinglePartition over the full
+    scan). The only allowed SinglePartition exchange sits under the
+    ≤50-row size aggregate, i.e. the fact scan appears AFTER it in the
+    plan tree (build side renders below the probe side's scan)."""
+    p = plan(_Q["q_skyline"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p, p
+    single = p.index("Exchange SinglePartition")
+    assert "HashAggregate" in p[single:], p
+    # the probe-side FileScan (fact) renders before the broadcast build
+    # subtree that contains the single-partition window
+    assert p.index("FileScan") < single, p
+
+
+def test_weighted_median_single_exchange(spark, sf_dir):
+    """Pre-partitioning on the group key lets the (group, value)
+    aggregate AND both windows share ONE shuffle."""
+    import re as _re
+
+    p = plan(_Q["q_agg_weighted_median"](spark, sf_dir), "simple")
+    n = len(_re.findall(r"Exchange (?:hash|range|Single)", p))
+    assert n == 1, p
+
+
+def test_bootstrap_partial_aggregates(spark, sf_dir):
+    """The 32× resample fan-out must map-side combine into per-partition
+    running sums before the (single) exchange on the resample id."""
+    import re as _re
+
+    p = plan(_Q["q_bootstrap_ci"](spark, sf_dir), "simple")
+    assert "partial_sum" in p, p
+    n = len(_re.findall(r"Exchange (?:hash|range|Single)", p))
+    assert n == 1, p
