@@ -165,6 +165,7 @@ HEADLINE = [
     "q_ts_holt",
     "q_emb_pca_top",
     "q_tok_bpe_merges",
+    "q_tok_bpe_encode",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

@@ -65,6 +65,32 @@ def _merge_pair(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "syms")
 
 
+def encode_with_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a pretrained, ordered BPE merge table to the corpus — the
+    *inference* side of :func:`learn_bpe_merges` (train once on a
+    sample, encode 100 TB with the frozen table). Returns
+    (doc_id, syms) where ``syms`` is the encoded symbol array.
+
+    Each merge round is the same leftmost-first non-overlapping
+    sequential fold as training (JVM ``aggregate``, no Python), with
+    the pair attached as literals — a pure map pass per merge, zero
+    shuffles, embarrassingly parallel. Later merges may reference
+    symbols fused by earlier ones (cascades), exactly like a real
+    tokenizer's ordered merge list."""
+    state = docs.select(
+        "doc_id", F.split(F.lower(text_col), " ").alias("syms")
+    )
+    for a, b in merges:
+        state = _merge_pair(
+            state.withColumn("a", F.lit(a)).withColumn("b", F.lit(b))
+        )
+    return state
+
+
 def learn_bpe_merges(
     docs: DataFrame, text_col: str = "text", n_merges: int = 5
 ) -> DataFrame:

@@ -540,3 +540,70 @@ def q_tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduceframework_cpp_spark.operators.bpe import learn_bpe_merges
 
     return learn_bpe_merges(tbl(spark, sf_dir, "documents"), n_merges=5)
+
+
+#: frozen "pretrained" merge table for q_tok_bpe_encode — ordered, with
+#: merge 5 cascading onto merge 1's fused symbol, like a real
+#: tokenizer's merge list. (Top corpus pairs; each fires at sf0.01.)
+_BPE_MERGES = [
+    ("table", "hash"),
+    ("part", "filter"),
+    ("customer", "join"),
+    ("merge", "group"),
+    ("table hash", "agg"),
+]
+
+
+def _bpe_oracle() -> str:
+    """DuckDB reformulation of the merge fold: tokens joined with DOUBLE
+    unit separators; each merge is a left-to-right non-overlapping
+    string replace of ␟a␟␟b␟ with ␟a b␟ (the pattern consumes one
+    separator per side, so back-to-back pair occurrences still match —
+    the classic BPE scan order, stated string-wise instead of
+    fold-wise)."""
+    sep = "chr(31)"
+    s = f"{sep} || {sep} || replace(lower(text), ' ', {sep} || {sep}) || {sep} || {sep}"
+    for a, b in _BPE_MERGES:
+        pat = f"{sep} || '{a}' || {sep} || {sep} || '{b}' || {sep}"
+        rep = f"{sep} || '{a} {b}' || {sep}"
+        s = f"replace({s}, {pat}, {rep})"
+    return f"""
+    WITH enc AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_raw,
+             len(string_split({s}, {sep} || {sep})) - 2 AS n_bpe
+      FROM documents)
+    SELECT doc_id, CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(n_bpe AS BIGINT) AS n_bpe,
+           CAST(n_raw - n_bpe AS BIGINT) AS n_merged
+    FROM enc
+    """
+
+
+@query("q_tok_bpe_encode", oracle=_bpe_oracle())
+def q_tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE *encoding* with a frozen merge table (operators/bpe.py:
+    encode_with_merges) — the inference half of the tokenizer story:
+    train merges once (q_tok_bpe_merges), apply them to the full corpus
+    here. Five ordered merges (the last cascades onto the first's fused
+    symbol) run as pure JVM array-fold map passes — zero shuffles, no
+    Python, embarrassingly parallel at 100 TB. Reports per-doc raw vs
+    encoded token counts. The oracle restates the leftmost-first
+    non-overlapping fold as doubled-separator string replaces — two
+    independent formulations of BPE scan order, cross-checked."""
+    from mapreduceframework_cpp_spark.operators.bpe import encode_with_merges
+
+    enc = encode_with_merges(tbl(spark, sf_dir, "documents"), _BPE_MERGES)
+    # n_raw recovers from the encoded symbols alone (a k-way fused
+    # symbol carries k-1 internal spaces), so no second scan / join
+    n_raw = F.aggregate(
+        F.transform("syms", lambda s: F.size(F.split(s, " "))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return enc.select(
+        "doc_id",
+        n_raw.cast("long").alias("n_raw"),
+        F.size("syms").cast("long").alias("n_bpe"),
+        (n_raw - F.size("syms")).cast("long").alias("n_merged"),
+    )
