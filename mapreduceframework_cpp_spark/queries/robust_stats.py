@@ -215,9 +215,17 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the (only) exchange, so the fan-out never hits the wire —
     the spread of `boot_mean` across resamples IS the standard-error
     estimate a downstream report would quote."""
-    o = tbl(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    from mapreduceframework_cpp_spark.operators.common import spread
+
+    # the 32x fan-out + md5 draw is compute-bound per row: spread the
+    # narrow scan to full parallelism first (byte-based splitting would
+    # run the whole hash stage as one task on a small file)
+    o = spread(
+        tbl(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ),
+        key="o_orderkey",
     )
     fan = o.select(
         "o_orderkey",

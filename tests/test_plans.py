@@ -425,10 +425,13 @@ def test_weighted_median_single_exchange(spark, sf_dir):
 
 def test_bootstrap_partial_aggregates(spark, sf_dir):
     """The 32× resample fan-out must map-side combine into per-partition
-    running sums before the (single) exchange on the resample id."""
+    running sums before the exchange on the resample id; the only other
+    exchange is the deliberate full-parallelism spread of the narrow
+    scan (the md5 draw is compute-bound, not byte-bound)."""
     import re as _re
 
     p = plan(_Q["q_bootstrap_ci"](spark, sf_dir), "simple")
     assert "partial_sum" in p, p
+    assert "REPARTITION_BY_NUM" in p, p
     n = len(_re.findall(r"Exchange (?:hash|range|Single)", p))
-    assert n == 1, p
+    assert n == 2, p
