@@ -81,8 +81,13 @@ def encode_with_merges(
     shuffles, embarrassingly parallel. Later merges may reference
     symbols fused by earlier ones (cascades), exactly like a real
     tokenizer's ordered merge list."""
-    state = docs.select(
-        "doc_id", F.split(F.lower(text_col), " ").alias("syms")
+    from mapreduceframework_cpp_spark.operators.common import spread
+
+    # the merge folds are compute-bound per doc: fan the narrow scan to
+    # full parallelism first (a small file otherwise arrives as one
+    # byte-provisioned task and serializes every merge round)
+    state = spread(
+        docs.select("doc_id", F.split(F.lower(text_col), " ").alias("syms"))
     )
     for a, b in merges:
         state = _merge_pair(
@@ -100,8 +105,13 @@ def learn_bpe_merges(
     fuses the globally most frequent adjacent pair."""
     from functools import reduce
 
-    state = docs.select(
-        "doc_id", F.split(F.lower(text_col), " ").alias("syms")
+    from mapreduceframework_cpp_spark.operators.common import spread
+
+    # every round's pair explosion + merge fold inherits this frame's
+    # partitioning: spread once so all rounds run full-width instead of
+    # on the single byte-provisioned scan task
+    state = spread(
+        docs.select("doc_id", F.split(F.lower(text_col), " ").alias("syms"))
     ).localCheckpoint()
 
     tops = []

@@ -73,6 +73,11 @@ def power_iteration_top_component(
         .select(F.transform("pm", lambda e: e["m"]).alias("mean"))
         .localCheckpoint()
     )
+    # NOTE: deliberately inherits the input's partitioning — at real
+    # scale the rounds' fold work tracks input width; at test SF the
+    # per-round work is so small that forcing full-width partitions
+    # costs more in task scheduling than it buys (measured 4.9s -> 8.0s
+    # at sf0.1 with a 32-way repartition here)
     centered = x.crossJoin(F.broadcast(mean)).select(
         F.zip_with("x", "mean", lambda a, b: a.cast("double") - b).alias("x")
     ).localCheckpoint()
