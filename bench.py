@@ -166,6 +166,8 @@ HEADLINE = [
     "q_emb_pca_top",
     "q_tok_bpe_merges",
     "q_tok_bpe_encode",
+    "q_bitmap_distinct",
+    "q_zorder_profile",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

@@ -421,3 +421,83 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("med").cast("double").alias("median_price"),
         F.expr("percentile(adev, 0.5)").cast("double").alias("mad"),
     )
+
+
+@query(
+    "q_bitmap_distinct",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             user_id // 62 AS chunk,
+             bit_or(1::BIGINT << CAST(user_id % 62 AS INTEGER)) AS bm
+      FROM events GROUP BY 1, 2, 3, 4),
+    per_day AS (
+      SELECT event_type, month, day,
+             CAST(sum(bit_count(bm)) AS BIGINT) AS day_users
+      FROM daily GROUP BY 1, 2, 3),
+    monthly_bm AS (
+      SELECT event_type, month, chunk, bit_or(bm) AS bm
+      FROM daily GROUP BY 1, 2, 3)
+    SELECT d.event_type, d.month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(d.day_users) AS BIGINT) AS sum_daily_users,
+           CAST(min(m.month_users) AS BIGINT) AS monthly_users
+    FROM per_day d
+    JOIN (SELECT event_type, month,
+                 CAST(sum(bit_count(bm)) AS BIGINT) AS month_users
+          FROM monthly_bm GROUP BY 1, 2) m
+      ON d.event_type = m.event_type AND d.month = m.month
+    GROUP BY 1, 2
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap chunks — the
+    roaring-bitmap OLAP accelerator, stated in pure column math: each
+    62-user id range becomes one int64 word (bit i set ⟺ user seen),
+    daily (type, day, chunk) words OR-aggregate map-side, and the
+    monthly count re-aggregates the DAILY bitmaps with another OR —
+    never rescanning raw events, with none of HLL's error bar (compare
+    q_agg_hll_rollup). popcount(OR of words) is exact distinct; the
+    shuffle carries one word per 62 users per group — the same
+    mergeable-summary shape as a materialized-view rollup at 100 TB.
+    Emits per (type, month): day count, sum of daily distincts, and
+    the exact monthly distinct (≤ sum — the difference is returning
+    users)."""
+    e = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("month", "ts").cast("timestamp_ntz").alias("month"),
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+        (F.col("user_id") / 62).cast("long").alias("chunk"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))").alias(
+            "bit"
+        ),
+    )
+    daily = e.groupBy("event_type", "month", "day", "chunk").agg(
+        F.bit_or("bit").alias("bm")
+    )
+    per_day = daily.groupBy("event_type", "month", "day").agg(
+        F.sum(F.bit_count("bm")).alias("day_users")
+    )
+    monthly = (
+        daily.groupBy("event_type", "month", "chunk")
+        .agg(F.bit_or("bm").alias("bm"))
+        .groupBy("event_type", "month")
+        .agg(F.sum(F.bit_count("bm")).alias("month_users"))
+    )
+    return (
+        per_day.groupBy("event_type", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("day_users").alias("sum_daily_users"),
+        )
+        .join(monthly, ["event_type", "month"])
+        .select(
+            "event_type",
+            "month",
+            "n_days",
+            "sum_daily_users",
+            F.col("month_users").alias("monthly_users"),
+        )
+    )

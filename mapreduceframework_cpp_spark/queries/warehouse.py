@@ -585,3 +585,67 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d"
         ),
     )
+
+
+@query(
+    "q_zorder_profile",
+    oracle="""
+    WITH b AS (
+      SELECT min(CAST(o_custkey AS DOUBLE)) AS mn_c,
+             max(CAST(o_custkey AS DOUBLE)) AS mx_c,
+             min(CAST(o_totalprice AS DOUBLE)) AS mn_p,
+             max(CAST(o_totalprice AS DOUBLE)) AS mx_p
+      FROM orders),
+    s AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             least(255, floor((CAST(o_custkey AS DOUBLE) - mn_c)
+                              / (CASE WHEN mx_c - mn_c = 0 THEN 1.0
+                                      ELSE mx_c - mn_c END) * 255)) AS sc,
+             least(255, floor((CAST(o_totalprice AS DOUBLE) - mn_p)
+                              / (CASE WHEN mx_p - mn_p = 0 THEN 1.0
+                                      ELSE mx_p - mn_p END) * 255)) AS sp
+      FROM orders CROSS JOIN b),
+    z AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             list_sum(list_transform(range(0, 8),
+               b -> (((CAST(sc AS BIGINT) >> b) & 1) << (2 * b))
+                    + (((CAST(sp AS BIGINT) >> b) & 1) << (2 * b + 1))))
+               AS zcode
+      FROM s)
+    SELECT CAST(zcode >> 10 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(o_custkey) AS BIGINT) AS min_cust,
+           CAST(max(o_custkey) AS BIGINT) AS max_cust,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price
+    FROM z GROUP BY 1
+    """,
+)
+def q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering-key profile: Morton-interleave (o_custkey,
+    o_totalprice) with sources/layout.zorder_key — the same expression
+    write_zordered compacts files by — then report per z-range bucket
+    the row count and BOTH dimensions' min/max envelopes. The tight
+    per-bucket envelopes on two dimensions at once are exactly the
+    footer statistics that make multi-dimensional data skipping work
+    at 100 TB (a single-column sort tightens only one dimension). Pure
+    JVM bit arithmetic after a 4-scalar bounds probe; one map-side-
+    combinable aggregate on 64 buckets. The oracle restates the
+    min-max scaling and bit interleave in identical IEEE order, so
+    zcodes match bit-for-bit."""
+    from mapreduceframework_cpp_spark.sources.layout import zorder_key
+
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    z = o.withColumn("zcode", zorder_key(o, ["o_custkey", "o_totalprice"]))
+    return (
+        z.groupBy(F.shiftright("zcode", 10).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )
