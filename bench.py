@@ -168,6 +168,7 @@ HEADLINE = [
     "q_tok_bpe_encode",
     "q_bitmap_distinct",
     "q_zorder_profile",
+    "q_sql_scripting",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

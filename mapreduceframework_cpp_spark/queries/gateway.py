@@ -49,3 +49,51 @@ def q_sql_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one source of truth), so this row certifies the gateway itself,
     not a hand-mirrored translation."""
     return run_sql(spark, sf_dir, _GATEWAY_SQL)
+
+
+#: revenue-threshold parameter sweep driven by an ENGINE-ITERATED loop
+#: (Spark 4 SQL scripting): the script's WHILE accumulates one scalar
+#: subquery result per threshold into a session array, exploded into
+#: the final result set. The control flow the reference's client runs
+#: in C++ around the kernel (`Sample Client/SampleClient.cpp:32-66`
+#: drives jobs imperatively) here lives INSIDE the engine.
+_SWEEP_STEPS = 8
+_SWEEP_STEP_USD = 50_000
+
+
+@query(
+    "q_sql_scripting",
+    oracle=f"""
+    SELECT CAST(t.i * {_SWEEP_STEP_USD} AS DOUBLE) AS threshold,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_totalprice > t.i * {_SWEEP_STEP_USD}) AS BIGINT)
+             AS n_orders
+    FROM range(0, {_SWEEP_STEPS}) t(i)
+    """,
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN/DECLARE/WHILE): a parameter sweep
+    where the LOOP runs inside the engine — each iteration binds the
+    next revenue threshold and folds the matching order count into a
+    script-local array variable; one explode turns the accumulator
+    into the result set. Demonstrates engine-iterated control flow
+    (the imperative driver loop of the reference client, absorbed into
+    a declarative session); each iteration is an independently
+    optimized scan with its own pushed-down predicate. The oracle
+    states the sweep as a closed-form range cross join."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(f"""
+    BEGIN
+      DECLARE i INT DEFAULT 0;
+      DECLARE acc ARRAY<STRUCT<t: DOUBLE, n: BIGINT>> DEFAULT array();
+      WHILE i < {_SWEEP_STEPS} DO
+        SET acc = array_append(acc,
+          (SELECT struct(CAST(i * {_SWEEP_STEP_USD} AS DOUBLE) AS t,
+                         count(*) AS n)
+           FROM orders WHERE o_totalprice > i * {_SWEEP_STEP_USD}));
+        SET i = i + 1;
+      END WHILE;
+      SELECT s.t AS threshold, s.n AS n_orders
+      FROM (SELECT explode(acc) AS s);
+    END
+    """)
