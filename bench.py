@@ -169,6 +169,7 @@ HEADLINE = [
     "q_bitmap_distinct",
     "q_zorder_profile",
     "q_sql_scripting",
+    "q_ts_rolling_corr",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

@@ -649,3 +649,84 @@ def q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("max_price"),
         )
     )
+
+
+@query(
+    "q_ts_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(coalesce(sum(CASE WHEN event_type = 'click'
+                                    THEN 1 END), 0) AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 END), 0) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, x, y,
+             count(*) OVER f AS n,
+             sum(x) OVER f AS sx, sum(y) OVER f AS sy,
+             sum(x * x) OVER f AS sxx, sum(y * y) OVER f AS syy,
+             sum(x * y) OVER f AS sxy
+      FROM daily
+      WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS corr_7d
+    FROM w
+    """,
+)
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling Pearson correlation between the daily
+    click and purchase series — the co-movement monitor that flags
+    tracking breakage (a correlated pair decoupling) ahead of absolute
+    alarms. Same float discipline as q_agg_stats taken into a moving
+    frame: the six frame sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate
+    EXACT int64 counts inside one ROWS window, so every engine sees
+    identical operands and the one double formula per row is
+    bit-identical; zero-variance frames yield NULL rather than a 0/0.
+    One day-grain aggregate (map-side combinable) collapses the fact
+    table before the window, which then runs over ~365 rows/year —
+    aggregate-first, window-over-tiny, the 100 TB shape."""
+    daily = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "click", 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    f = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(f).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return w.select(
+        "day",
+        F.col("n").cast("long").alias("n_days"),
+        F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
+        .otherwise(
+            cov.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double"))
+        )
+        .alias("corr_7d"),
+    )

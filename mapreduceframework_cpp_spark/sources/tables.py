@@ -147,3 +147,28 @@ def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataF
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", schema: str | None = None
+) -> DataFrame:
+    """XML source (Spark 4 built-in, the former spark-xml package):
+    element-per-row with schema-on-read or an explicit schema — the
+    interchange format for feed/catalog ingest. Row-tag scoping keeps
+    the parse streaming (no whole-document DOM)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).save(path)

@@ -80,3 +80,21 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     back = read_orc(spark, str(tmp_path / "o.orc"))
     assert back.schema == df.schema
     assert _rows(back) == _rows(df)
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """XML (Spark 4 built-in source): schema-stated round-trip — nation
+    written element-per-row and read back identically."""
+    from mapreduceframework_cpp_spark.sources.tables import read_xml, write_xml
+
+    df = _sample(spark, sf_dir)
+    write_xml(df, str(tmp_path / "x.xml"))
+    back = read_xml(
+        spark,
+        str(tmp_path / "x.xml"),
+        schema=df.schema.simpleString()[7:-1].replace(":", " "),
+    )
+    assert [f.name for f in back.schema.fields] == [
+        f.name for f in df.schema.fields
+    ]
+    assert _rows(back.select(*df.columns)) == _rows(df)
