@@ -170,6 +170,9 @@ HEADLINE = [
     "q_zorder_profile",
     "q_sql_scripting",
     "q_ts_rolling_corr",
+    "q_chi_square",
+    "q_benford_audit",
+    "q_attrib_linear",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

@@ -805,3 +805,78 @@ def q_events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_events"),
         )
     )
+
+
+@query(
+    "q_attrib_linear",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    touched AS (
+      SELECT p.event_id AS purchase_id, p.value,
+             c.event_id AS click_id, c.user_id,
+             count(*) OVER (PARTITION BY p.event_id) AS n_touch
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+    shares AS (
+      SELECT user_id, click_id,
+             CAST(round(value * 1000000) AS BIGINT) // n_touch
+               AS share_micro
+      FROM touched)
+    SELECT user_id,
+           CAST(count(DISTINCT click_id) AS BIGINT) AS n_credited_clicks,
+           CAST(sum(share_micro) AS DOUBLE) / 1000000
+             AS attributed_revenue
+    FROM shares GROUP BY 1
+    """,
+)
+def q_attrib_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value split
+    EQUALLY across the user's clicks in the preceding hour, credited
+    back to those clicks and rolled up per user — the click-side
+    complement of q_stream_attrib_coverage (which reports per purchase
+    and keeps the misses). Float discipline: each share is the exact
+    int64 micro-cent quotient round(value·1e6) div n_touch (identical
+    truncation both engines); shares SUM as integers and divide back
+    once, so the per-user totals are bit-identical on any partitioning.
+    One user-keyed range join + a purchase-window count + one
+    re-aggregate — the same single-shuffle family as the other
+    behavior queries."""
+    e = tbl(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touched = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    w_p = Window.partitionBy("purchase_id")
+    shares = touched.select(
+        "user_id",
+        "click_id",
+        (
+            F.round(F.col("value") * 1000000).cast("long")
+            / F.count(F.lit(1)).over(w_p)
+        )
+        .cast("long")
+        .alias("share_micro"),
+    )
+    return shares.groupBy("user_id").agg(
+        F.countDistinct("click_id").alias("n_credited_clicks"),
+        (F.sum("share_micro").cast("double") / 1000000).alias(
+            "attributed_revenue"
+        ),
+    )

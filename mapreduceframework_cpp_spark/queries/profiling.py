@@ -395,3 +395,109 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tris = tri.agg(F.count("*").cast("long").alias("n_triangles"))
     out = verts.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(tris))
     return out.select("n_vertices", "n_edges", "n_triangles")
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH c AS (
+      SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS n
+      FROM documents d GROUP BY 1, 2),
+    m AS (
+      SELECT lang, source, n,
+             sum(n) OVER (PARTITION BY lang) AS row_n,
+             sum(n) OVER (PARTITION BY source) AS col_n,
+             sum(n) OVER () AS tot
+      FROM c)
+    SELECT lang, source, n,
+           CAST(row_n * col_n AS DOUBLE) / tot AS expected,
+           (CAST(n AS DOUBLE) - CAST(row_n * col_n AS DOUBLE) / tot)
+           * (CAST(n AS DOUBLE) - CAST(row_n * col_n AS DOUBLE) / tot)
+           / (CAST(row_n * col_n AS DOUBLE) / tot) AS chi2_term
+    FROM m
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the lang × source contingency
+    table — the drift detector that flags a crawler suddenly skewing
+    one language to one source (each cell's chi2 term = (obs-exp)²/exp;
+    a reviewer sums them against the χ² critical value). One exact-int
+    cell aggregate (map-side combinable; |langs|·|sources| cells), then
+    marginals via windows OVER THE TINY CELL FRAME — the fact table is
+    never rescanned for row/column totals. All divisions are
+    double-on-identical-int64s, bit-identical cross-engine."""
+    c = (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = Window.partitionBy("lang")
+    w_col = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    m = c.select(
+        "lang",
+        "source",
+        "n",
+        F.sum("n").over(w_row).alias("row_n"),
+        F.sum("n").over(w_col).alias("col_n"),
+        F.sum("n").over(w_all).alias("tot"),
+    )
+    expected = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("tot")
+    dev = F.col("n").cast("double") - expected
+    return m.select(
+        "lang",
+        "source",
+        "n",
+        expected.alias("expected"),
+        (dev * dev / expected).alias("chi2_term"),
+    )
+
+
+@query(
+    "q_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n,
+                 sum(count(*)) OVER () AS tot
+          FROM d GROUP BY 1)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / tot AS observed_p,
+           log10(1.0 + 1.0 / digit) AS benford_p,
+           CAST(n AS DOUBLE) / tot - log10(1.0 + 1.0 / digit) AS excess
+    FROM c
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values — the classic
+    fabricated-data screen (synthetic or truncated monetary columns
+    drift from log10(1+1/d)). Leading digit extracted by exact integer
+    stringification (no float log tricks), one 9-group aggregate with
+    the total attached by a window over those 9 rows; observed vs
+    Benford expectation and the signed excess per digit. Double math is
+    a division and a log10 on identical operands — bit-identical."""
+    d = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy()
+    benford_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return c.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("observed_p"),
+        benford_p.alias("benford_p"),
+        (
+            F.col("n").cast("double") / F.sum("n").over(tot) - benford_p
+        ).alias("excess"),
+    )
