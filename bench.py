@@ -173,6 +173,8 @@ HEADLINE = [
     "q_chi_square",
     "q_benford_audit",
     "q_attrib_linear",
+    "q_text_logodds",
+    "q_agg_trimmed",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

@@ -1,7 +1,7 @@
 """Robust-statistics + dominance surfaces: 2-D skyline (Pareto
-frontier), exact weighted median, and the deterministic Poisson
-bootstrap — the uncertainty-quantification pass a 100 TB metrics job
-needs when a closed-form CI doesn't exist.
+frontier), exact weighted median, trimmed/winsorized means, and the
+deterministic Poisson bootstrap — the uncertainty-quantification pass
+a 100 TB metrics job needs when a closed-form CI doesn't exist.
 
 Each re-expresses a reference-style reduce (`MapReduceClient.h:22-39`
 emit2/emit3 over the sort/shuffle kernel, `MapReduceFramework.cpp:
@@ -270,4 +270,76 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("b").cast("long").alias("resample"), "boot_mean", "n_eff"
         )
+    )
+
+
+@query(
+    "q_agg_trimmed",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS priority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders),
+    kept AS (
+      SELECT priority, o_totalprice, n, n // 20 AS k
+      FROM r WHERE rn > n // 20 AND rn <= n - n // 20)
+    SELECT priority,
+           CAST(min(n) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS n_trimmed_each_side,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / (min(n) - 2 * min(k)) AS trimmed_mean,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                + min(k) * (CAST(min(o_totalprice) AS DECIMAL(18,2))
+                            + CAST(max(o_totalprice) AS DECIMAL(18,2)))
+                AS DOUBLE) / min(n) AS winsorized_mean
+    FROM kept GROUP BY 1
+    """,
+)
+def q_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed and winsorized means of order value per priority —
+    the outlier-robust location estimates a metrics pipeline quotes
+    when raw means are whale-dominated. Exactness: the trim boundary
+    is rank-based in a TOTAL order (price, orderkey) so membership is
+    deterministic; kept values sum as exact decimals, and the
+    winsorized mean re-adds the k clipped rows per side at the kept
+    min/max boundary values (decimal adds) — one double division per
+    group at the end. One partition-keyed sort window + one aggregate;
+    the trim never materializes per-row clips."""
+    w_rank = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_n = Window.partitionBy("o_orderpriority")
+    r = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    kept = r.filter(
+        (F.col("rn") > F.expr("n div 20"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 20"))
+    ).select(
+        "priority", "o_totalprice", "n", F.expr("n div 20").alias("k")
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return kept.groupBy("priority").agg(
+        F.min("n").cast("long").alias("n_rows"),
+        F.min("k").cast("long").alias("n_trimmed_each_side"),
+        (
+            F.sum(dec).cast("double")
+            / (F.min("n") - 2 * F.min("k"))
+        ).alias("trimmed_mean"),
+        (
+            (
+                F.sum(dec)
+                + F.min("k")
+                * (
+                    F.min("o_totalprice").cast("decimal(18,2)")
+                    + F.max("o_totalprice").cast("decimal(18,2)")
+                )
+            ).cast("double")
+            / F.min("n")
+        ).alias("winsorized_mean"),
     )

@@ -461,3 +461,88 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("tq").cast("double") / 1000000000).alias("js_divergence"),
         F.count("*").alias("vocab_union"),
     )
+
+
+@query(
+    "q_text_logodds",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cs
+          FROM tok GROUP BY 1, 2),
+    m AS (SELECT source, token, cs,
+                 sum(cs) OVER (PARTITION BY source) AS ns,
+                 sum(cs) OVER (PARTITION BY token) AS ct,
+                 sum(cs) OVER () AS n
+          FROM c),
+    lo AS (
+      SELECT source, token, cs,
+             ln(((cs + 1.0) / (ns - cs + 1.0))
+                / ((ct - cs + 1.0) / ((n - ns) - (ct - cs) + 1.0)))
+               AS log_odds
+      FROM m),
+    rk AS (SELECT source, token, cs, log_odds,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY log_odds DESC, token)
+                    AS rn
+           FROM lo)
+    SELECT source, token, cs AS n_in_source, log_odds,
+           CAST(rn AS BIGINT) AS rank
+    FROM rk WHERE rn <= 5
+    """,
+)
+def q_text_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinguishing vocabulary by add-one-smoothed
+    log-odds ratio (source vs rest of corpus) — the lexical-divergence
+    report a corpus QA run uses to see WHAT a source over-represents
+    (where q_text_js_divergence only says HOW MUCH it drifts). One
+    token explode feeds a (source, token) exact-int aggregate; source
+    totals, token totals and the grand total all come from windows
+    OVER THE VOCABULARY-SIZED cell frame (the corpus is never
+    rescanned); the single ln() per cell runs on identical int-derived
+    doubles, so ranks are engine-identical with a token tie-break.
+    Top-5 per source via row_number."""
+    tok = (
+        tbl(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+    )
+    c = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cs"))
+    w_s = Window.partitionBy("source")
+    w_t = Window.partitionBy("token")
+    w_all = Window.partitionBy()
+    m = c.select(
+        "source",
+        "token",
+        "cs",
+        F.sum("cs").over(w_s).alias("ns"),
+        F.sum("cs").over(w_t).alias("ct"),
+        F.sum("cs").over(w_all).alias("n"),
+    )
+    rate_in = (F.col("cs") + 1.0) / (F.col("ns") - F.col("cs") + 1.0)
+    rate_rest = (F.col("ct") - F.col("cs") + 1.0) / (
+        (F.col("n") - F.col("ns")) - (F.col("ct") - F.col("cs")) + 1.0
+    )
+    lo = m.select(
+        "source",
+        "token",
+        "cs",
+        F.log(rate_in / rate_rest).alias("log_odds"),
+    )
+    rk = Window.partitionBy("source").orderBy(
+        F.desc("log_odds"), F.asc("token")
+    )
+    return (
+        lo.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "source",
+            "token",
+            F.col("cs").alias("n_in_source"),
+            "log_odds",
+            "rank",
+        )
+    )
