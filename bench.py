@@ -175,6 +175,7 @@ HEADLINE = [
     "q_attrib_linear",
     "q_text_logodds",
     "q_agg_trimmed",
+    "q_text_phrase",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

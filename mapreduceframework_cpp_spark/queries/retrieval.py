@@ -226,3 +226,63 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id_a", "doc_id_b", jac.cast("double").alias("jaccard")
         )
     )
+
+
+#: the phrase the demonstration query searches for (two top-frequency
+#: adjacent corpus tokens — see _BPE_MERGES in corpus_ops).
+_PHRASE = ("table", "hash")
+
+
+@query(
+    "q_text_phrase",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split(lower(text), ' ') AS toks
+      FROM documents),
+    hits AS (
+      SELECT doc_id, source,
+             list_sum(list_transform(range(1, len(toks)),
+               i -> CASE WHEN toks[i] = '{_PHRASE[0]}'
+                          AND toks[i + 1] = '{_PHRASE[1]}'
+                         THEN 1 ELSE 0 END)) AS n_hits
+      FROM t)
+    SELECT doc_id, source, CAST(n_hits AS BIGINT) AS n_occurrences
+    FROM hits WHERE n_hits > 0
+    """,
+)
+def q_text_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("{_PHRASE[0]} {_PHRASE[1]}") via a
+    POSITIONAL postings index — the IR primitive BM25 (bag-of-words)
+    cannot express: posexplode emits (token, doc, position) postings,
+    the phrase resolves as a self-join of the two terms' postings on
+    (doc, pos+1 = pos), and a per-doc count aggregates the match
+    positions. At 100 TB the postings for the two query terms are
+    filtered AT THE SCAN (predicate on token before the join), so the
+    join touches two terms' postings, not the corpus — the inverted-
+    index access path. The oracle counts adjacent-pair matches
+    directly on the token arrays (an independent non-join
+    formulation), including overlapping runs."""
+    postings = (
+        tbl(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+        )
+    )
+    a = postings.filter(F.col("token") == _PHRASE[0]).select(
+        "doc_id", "source", F.col("pos").alias("pa")
+    )
+    b = postings.filter(F.col("token") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("pb") == F.col("pa") + 1),
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
