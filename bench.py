@@ -176,6 +176,7 @@ HEADLINE = [
     "q_text_logodds",
     "q_agg_trimmed",
     "q_text_phrase",
+    "q_text_perplexity",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

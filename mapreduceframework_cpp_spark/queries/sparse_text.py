@@ -546,3 +546,94 @@ def q_text_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "q_text_perplexity",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang,
+                         string_split(lower(text), ' ') AS l
+                  FROM documents),
+    big AS (
+      SELECT doc_id, lang, l[i] AS w1, l[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(l))) AS t(i)
+      WHERE len(l) >= 2),
+    db AS (SELECT doc_id, lang, w1, w2, CAST(count(*) AS BIGINT) AS k
+           FROM big GROUP BY 1, 2, 3, 4),
+    lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM big GROUP BY 1, 2),
+    uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vocab FROM lm),
+    scored AS (
+      SELECT db.doc_id, db.lang, db.k,
+             CAST(round(ln((lm.c12 + 1.0) / (uni.c1 + v.vocab)) * 1000000000)
+                  AS BIGINT) AS logp_nano
+      FROM db JOIN lm USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+    SELECT doc_id, lang,
+           CAST(sum(k) AS BIGINT) AS n_bigrams,
+           CAST(sum(k * logp_nano) AS DOUBLE)
+             / (1000000000.0 * sum(k)) AS avg_logp,
+           exp(-(CAST(sum(k * logp_nano) AS DOUBLE)
+                 / (1000000000.0 * sum(k)))) AS perplexity
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: every document's perplexity under
+    the corpus's own add-one-smoothed bigram LM — the statistical
+    filter real pipelines run where handwritten heuristics
+    (q_text_quality) stop (gibberish and boilerplate both surface as
+    perplexity outliers). Determinism: each bigram's log-probability
+    quantizes to an int64 nano-grid BEFORE the per-doc sum, so the
+    ordered-float-sum trap is avoided — totals are exact integers on
+    any partitioning and the final divide/exp runs on identical
+    operands. Shape: one corpus bigram explode feeds both the LM
+    counts (vocabulary²-sized — the model, broadcastable by design)
+    and per-doc bigram counts; the score join touches (doc, bigram)
+    pairs, partial-aggregated before the shuffle."""
+    from mapreduceframework_cpp_spark.operators.common import persist_tracked
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("l")
+    ).filter(F.size("l") >= 2)
+    big = persist_tracked(
+        toks.select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "explode(transform(sequence(0, size(l) - 2), "
+                "i -> struct(l[i] AS w1, l[i + 1] AS w2))) AS b"
+            ),
+        ).select("doc_id", "lang", "b.w1", "b.w2")
+    )
+    db = big.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    lm = persist_tracked(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = lm.agg(F.countDistinct("w2").alias("vocab"))
+    logp_nano = (
+        F.round(
+            F.log(
+                (F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab"))
+            )
+            * 1000000000
+        ).cast("long")
+    )
+    scored = (
+        db.join(F.broadcast(lm), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "lang", "k", logp_nano.alias("logp_nano"))
+    )
+    avg = F.sum(F.col("k") * F.col("logp_nano")).cast("double") / (
+        F.lit(1000000000.0) * F.sum("k")
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.sum("k").alias("n_bigrams"),
+        avg.alias("avg_logp"),
+        F.exp(-avg).alias("perplexity"),
+    )
