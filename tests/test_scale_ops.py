@@ -88,6 +88,17 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
         "q_scd2_pit_lookup",
         "q_supplier_hhi",
         "q_text_js_divergence",
+        # robust-stats / audit additions: md5-seeded bootstrap draw,
+        # cumulative-weight median crossing, rank-based trim,
+        # double-ranked log-odds top-5, nano-grid perplexity sums,
+        # bitmap OR-rollup
+        "q_bootstrap_ci",
+        "q_agg_weighted_median",
+        "q_agg_trimmed",
+        "q_text_logodds",
+        "q_text_perplexity",
+        "q_bitmap_distinct",
+        "q_skyline",
     ],
 )
 def test_tiebreak_queries_shuffle_partition_invariant(spark, oracle_sf_dir, qname):
