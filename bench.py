@@ -177,6 +177,9 @@ HEADLINE = [
     "q_agg_trimmed",
     "q_text_phrase",
     "q_text_perplexity",
+    "q_k_anonymity",
+    "q_dp_counts",
+    "q_split_leakage",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

@@ -333,3 +333,169 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(orphan_lineitems)
         .crossJoin(nonpos_prices)
     )
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                  AS BIGINT) AS l_diversity
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, group_size, l_diversity,
+           group_size < 5 AS k5_violation,
+           l_diversity < 3 AS l3_violation
+    FROM qi
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the (nation, segment)
+    quasi-identifier: groups smaller than k=5 are re-identification
+    risks; groups whose sensitive attribute (account-balance band)
+    takes fewer than l=3 distinct values leak it even at size ≥ k —
+    the release-gate check a privacy review runs before any
+    record-level export. ONE exact-count aggregate over the
+    quasi-identifier (map-side combinable; |QI-combinations| output
+    rows), flags as pure comparisons — the full-scan-once, counters-
+    only shape of every safety stage in this module."""
+    qi = (
+        tbl(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / 1000).cast("long")
+            ).alias("l_diversity"),
+        )
+    )
+    return qi.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        "l_diversity",
+        (F.col("group_size") < 5).alias("k5_violation"),
+        (F.col("l_diversity") < 3).alias("l3_violation"),
+    )
+
+
+@query(
+    "q_dp_counts",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS true_n FROM documents
+      GROUP BY 1),
+    u AS (
+      SELECT lang, true_n,
+             (CAST(concat('0x', substr(md5(concat('dp|', lang)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 AS p
+      FROM c)
+    SELECT lang, true_n,
+           CASE WHEN p < 0.5 THEN ln(2.0 * p)
+                ELSE -ln(2.0 * (1.0 - p)) END AS laplace_noise,
+           true_n + CASE WHEN p < 0.5 THEN ln(2.0 * p)
+                         ELSE -ln(2.0 * (1.0 - p)) END AS dp_n
+    FROM u
+    """,
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release mechanism DEMONSTRATED with a
+    seeded draw: per-language doc counts plus Laplace(1/ε, ε=1) noise
+    from the inverse CDF of an md5-derived uniform — the same
+    derandomization pattern as q_bootstrap_ci (in production the
+    uniform comes from a real RNG; the mechanism, sensitivity-1 count
+    + b=1/ε Laplace, is exactly this). Aggregate-first (one exact
+    count per group), noise attached to the |langs|-row frame; the
+    ln() runs on engine-identical doubles so the oracle reproduces the
+    draw bit-for-bit."""
+    c = (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    p = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp|"), F.col("lang"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(float(2**32))
+    noise = F.when(p < 0.5, F.log(2.0 * p)).otherwise(
+        -F.log(2.0 * (1.0 - p))
+    )
+    return c.select(
+        "lang",
+        "true_n",
+        noise.alias("laplace_noise"),
+        (F.col("true_n") + noise).alias("dp_n"),
+    )
+
+
+@query(
+    "q_split_leakage",
+    oracle="""
+    WITH
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+             FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM toks, unnest(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     count(*) AS i
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    jac AS (SELECT doc_id_a, doc_id_b,
+                   round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_id_a
+            JOIN sz sb ON sb.doc_id = doc_id_b),
+    sp AS (SELECT doc_id_a, doc_id_b, jaccard,
+                  CASE WHEN substr(sha256(CAST(doc_id_a AS VARCHAR)), 1, 2)
+                         < 'e6' THEN 'train'
+                       WHEN substr(sha256(CAST(doc_id_a AS VARCHAR)), 1, 2)
+                         < 'f3' THEN 'val' ELSE 'test' END AS split_a,
+                  CASE WHEN substr(sha256(CAST(doc_id_b AS VARCHAR)), 1, 2)
+                         < 'e6' THEN 'train'
+                       WHEN substr(sha256(CAST(doc_id_b AS VARCHAR)), 1, 2)
+                         < 'f3' THEN 'val' ELSE 'test' END AS split_b
+           FROM jac WHERE jaccard >= 0.7)
+    SELECT doc_id_a, doc_id_b, jaccard, split_a, split_b
+    FROM sp WHERE split_a <> split_b
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: near-duplicate pairs (exact Jaccard
+    ≥ 0.7, MinHash-LSH candidates — operators/dedup) that CROSS the
+    q_dataset_split boundaries. A val/test doc with a train near-dup
+    inflates benchmark scores; this is the release-gate that catches
+    it AFTER splitting (q_text_contamination covers external
+    benchmarks; this covers the pipeline's own split). Splits are
+    recomputed from doc_id's sha256 ON the pair rows — content-
+    independent, so no join back to the corpus is needed; the LSH
+    candidate set (not all-pairs) bounds the work exactly as in
+    q_dedup_near."""
+    from mapreduceframework_cpp_spark.operators.common import spread
+    from mapreduceframework_cpp_spark.operators.dedup import (
+        minhash_lsh_near_dups,
+    )
+
+    pairs = minhash_lsh_near_dups(spread(tbl(spark, sf_dir, "documents")))
+
+    def split_of(col: str) -> F.Column:
+        h2 = F.substring(F.sha2(F.col(col).cast("string"), 256), 1, 2)
+        return (
+            F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+        )
+
+    return (
+        pairs.select(
+            "doc_id_a",
+            "doc_id_b",
+            "jaccard",
+            split_of("doc_id_a").alias("split_a"),
+            split_of("doc_id_b").alias("split_b"),
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
