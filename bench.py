@@ -180,6 +180,7 @@ HEADLINE = [
     "q_k_anonymity",
     "q_dp_counts",
     "q_split_leakage",
+    "q_survival_km",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

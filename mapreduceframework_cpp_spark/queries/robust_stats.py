@@ -343,3 +343,133 @@ def q_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.min("n")
         ).alias("winsorized_mean"),
     )
+
+
+@query(
+    "q_survival_km",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             lead(CAST(o_orderdate AS DATE)) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS nxt
+      FROM orders),
+    study AS (SELECT max(CAST(o_orderdate AS DATE)) AS study_end FROM orders),
+    obs AS (
+      SELECT CASE WHEN nxt IS NULL
+                  THEN date_diff('day', d, study_end)
+                  ELSE date_diff('day', d, nxt) END AS t,
+             CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS e
+      FROM o CROSS JOIN study),
+    grp AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS m, CAST(sum(e) AS BIGINT) AS d
+      FROM obs GROUP BY 1),
+    risk AS (
+      SELECT t, m, d,
+             (SELECT count(*) FROM obs) -
+               coalesce(sum(m) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n
+      FROM grp),
+    terms AS (
+      SELECT t, n, d,
+             CASE WHEN d = n THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round(ln((n - d) * 1.0 / n) * 1000000000)
+                            AS BIGINT) END AS term_nano,
+             max(CASE WHEN d = n THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead
+      FROM risk WHERE d > 0),
+    km AS (
+      SELECT t, n, d, dead,
+             sum(term_nano) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS cum_nano
+      FROM terms)
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n AS BIGINT) AS n_at_risk,
+           d AS n_events,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE exp(CAST(cum_nano AS DOUBLE) / 1000000000.0)
+           END AS survival
+    FROM km
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of customer reorder latency, with
+    censoring done right: each order's time-to-next-order is an event,
+    each customer's LAST order is censored at the study end (dropping
+    it — what a naive average does — biases retention optimistic). The
+    estimator's running product Π(1 − dᵤ/nᵤ) is float-disciplined like
+    everything here: per-duration ln terms quantize to an int64
+    nano-grid, cumulate as exact integers in one ordered window, and
+    exp() runs once per row — bit-identical across engines and
+    partitionings. Aggregate-first: observations collapse to distinct
+    durations (~hundreds of rows) before any window; the at-risk count
+    derives from the same tiny frame. One customer-keyed window over
+    the fact + one small-frame pipeline."""
+    w_next = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w_next).alias("nxt"),
+    )
+    study = tbl(spark, sf_dir, "orders").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("study_end")
+    )
+    obs = o.crossJoin(F.broadcast(study)).select(
+        F.when(
+            F.col("nxt").isNull(), F.datediff("study_end", "d")
+        )
+        .otherwise(F.datediff("nxt", "d"))
+        .alias("t"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("e"),
+    )
+    grp = obs.groupBy("t").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("e").alias("d")
+    )
+    n_total = obs.agg(F.count(F.lit(1)).alias("n_obs"))
+    w_before = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = (
+        grp.crossJoin(F.broadcast(n_total))
+        .select(
+            "t",
+            "m",
+            "d",
+            (
+                F.col("n_obs")
+                - F.coalesce(F.sum("m").over(w_before), F.lit(0))
+            ).alias("n"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    term_nano = F.when(F.col("d") == F.col("n"), F.lit(0).cast("long")).otherwise(
+        F.round(
+            F.log((F.col("n") - F.col("d")) * 1.0 / F.col("n")) * 1000000000
+        ).cast("long")
+    )
+    terms = risk.select(
+        "t",
+        "n",
+        "d",
+        term_nano.alias("term_nano"),
+        F.max(F.when(F.col("d") == F.col("n"), 1).otherwise(0))
+        .over(w_cum)
+        .alias("dead"),
+    )
+    return terms.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n").cast("long").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.exp(
+                F.sum("term_nano").over(w_cum).cast("double") / 1000000000.0
+            )
+        )
+        .alias("survival"),
+    )
