@@ -181,6 +181,7 @@ HEADLINE = [
     "q_dp_counts",
     "q_split_leakage",
     "q_survival_km",
+    "q_agg_theilsen",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

@@ -473,3 +473,100 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     )
+
+
+@query(
+    "q_agg_theilsen",
+    oracle="""
+    WITH daily AS (
+      SELECT lang,
+             CAST(date_diff('day', DATE '2025-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events e JOIN (SELECT DISTINCT user_id % 5 AS uid_mod,
+                                 CASE user_id % 5 WHEN 0 THEN 'en'
+                                      WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+                                      WHEN 3 THEN 'es' ELSE 'zh' END AS lang
+                          FROM events) m
+        ON e.user_id % 5 = m.uid_mod
+      GROUP BY 1, 2),
+    slopes AS (
+      SELECT a.lang,
+             (b.y - a.y) * 1.0 / (b.x - a.x) AS s
+      FROM daily a JOIN daily b
+        ON a.lang = b.lang AND b.x > a.x),
+    r AS (
+      SELECT lang, s,
+             row_number() OVER (PARTITION BY lang ORDER BY s) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM slopes)
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_pairs,
+           CAST(min(s) AS DOUBLE) AS slope_per_day
+    FROM r WHERE rn = (n + 1) // 2
+    GROUP BY 1
+    """,
+)
+def q_agg_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise day-over-day
+    slopes of each cohort's daily event counts — the outlier-immune
+    complement to q_agg_ols_trend (one corrupt day breaks an OLS fit;
+    Theil–Sen tolerates ~29% contamination). Aggregate-first makes the
+    quadratic harmless: the fact collapses to (cohort, day) counts
+    (~30 points per cohort), and the pairwise-slope self-join runs
+    over that TINY frame (~435 pairs/cohort), co-partitioned on the
+    cohort key — never on raw events. Slopes are single divisions of
+    exact int64 deltas (identical doubles cross-engine); the lower
+    median picks rank ⌈n/2⌉ in a total sort, deterministic because
+    equal doubles are interchangeable."""
+    e = tbl(spark, sf_dir, "events")
+    lang = (
+        F.when(F.col("user_id") % 5 == 0, "en")
+        .when(F.col("user_id") % 5 == 1, "de")
+        .when(F.col("user_id") % 5 == 2, "fr")
+        .when(F.col("user_id") % 5 == 3, "es")
+        .otherwise("zh")
+    )
+    daily = (
+        e.select(
+            lang.alias("lang"),
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("2025-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("lang", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a = daily.select("lang", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(
+        F.col("lang").alias("lang_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    slopes = a.join(
+        b, (F.col("lang") == F.col("lang_b")) & (F.col("xb") > F.col("xa"))
+    ).select(
+        "lang",
+        ((F.col("yb") - F.col("ya")) * 1.0 / (F.col("xb") - F.col("xa"))).alias(
+            "s"
+        ),
+    )
+    w_rank = Window.partitionBy("lang").orderBy("s")
+    w_n = Window.partitionBy("lang")
+    r = slopes.select(
+        "lang",
+        "s",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    return (
+        r.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.min("s").cast("double").alias("slope_per_day"),
+        )
+    )
