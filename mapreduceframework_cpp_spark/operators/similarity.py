@@ -253,28 +253,47 @@ def label_blocked_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str = "label",
+    salt: int = 4,
 ) -> DataFrame:
     """Exact k-NN within coarse blocks (the IVF idea with a stored
     cell id): candidates are restricted to vectors sharing ``block_col``,
     so the pair space is sum-of-squared-cell-sizes instead of n² and the
     join is a plain co-partitioned equi join on the block key — each
     cell's pairs materialize on one executor, no broadcast of the full
-    corpus anywhere. Output: vec_id, neighbor_id, cos_sim (6dp), rank."""
-    a = with_norm(emb, vec_col).select(
+    corpus anywhere.
+
+    ``salt`` sub-splits each cell's QUERY side inside the join key
+    (probe rows keep one salt, candidate rows replicate ``salt`` ways),
+    multiplying join parallelism by ``salt`` without changing the pair
+    set — the fix for few-large-cells layouts where `|cells| < cores`
+    leaves most of the machine idle during the cosine stage. Candidate
+    replication is bounded (×salt rows of the narrow candidate frame),
+    the classic skew-salt trade. Output: vec_id, neighbor_id,
+    cos_sim (6dp), rank."""
+    a = with_norm(spread(emb, id_col), vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col(block_col).alias("_blk"),
+        (F.pmod(F.hash(F.col(id_col)), F.lit(salt))).alias("_salt"),
         F.col("_v").alias("_qv"),
         F.col("_norm").alias("_qn"),
     )
-    b = with_norm(spread(emb, id_col), vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(block_col).alias("_blk_b"),
-        F.col("_v").alias("_cv"),
-        F.col("_norm").alias("_cn"),
+    b = (
+        with_norm(spread(emb, id_col), vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(block_col).alias("_blk_b"),
+            F.col("_v").alias("_cv"),
+            F.col("_norm").alias("_cn"),
+        )
+        .withColumn(
+            "_salt_b",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),
+        )
     )
     scored = a.join(
         b,
         (F.col("_blk") == F.col("_blk_b"))
+        & (F.col("_salt") == F.col("_salt_b"))
         & (F.col("vec_id") != F.col("neighbor_id")),
     ).withColumn(
         "_cos", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
