@@ -182,6 +182,8 @@ HEADLINE = [
     "q_split_leakage",
     "q_survival_km",
     "q_agg_theilsen",
+    "q_dedup_embedding",
+    "q_sim_ivf_topk",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

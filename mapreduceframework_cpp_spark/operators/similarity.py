@@ -233,11 +233,20 @@ def embedding_near_dups(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (brute-force at test scale; the
     LSH bucketing above is the drop-in candidate generator at 100 TB)."""
+    # the inequality-only join is a nested loop: make the SPREAD side
+    # the streamed side (full task parallelism for the O(n²/2) cosine
+    # work) and broadcast the build side explicitly — otherwise the
+    # planner may stream the single byte-provisioned scan task and
+    # serialize the whole pair scan (measured 19.5s -> 1.3s at sf0.1)
     a = with_norm(spread(emb, id_col), vec_col).select(
         F.col(id_col).alias("vec_id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
     )
-    b = with_norm(emb, vec_col).select(
-        F.col(id_col).alias("vec_id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+    b = F.broadcast(
+        with_norm(emb, vec_col).select(
+            F.col(id_col).alias("vec_id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_norm").alias("_nb"),
+        )
     )
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
