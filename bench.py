@@ -184,6 +184,9 @@ HEADLINE = [
     "q_agg_theilsen",
     "q_dedup_embedding",
     "q_sim_ivf_topk",
+    "q_events_changepoint",
+    "q_sessions_concurrency",
+    "q_emb_quantile_norm",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

@@ -880,3 +880,143 @@ def q_attrib_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_revenue"
         ),
     )
+
+
+@query(
+    "q_events_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    base AS (
+      SELECT day, n,
+             CAST(sum(n) OVER () AS BIGINT) AS tot,
+             CAST(count(*) OVER () AS BIGINT) AS days
+      FROM daily),
+    dev AS (
+      SELECT day, n, days,
+             n * days - tot AS dev_scaled
+      FROM base),
+    cus AS (
+      SELECT day, n, days,
+             sum(dev_scaled) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS cusum_scaled
+      FROM dev)
+    SELECT day, n,
+           CAST(cusum_scaled AS DOUBLE) / days AS cusum,
+           abs(cusum_scaled) = max(abs(cusum_scaled)) OVER ()
+             AS is_changepoint
+    FROM cus
+    """,
+)
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-volume series:
+    the running sum of deviations from the global mean peaks (in
+    absolute value) at the most likely level-shift day — the classic
+    single-changepoint estimator behind pipeline-breakage forensics
+    ("which day did volume step?"). Exactness: deviations are scaled
+    by the day count so every accumulated term is an exact int64
+    (n·days − total), the cusum is an integer window sum, and the one
+    division to report scale happens per row on identical operands.
+    Aggregate-first: the fact collapses to ~N days before any window;
+    the argmax is a window max over the same tiny frame, flagged by
+    exact integer comparison."""
+    daily = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = Window.partitionBy()
+    base = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w_all).alias("tot"),
+        F.count(F.lit(1)).over(w_all).alias("days"),
+    )
+    dev = base.select(
+        "day",
+        "n",
+        "days",
+        (F.col("n") * F.col("days") - F.col("tot")).alias("dev_scaled"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cus = dev.select(
+        "day",
+        "n",
+        "days",
+        F.sum("dev_scaled").over(w_cum).alias("cusum_scaled"),
+    )
+    return cus.select(
+        "day",
+        "n",
+        (F.col("cusum_scaled").cast("double") / F.col("days")).alias("cusum"),
+        (
+            F.abs("cusum_scaled")
+            == F.max(F.abs("cusum_scaled")).over(w_all)
+        ).alias("is_changepoint"),
+    )
+
+
+@query(
+    "q_sessions_concurrency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS start_ts,
+             max(ts) + INTERVAL 30 MINUTE AS end_ts
+      FROM events
+      GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)),
+    pts AS (
+      SELECT start_ts AS t, 1 AS delta FROM s
+      UNION ALL
+      SELECT end_ts AS t, -1 AS delta FROM s),
+    sweep AS (
+      SELECT t, sum(delta) AS d
+      FROM pts GROUP BY t),
+    run AS (
+      SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS concurrent
+      FROM sweep)
+    SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+           CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY 1
+    """,
+)
+def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by sweep line: each (user, day)
+    session contributes +1 at its start and −1 at its end (+30 min
+    linger), deltas collapse per distinct timestamp, and one running
+    sum over the time order IS the concurrency curve — the interval-
+    stabbing counter that a naive per-minute × per-session range join
+    would compute at thousands of times the cost. Exact integers end
+    to end; identical-timestamp starts and ends net BEFORE the running
+    sum (grouped sweep), so the curve is deterministic with no
+    within-tick ordering assumption. The sweep's global window runs
+    over the collapsed timestamp frame (two rows per session) — at
+    cluster scale it would range-partition on time."""
+    s = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("_d")
+        )
+        .agg(
+            F.min("ts").alias("start_ts"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        )
+    )
+    pts = s.select(F.col("start_ts").alias("t"), F.lit(1).alias("delta")).unionAll(
+        s.select(F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
+    )
+    sweep = pts.groupBy("t").agg(F.sum("delta").alias("d"))
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = sweep.select("t", F.sum("d").over(w_run).alias("concurrent"))
+    return (
+        run.groupBy(
+            F.date_trunc("day", "t").cast("timestamp_ntz").alias("day")
+        )
+        .agg(F.max("concurrent").alias("peak_concurrent"))
+    )

@@ -467,3 +467,62 @@ def q_emb_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return power_iteration_top_component(tbl(spark, sf_dir, "embeddings"))
+
+
+#: lanes normalized by q_emb_quantile_norm (bounded output; the
+#: pattern extends to all dims unchanged)
+_QN_DIMS = 4
+
+
+@query(
+    "q_emb_quantile_norm",
+    oracle=f"""
+    WITH lanes AS (
+      SELECT vec_id, j AS dim,
+             CAST(embedding[j + 1] AS DOUBLE) AS v
+      FROM embeddings, range(0, {_QN_DIMS}) t(j)),
+    r AS (
+      SELECT vec_id, dim, v,
+             row_number() OVER (PARTITION BY dim ORDER BY v, vec_id)
+               AS rk,
+             count(*) OVER (PARTITION BY dim) AS n
+      FROM lanes)
+    SELECT vec_id, CAST(dim AS BIGINT) AS dim, v,
+           (rk - 0.5) / n AS qnorm
+    FROM r
+    """,
+)
+def q_emb_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of embedding lanes: each
+    dimension's values map to their empirical percentile (rank−0.5)/n
+    — the scale/outlier-immune feature prep that makes mixed-source
+    embedding spaces comparable before clustering or kNN (a lane with
+    10× the variance otherwise dominates every distance). Ranks use a
+    (value, vec_id) total order so ties are deterministic; the only
+    float op is one division of exact integers per row. One explode
+    (shuffle-free) then per-dimension windows — at full width the
+    window key has |dims| partitions, each a rank sort of n values,
+    the same per-key ordered fold as every window in SURVEY §2.2-E."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    lanes = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_QN_DIMS - 1))).alias("dim"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "dim",
+        F.element_at("embedding", F.col("dim").cast("int") + 1)
+        .cast("double")
+        .alias("v"),
+    )
+    w_rank = Window.partitionBy("dim").orderBy("v", "vec_id")
+    w_n = Window.partitionBy("dim")
+    return lanes.select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        "v",
+        (
+            (F.row_number().over(w_rank) - 0.5)
+            / F.count(F.lit(1)).over(w_n)
+        ).alias("qnorm"),
+    )
