@@ -187,6 +187,8 @@ HEADLINE = [
     "q_events_changepoint",
     "q_sessions_concurrency",
     "q_emb_quantile_norm",
+    "q_sketch_theta",
+    "q_sketch_kll",
     # robust-stats family (queries/robust_stats.py)
     "q_skyline",
     "q_agg_weighted_median",

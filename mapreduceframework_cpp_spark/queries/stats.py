@@ -501,3 +501,64 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("month_users").alias("monthly_users"),
         )
     )
+
+
+@query("q_sketch_theta")  # rows-only: sketch estimates are engine-specific
+def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra via theta sketches (Datasketches, Spark 4):
+    distinct users who click, who purchase, the INTERSECTION (both)
+    and the DIFFERENCE (click-only) — the overlap questions HLL cannot
+    answer (HLL unions only; theta sketches keep a sample of hashed
+    keys so ∩ and \\ compose). Each side is one mergeable sketch
+    aggregate (map-side combinable, bounded size); the set algebra
+    runs on TWO sketch values, not on user sets. Rows-only: estimates
+    are sketch-internal; pytest bounds them against exact counts
+    (tests/test_aggregations.py)."""
+    e = tbl(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").agg(
+        F.theta_sketch_agg("user_id").alias("s")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").agg(
+        F.theta_sketch_agg("user_id").alias("s")
+    )
+    both = clicks.select(F.col("s").alias("sc")).crossJoin(
+        purch.select(F.col("s").alias("sp"))
+    )
+    return both.select(
+        F.theta_sketch_estimate(F.col("sc")).cast("long").alias("n_click"),
+        F.theta_sketch_estimate(F.col("sp")).cast("long").alias("n_purchase"),
+        F.theta_sketch_estimate(F.theta_intersection("sc", "sp"))
+        .cast("long")
+        .alias("n_both"),
+        F.theta_sketch_estimate(F.theta_difference("sc", "sp"))
+        .cast("long")
+        .alias("n_click_only"),
+        F.theta_sketch_estimate(F.theta_union("sc", "sp"))
+        .cast("long")
+        .alias("n_either"),
+    )
+
+
+@query("q_sketch_kll")  # rows-only: sketch estimates are engine-specific
+def q_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (KLL, Datasketches, Spark 4): per-
+    priority p50/p95 of order value from one bounded-size sketch per
+    group — unlike exact percentiles (full sort) or GK
+    `percentile_approx` (not re-mergeable across pre-aggregated
+    partials), KLL sketches UNION losslessly, so daily sketches roll
+    up to monthly quantiles without rescanning — the quantile analog
+    of the HLL rollup (q_agg_hll_rollup). Rows-only; pytest bounds
+    the estimates against exact percentiles."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v")
+    )
+    sk = o.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("v").alias("s"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return sk.select(
+        "o_orderpriority",
+        "n_rows",
+        F.kll_sketch_get_quantile_double(F.col("s"), F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double(F.col("s"), F.lit(0.95)).alias("p95"),
+    )

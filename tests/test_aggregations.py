@@ -51,3 +51,57 @@ def test_hll_rollup_within_5pct(spark, oracle_sf_dir, duck):
     for r in day_rows:
         exact = exact_day[r.day]
         assert abs(r.approx_users - exact) / exact <= 0.05, (r.day, r.approx_users, exact)
+
+
+def test_theta_sketch_set_algebra_within_5pct(spark, oracle_sf_dir, duck):
+    """Theta-sketch audience overlap: every estimate (each side, the
+    intersection, the difference, the union) within 5% of exact."""
+    from mapreduceframework_cpp_spark.registry import all_queries
+
+    (row,) = all_queries()["q_sketch_theta"](spark, oracle_sf_dir).collect()
+    ex = dict(
+        zip(
+            ("n_click", "n_purchase", "n_both", "n_click_only", "n_either"),
+            duck.execute(
+                """
+        WITH c AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase')
+        SELECT (SELECT count(*) FROM c),
+               (SELECT count(*) FROM p),
+               (SELECT count(*) FROM c WHERE user_id IN (SELECT * FROM p)),
+               (SELECT count(*) FROM c
+                WHERE user_id NOT IN (SELECT * FROM p)),
+               (SELECT count(*) FROM (SELECT * FROM c UNION
+                                      SELECT * FROM p))
+        """
+            ).fetchone(),
+        )
+    )
+    for k, exact in ex.items():
+        got = row[k]
+        assert abs(got - exact) <= max(1, 0.05 * exact), (k, got, exact)
+
+
+def test_kll_quantiles_within_2pct(spark, oracle_sf_dir, duck):
+    """KLL sketch p50/p95 per priority within 2% of exact quantiles."""
+    from mapreduceframework_cpp_spark.registry import all_queries
+
+    rows = all_queries()["q_sketch_kll"](spark, oracle_sf_dir).collect()
+    exact = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            """
+        SELECT o_orderpriority,
+               quantile_disc(o_totalprice, 0.5),
+               quantile_disc(o_totalprice, 0.95)
+        FROM orders GROUP BY 1
+        """
+        ).fetchall()
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        e50, e95 = exact[r.o_orderpriority]
+        assert abs(r.p50 - e50) / e50 <= 0.02, (r.o_orderpriority, r.p50, e50)
+        assert abs(r.p95 - e95) / e95 <= 0.02, (r.o_orderpriority, r.p95, e95)
