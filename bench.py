@@ -193,6 +193,10 @@ HEADLINE = [
     "q_skyline",
     "q_agg_weighted_median",
     "q_bootstrap_ci",
+    # round-3 late: oracle-verified iterative + incremental-maintenance
+    "q_graph_purchase_rank",
+    "q_incr_join_view",
+    "q_join_size_estimate",
 ]
 
 

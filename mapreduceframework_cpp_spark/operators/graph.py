@@ -24,11 +24,16 @@ _UNIT = 1_000_000_000
 
 
 def pagerank(
-    edges: DataFrame, damping: float = 0.85, max_iter: int = 10
+    edges: DataFrame, damping: float = 0.85, max_iter: int = 10,
+    raw_units: bool = False,
 ) -> DataFrame:
     """PageRank over directed (src, dst) edges; returns (node, rank)
     with rank in units of 1.0-per-node (sum ≈ n_nodes minus the mass
     dangling/rounding drops — the standard simplification).
+
+    ``raw_units=True`` returns the exact integer nano-rank ``rank_q``
+    instead of the rounded double — the cross-engine-hashable form
+    (no float ever leaves the plan).
 
     Each iteration is one join + one partial-aggregated group-by over
     (dst, contribution) pairs — R6/R8 kernel shapes; cost per round is
@@ -82,4 +87,6 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    if raw_units:
+        return ranks.select("node", "rank_q")
     return ranks.select("node", F.round(F.col("rank_q") / _UNIT, 9).alias("rank"))

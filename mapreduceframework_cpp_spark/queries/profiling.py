@@ -501,3 +501,108 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(tot) - benford_p
         ).alias("excess"),
     )
+
+
+def _pagerank_unrolled_oracle(n_iter: int = 8) -> str:
+    """DuckDB oracle for integer nano-rank PageRank: the power iteration
+    unrolled as chained CTEs (recursive CTEs can't GROUP BY in the
+    recursive term, so fixed-depth unrolling IS the portable SQL form).
+    Arithmetic mirrors operators/graph.py bit-for-bit: integer division
+    for per-edge contributions, exact BIGINT sums, and one
+    correctly-rounded double multiply+floor per node per round (0.85
+    cast to DOUBLE explicitly — DuckDB parses the bare literal as
+    DECIMAL, which would use exact decimal arithmetic and drift from
+    Spark's IEEE-754 product)."""
+    unit, base = 1_000_000_000, int((1.0 - 0.85) * 1_000_000_000)
+    sql = f"""
+    WITH pair AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS snode
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT cnode AS src, snode AS dst FROM pair
+      UNION ALL SELECT snode, cnode FROM pair
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    nodes AS (SELECT DISTINCT src AS node
+              FROM (SELECT src FROM edges UNION ALL SELECT dst FROM edges)),
+    r0 AS (SELECT node, CAST({unit} AS BIGINT) AS rank_q FROM nodes)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    c{i} AS (SELECT ed.dst AS node, sum(p.rank_q // ed.deg) AS in_q
+             FROM ed JOIN r{i - 1} p ON p.node = ed.src GROUP BY ed.dst),
+    r{i} AS (SELECT n.node,
+             CAST({base} + floor(CAST(0.85 AS DOUBLE)
+                                 * CAST(coalesce(c{i}.in_q, 0) AS DOUBLE))
+                  AS BIGINT) AS rank_q
+             FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node)"""
+    return sql + f"\n    SELECT node, rank_q FROM r{n_iter}"
+
+
+@query("q_graph_purchase_rank", oracle=_pagerank_unrolled_oracle(8))
+def q_graph_purchase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier purchase graph — 'who are the
+    structurally central suppliers/buyers' (assortativity hubs), the
+    oracle-verified companion to q_graph_pagerank (whose LSH edge set
+    DuckDB can't reproduce). Edges: distinct (customer, supplier) pairs
+    from orders⋈lineitem, symmetrized. Ranks are exact integer
+    nano-ranks (operators/graph.py) so the 8-round power iteration is
+    bit-identical to the unrolled-CTE oracle — an iterative algorithm
+    under full hash verification, not rows-only. Scale: per round one
+    O(|edges|) join + partial-aggregated group-by shuffled on node
+    keys; the degree-annotated edge list is checkpointed once and the
+    loop frames are sized to the materialized graph, not the session
+    default."""
+    from mapreduceframework_cpp_spark.operators.graph import pagerank
+
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    pair = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pair.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).union(pair.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+    return pagerank(edges, damping=0.85, max_iter=8, raw_units=True)
+
+
+@query(
+    "q_join_size_estimate",
+    oracle="""
+    WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT CAST(sum(n * n) AS BIGINT) AS predicted_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           CAST(max(n * n) AS DOUBLE) / CAST(sum(n * n) AS DOUBLE)
+             AS max_key_share
+    FROM k
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality prediction BEFORE running the join — the skew
+    guard a planner (or an engineer) runs ahead of a per-user self-join
+    (pair mining, sessionized co-occurrence): |A ⋈_k A| = Σ_k n_k².
+    One aggregate over the key histogram — O(|A|) with partial
+    aggregation, no join executed — yields the exact output size, the
+    hottest key, and its share of the blowup (the salting decision
+    input: max_key_share near 1 means one key dominates and a plain
+    shuffle join stalls on a straggler). Exact integer sums; the only
+    float is one double division on identical operands."""
+    ev = tbl(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    nn = F.col("n") * F.col("n")
+    return k.agg(
+        F.sum(nn).alias("predicted_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+        (F.max(nn).cast("double") / F.sum(nn).cast("double")).alias(
+            "max_key_share"
+        ),
+    )

@@ -730,3 +730,42 @@ def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("corr_7d"),
     )
+
+
+@query(
+    "q_incr_join_view",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_nationkey,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_incr_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: with insert-only deltas ΔA
+    (new orders) and ΔB (new customers), the maintained view is
+    V_old ∪ (ΔA ⋈ B) ∪ (A_old ⋈ ΔB) — the classic delta rule
+    ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB with the last two terms folded
+    (ΔA joins the FULL B; A_old joins only ΔB). The oracle is the full
+    recompute over orders⋈customer: hash-equality proves the delta
+    algebra. At 100 TB the payoff is the A_old ⋈ ΔB term — the huge
+    fact side is only re-joined against the (broadcastable) dimension
+    delta, never rescanned against all of B; ΔA⋈B is delta-sized. Both
+    delta joins here broadcast their small side."""
+    a = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    b = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    a_old = a.filter(F.col("o_orderkey") % 9 != 0)
+    a_new = a.filter(F.col("o_orderkey") % 9 == 0)
+    b_old = b.filter(F.col("c_custkey") % 11 != 0)
+    b_new = b.filter(F.col("c_custkey") % 11 == 0)
+
+    def view(fact: DataFrame, dim: DataFrame) -> DataFrame:
+        return fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey).select(
+            "o_orderkey", "c_custkey", "c_nationkey", "price"
+        )
+
+    v_old = view(a_old, b_old)
+    delta = view(a_new, b).unionByName(view(a_old, b_new))
+    return v_old.unionByName(delta)
