@@ -246,3 +246,55 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_arrow_map",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                END AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface — the zero-copy sibling of mapInPandas:
+    batches arrive as ``pyarrow.RecordBatch`` and are transformed with
+    ``pyarrow.compute`` kernels (C++ vectorized, no pandas
+    materialization, no Python-object row loop). The last Python-eval
+    API in the J family (scalar pandas UDF / applyInPandas /
+    applyInArrow / UDTF / cogroup are covered by the queries above).
+    Computation: per-doc codepoint length + whitespace token count —
+    deliberately the same definition as the SQL oracle so the Arrow
+    kernels are value-verified, not just smoke-run. At 100 TB this path
+    is bounded by Arrow IPC transfer; no JVM<->Python serialization of
+    Python objects ever happens."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_batches(batches):
+        for b in batches:
+            text = b.column("text")
+            trimmed = pc.utf8_trim_whitespace(text)
+            toks = pc.split_pattern_regex(trimmed, r"\s+")
+            n_tok = pc.if_else(
+                pc.equal(trimmed, ""),
+                pa.scalar(0, pa.int32()),
+                pc.list_value_length(toks),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(n_tok, pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_tokens"],
+            )
+
+    return docs.mapInArrow(
+        count_batches, schema="doc_id long, n_chars long, n_tokens long"
+    )
