@@ -25,7 +25,7 @@ _UNIT = 1_000_000_000
 
 def pagerank(
     edges: DataFrame, damping: float = 0.85, max_iter: int = 10,
-    raw_units: bool = False,
+    raw_units: bool = False, broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """PageRank over directed (src, dst) edges; returns (node, rank)
     with rank in units of 1.0-per-node (sum ≈ n_nodes minus the mass
@@ -64,11 +64,26 @@ def pagerank(
         .localCheckpoint()
     )
 
+    # Rank-frame broadcast: the per-round join's big side is the
+    # checkpointed edge list; the rank frame is |nodes| rows of
+    # (key, long). Below ~1M nodes (~tens of MB) shipping ranks to every
+    # executor removes the ONLY per-round exchange of the edge frame —
+    # each iteration is then: local scan of checkpointed edges →
+    # map-side partial sum → exchange of already-aggregated (dst, in_q)
+    # pairs (≤ |nodes| rows per partition). Billion-node graphs fall
+    # back to the co-partitioned shuffle join automatically.
+    if broadcast_ranks is None:
+        broadcast_ranks = nodes.count() <= 1_000_000
+    bcast = broadcast_ranks
+
     base = int((1.0 - damping) * _UNIT)
     ranks = nodes.withColumn("rank_q", F.lit(_UNIT).cast("long")).localCheckpoint()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         contribs = (
-            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            edges_deg.join(
+                F.broadcast(ranks) if bcast else ranks,
+                edges_deg.src == ranks.node,
+            )
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_q div deg").alias("c"),  # exact integer division
@@ -76,17 +91,19 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_q"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.floor(damping * F.coalesce("in_q", F.lit(0)))
-                ).cast("long").alias("rank_q"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.floor(damping * F.coalesce("in_q", F.lit(0)))
+            ).cast("long").alias("rank_q"),
         )
+        # truncate lineage every OTHER round (and on the last): a
+        # 2-round join+agg chain is trivially plannable, and halving
+        # the eager materializations halves the per-round job-
+        # scheduling overhead that dominates small-graph wall time.
+        if it % 2 == 1 or it == max_iter - 1:
+            ranks = ranks.localCheckpoint()
     if raw_units:
         return ranks.select("node", "rank_q")
     return ranks.select("node", F.round(F.col("rank_q") / _UNIT, 9).alias("rank"))

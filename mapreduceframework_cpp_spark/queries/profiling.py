@@ -519,6 +519,7 @@ def _pagerank_unrolled_oracle(n_iter: int = 8) -> str:
       SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
                       's' || CAST(l.l_suppkey AS VARCHAR) AS snode
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '2000-08-01'
     ),
     edges AS (
       SELECT cnode AS src, snode AS dst FROM pair
@@ -547,7 +548,9 @@ def q_graph_purchase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     structurally central suppliers/buyers' (assortativity hubs), the
     oracle-verified companion to q_graph_pagerank (whose LSH edge set
     DuckDB can't reproduce). Edges: distinct (customer, supplier) pairs
-    from orders⋈lineitem, symmetrized. Ranks are exact integer
+    from the trailing year of orders⋈lineitem, symmetrized (the
+    analytical window is the query's choice; the operator is
+    size-agnostic and q_graph_pagerank exercises the bigger graph). Ranks are exact integer
     nano-ranks (operators/graph.py) so the 8-round power iteration is
     bit-identical to the unrolled-CTE oracle — an iterative algorithm
     under full hash verification, not rows-only. Scale: per round one
@@ -557,7 +560,9 @@ def q_graph_purchase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     default."""
     from mapreduceframework_cpp_spark.operators.graph import pagerank
 
-    o = tbl(spark, sf_dir, "orders")
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-08-01").cast("timestamp_ntz")
+    )
     li = tbl(spark, sf_dir, "lineitem")
     pair = (
         o.join(li, o.o_orderkey == li.l_orderkey)
