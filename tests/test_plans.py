@@ -435,3 +435,12 @@ def test_bootstrap_partial_aggregates(spark, sf_dir):
     assert "REPARTITION_BY_NUM" in p, p
     n = len(_re.findall(r"Exchange (?:hash|range|Single)", p))
     assert n == 2, p
+
+
+def test_incr_join_view_delta_joins_broadcast(spark, sf_dir):
+    """Both delta-maintenance joins must broadcast their small side: the
+    whole point of dV = dA><B U A_old><dB is that the big fact side
+    never shuffles on the join key."""
+    p = plan(_Q["q_incr_join_view"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3  # v_old + both delta joins
+    assert "SortMergeJoin" not in p
