@@ -91,7 +91,7 @@ def power_iteration_top_component(
         ).alias("v")
     ).localCheckpoint()
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         scored = centered.crossJoin(F.broadcast(v)).select(
             "x",
             F.aggregate(
@@ -132,8 +132,13 @@ def power_iteration_top_component(
             .select(
                 F.transform("av", lambda t: t / F.col("nrm")).alias("v")
             )
-            .localCheckpoint()
         )
+        # truncate lineage every other round (same rationale as
+        # operators/graph.py): a 2-round chain plans trivially and
+        # halving the eager 1-row materializations halves the
+        # job-scheduling overhead that dominates at small widths
+        if it % 2 == 1 or it == max_iter - 1:
+            v = v.localCheckpoint()
 
     # Rayleigh quotient λ = Σ ⟨x, v⟩² / (n − 1), 1e-9-grid exact
     final = (
