@@ -86,11 +86,9 @@ VERIFY_ROTATION = [
         #    guard on the highest-value path) -----------------------------
         "q_pipeline_e2e",
 ]
-# Round-4 rotation TODO: every query registered after this 50-slot
-# window during round 3 (registry positions 51+; 40+ queries from
-# q_tpch_*_shape through q_sample_balanced — enumerate with
-# `list(registry.QUERIES)[50:]` minus the names above) has local
-# oracle-diff evidence only. Lead the next window with whichever of
-# them (and of this window) CORRECTNESS_r03 leaves without a green row.
+# Round-4 rotation TODO: run `python tools/next_rotation.py` once
+# CORRECTNESS_r03.json lands — it folds every round's driver rows and
+# prints the next 50-slot window (unproven first, oldest registration
+# first, then green re-confirmations).
 
 registry.reorder(VERIFY_ROTATION)
