@@ -197,6 +197,10 @@ HEADLINE = [
     "q_graph_purchase_rank",
     "q_incr_join_view",
     "q_join_size_estimate",
+    # geospatial + series-diagnostics family (queries/geospatial.py, warehouse.py)
+    "q_geo_radius_join",
+    "q_geo_nearest_hub",
+    "q_ts_acf",
 ]
 
 

@@ -42,6 +42,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     mining,
     retrieval,
     robust_stats,
+    geospatial,
 )
 
 #: round-4 verification window (50 slots). Cumulative driver signal

@@ -769,3 +769,172 @@ def q_incr_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_old = view(a_old, b_old)
     delta = view(a_new, b).unionByName(view(a_old, b_new))
     return v_old.unionByName(delta)
+
+
+@query(
+    "q_ts_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1),
+    idx AS (SELECT x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+    ks AS (SELECT unnest(generate_series(1, 7)) AS k),
+    pairs AS (
+      SELECT ks.k AS lag_k, a.x AS x, b.x AS y
+      FROM ks CROSS JOIN idx a JOIN idx b ON b.rn = a.rn - ks.k),
+    s AS (
+      SELECT lag_k, count(*) AS n,
+             sum(CAST(x AS DECIMAL(19,0))) AS sx,
+             sum(CAST(y AS DECIMAL(19,0))) AS sy,
+             sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+             sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+             sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+      FROM pairs GROUP BY lag_k)
+    SELECT CAST(lag_k AS BIGINT) AS lag_k, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                  OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+                THEN NULL
+                ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS acf_corr
+    FROM s
+    """,
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1..7 (the
+    seasonality probe behind every forecast model): Pearson correlation
+    between the series and its k-shifted self over the observed day
+    sequence. Aggregate-first: the fact table collapses to one exact
+    int64-cents row per day (map-side combinable), and everything after
+    runs on that ~2.4k-row aggregate. The lagged pairing is a
+    manufactured EQUI-join — the shifted side expands 7× with
+    ``rn + k`` as the join key (same lowering as the binned interval
+    join) instead of a theta self-join, so even a 100-year hourly
+    series stays hash-joinable. Cross-engine float discipline as
+    q_ts_rolling_corr: all six per-lag sums accumulate exact DECIMALs,
+    then ONE double formula per lag; zero-variance lags yield NULL."""
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("x")
+        )
+    )
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    ks = spark.range(1, 8).select(F.col("id").alias("lag_k"))
+    shifted = idx.crossJoin(F.broadcast(ks)).select(
+        "lag_k",
+        (F.col("rn") + F.col("lag_k")).alias("rn_join"),
+        F.col("x").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    s = (
+        idx.join(shifted, idx.rn == shifted.rn_join)
+        .groupBy("lag_k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(yd * yd).alias("syy"),
+            F.sum(xd * yd).alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    return s.select(
+        F.col("lag_k").cast("long").alias("lag_k"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
+        .otherwise(cov / F.sqrt(vx * vy))
+        .alias("acf_corr"),
+    )
+
+
+@query(
+    "q_ts_seasonal_index",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1),
+    dow AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) % 7
+                  AS BIGINT) AS dow_idx,
+             count(*) AS n_days, sum(x) AS sum_x
+      FROM daily GROUP BY 1)
+    SELECT dow_idx, CAST(n_days AS BIGINT) AS n_days,
+           CAST(sum_x AS BIGINT) AS revenue_cents,
+           (CAST(sum_x AS DOUBLE) * CAST(sum(n_days) OVER () AS DOUBLE))
+           / (CAST(n_days AS DOUBLE) * CAST(sum(sum_x) OVER () AS DOUBLE))
+             AS seasonal_index
+    FROM dow
+    """,
+)
+def q_ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal index: mean daily revenue per weekday divided by
+    the overall mean daily revenue (index > 1 = above-trend weekday).
+    The weekday key is the portable epoch-anchored formula
+    ``days_since_1970 % 7`` (0 = Thursday) — engine ``dayofweek``
+    builtins disagree on numbering, integer arithmetic doesn't.
+    Aggregate-first twice: fact → exact cents per day → 7 weekday rows;
+    the normalizing totals come from an unpartitioned window over those
+    7 rows, not a second scan. The index is one double expression over
+    exact int64 sums, identical in both engines."""
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("x")
+        )
+    )
+    dow = (
+        daily.groupBy(
+            (
+                F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date"))
+                % 7
+            )
+            .cast("long")
+            .alias("dow_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("x").alias("sum_x"),
+        )
+    )
+    w = Window.partitionBy()
+    return dow.select(
+        "dow_idx",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("sum_x").cast("long").alias("revenue_cents"),
+        (
+            (
+                F.col("sum_x").cast("double")
+                * F.sum("n_days").over(w).cast("double")
+            )
+            / (
+                F.col("n_days").cast("double")
+                * F.sum("sum_x").over(w).cast("double")
+            )
+        ).alias("seasonal_index"),
+    )

@@ -444,3 +444,22 @@ def test_incr_join_view_delta_joins_broadcast(spark, sf_dir):
     p = plan(_Q["q_incr_join_view"](spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 3  # v_old + both delta joins
     assert "SortMergeJoin" not in p
+
+
+def test_geo_radius_join_is_hash_equi(spark, sf_dir):
+    """The radius join's whole point is the manufactured cell equi-key:
+    the physical plan must be a broadcast HASH join on (cl, cn), never
+    a nested-loop over points × hubs (which is what a naive theta
+    distance join lowers to)."""
+    p = plan(_Q["q_geo_radius_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_geo_nearest_hub_partial_min(spark, sf_dir):
+    """Nearest-hub is broadcast-expand-reduce: the 25-hub side must
+    broadcast (the sanctioned 25-row expansion) and the argmin must
+    partial-aggregate map-side before the custkey exchange."""
+    p = plan(_Q["q_geo_nearest_hub"](spark, sf_dir))
+    assert "partial_min" in p, p
