@@ -43,6 +43,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     retrieval,
     robust_stats,
     geospatial,
+    evaluation,
 )
 
 #: round-4 verification window (50 slots). Cumulative driver signal

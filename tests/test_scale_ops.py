@@ -99,6 +99,14 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
         "q_text_perplexity",
         "q_bitmap_distinct",
         "q_skyline",
+        # geospatial + evaluation additions: hash-derived coordinates,
+        # arithmetic argmin encoding, histogram-ranked AUC/deciles,
+        # exact lag-correlation sums
+        "q_geo_nearest_hub",
+        "q_geo_radius_join",
+        "q_score_auc",
+        "q_score_decile_lift",
+        "q_ts_acf",
     ],
 )
 def test_tiebreak_queries_shuffle_partition_invariant(spark, oracle_sf_dir, qname):
