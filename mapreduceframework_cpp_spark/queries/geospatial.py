@@ -27,7 +27,7 @@ squared distance is int64 (max distance² ≈ 1.6e17 < 2^63).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from mapreduceframework_cpp_spark.registry import query
 from mapreduceframework_cpp_spark.sources.tables import tbl
@@ -252,5 +252,99 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_within"),
             F.min(dist2).cast("long").alias("closest_dist2"),
+        )
+    )
+
+
+@query(
+    "q_geo_grid_clusters",
+    oracle=f"""
+    WITH RECURSIVE pt AS ({_CUST_PT}),
+    cells AS (
+      SELECT CAST((lat_u - (lat_u % 10000000)) / 10000000 AS BIGINT) AS cl,
+             CAST((lon_u - (lon_u % 10000000)) / 10000000 AS BIGINT) AS cn,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pt GROUP BY 1, 2),
+    tots AS (SELECT sum(cnt) AS tot, count(*) AS n_occ FROM cells),
+    dense AS (
+      SELECT cl, cn, cl * 100 + cn AS id, cnt
+      FROM cells CROSS JOIN tots
+      WHERE cnt * n_occ > 2 * tot),
+    pairs AS (
+      SELECT a.id AS ida, b.id AS idb
+      FROM dense a JOIN dense b
+        ON abs(a.cl - b.cl) <= 1 AND abs(a.cn - b.cn) <= 1 AND a.id < b.id),
+    edges AS (SELECT ida AS a, idb AS b FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a)
+    SELECT CAST(coalesce(comp.cluster_id, dense.id) AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(dense.cnt) AS BIGINT) AS n_points
+    FROM dense LEFT JOIN comp ON dense.id = comp.id
+    GROUP BY 1
+    """,
+)
+def q_geo_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based spatial clustering, grid-DBSCAN style: bin points
+    into 10° cells, keep cells denser than 2× the occupied-cell mean
+    (an exact integer predicate — ``cnt·n_occ > 2·tot`` — so the
+    threshold is data-relative yet engine-portable), connect 8-adjacent
+    dense cells, and report each connected component's cell/point
+    totals. The 100 TB shape: raw points are touched by exactly ONE
+    partial-aggregated shuffle (the cell histogram); density
+    thresholding, adjacency (a join on the tiny dense-cell set) and the
+    min-label-propagation components (operators/dedup.py:439 — executor
+    -side, scalar-only driver traffic) all run on the
+    cells-not-points aggregate. The oracle restates the components as a
+    DuckDB recursive-CTE transitive closure, singletons via left
+    join."""
+    from mapreduceframework_cpp_spark.operators.dedup import dedup_clusters
+
+    cell = 10_000_000
+    pt = _points(spark, sf_dir)
+    cells = pt.groupBy(
+        ((F.col("lat_u") - F.col("lat_u") % cell) / cell).cast("long").alias("cl"),
+        ((F.col("lon_u") - F.col("lon_u") % cell) / cell).cast("long").alias("cn"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wall = Window.partitionBy()
+    dense = (
+        cells.withColumn("tot", F.sum("cnt").over(wall))
+        .withColumn("n_occ", F.count(F.lit(1)).over(wall))
+        .filter(F.col("cnt") * F.col("n_occ") > 2 * F.col("tot"))
+        .select("cl", "cn", (F.col("cl") * 100 + F.col("cn")).alias("id"), "cnt")
+    )
+    nbr = (
+        dense.select(
+            F.col("id").alias("idb"),
+            F.explode(F.expr("sequence(cl - 1, cl + 1)")).alias("cl"),
+            F.col("cn").alias("cn0"),
+        )
+        .select(
+            "idb", "cl", F.explode(F.expr("sequence(cn0 - 1, cn0 + 1)")).alias("cn")
+        )
+    )
+    pairs = (
+        dense.join(F.broadcast(nbr), ["cl", "cn"])
+        .filter(F.col("id") < F.col("idb"))
+        .select(F.col("id").alias("doc_id_a"), F.col("idb").alias("doc_id_b"))
+    )
+    comp = dedup_clusters(pairs).select(
+        F.col("doc_id").alias("id"), "cluster_id"
+    )
+    return (
+        dense.join(comp, "id", "left")
+        .groupBy(
+            F.coalesce(F.col("cluster_id"), F.col("id"))
+            .cast("long")
+            .alias("cluster_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("cnt").cast("long").alias("n_points"),
         )
     )

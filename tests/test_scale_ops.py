@@ -104,6 +104,7 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
         # exact lag-correlation sums
         "q_geo_nearest_hub",
         "q_geo_radius_join",
+        "q_geo_grid_clusters",
         "q_score_auc",
         "q_score_decile_lift",
         "q_ts_acf",
