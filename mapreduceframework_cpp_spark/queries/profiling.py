@@ -348,17 +348,28 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the e1⋈e2 wedge fan-out at 10 per vertex."""
     from mapreduceframework_cpp_spark.operators.common import persist_tracked
 
-    ps = (
+    # Per-part sorted supplier sets in ONE shuffle (collect_set is
+    # order-free; array_sort fixes a total order), then the sa<sb pair
+    # expansion happens MAP-SIDE off the array — replacing the
+    # distinct + cap-join + equi-self-join pipeline (4 shuffles over
+    # the fact) with aggregate-once + explode (2). Same (sa, sb,
+    # shared) multiset, hash-verified by the unchanged oracle.
+    sup_sets = (
         tbl(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") <= 64)
     )
-    ok = ps.groupBy("p").agg(F.count("*").alias("n_s")).filter(F.col("n_s") <= 64)
-    ps_ok = persist_tracked(ps.join(ok.select("p"), "p"))
-    a = ps_ok.select("p", F.col("s").alias("sa"))
-    b = ps_ok.select(F.col("p").alias("pb"), F.col("s").alias("sb"))
+    pair_src = sup_sets.select(
+        F.posexplode("ss").alias("i", "sa"), F.col("ss")
+    )
     co = (
-        a.join(b, (a.p == b.pb) & (F.col("sa") < F.col("sb")))
+        pair_src.select(
+            "sa",
+            F.explode(
+                F.expr("slice(ss, i + 2, size(ss) - i - 1)")
+            ).alias("sb"),
+        )
         .groupBy("sa", "sb")
         .agg(F.count("*").alias("shared"))
     )
@@ -368,16 +379,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         co.select(F.col("sb").alias("src"), F.col("sa").alias("dst"), "shared")
     )
     w = Window.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
-    knn = persist_tracked(
-        direct.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("src", "dst")
+    knn = direct.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 10
     )
-    x = knn.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    y = knn.select(F.col("dst").alias("ya"), F.col("src").alias("yb"))
+    # mutuality without a self-join: a directed edge survives the cap in
+    # BOTH directions iff its canonical (least, greatest) pair occurs
+    # exactly twice — one partial-agg shuffle on the capped O(V·k) set.
     e = persist_tracked(
-        x.join(y, (x.a == y.ya) & (x.b == y.yb))
-        .filter(F.col("a") < F.col("b"))
+        knn.groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") == 2)
         .select("a", "b")
     )
     e1 = e.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
