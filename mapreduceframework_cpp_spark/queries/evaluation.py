@@ -350,3 +350,242 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z_stat"),
     )
+
+
+@query(
+    "q_rank_fusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)
+                    || '#rel'), 1, 1)) - 1) * CAST(1048576 AS BIGINT)
+             + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)
+                    || '#rel'), 2, 1)) - 1) * CAST(65536 AS BIGINT)
+             + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)
+                    || '#rel'), 3, 1)) - 1) * CAST(4096 AS BIGINT)
+             + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)
+                    || '#rel'), 4, 1)) - 1) * CAST(256 AS BIGINT)
+               AS s2
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS r1,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY s2 DESC, doc_id) AS r2
+      FROM scored),
+    fused AS (
+      SELECT doc_id, lang, r1, r2,
+             1.0 / CAST(60 + r1 AS DOUBLE) + 1.0 / CAST(60 + r2 AS DOUBLE)
+               AS rrf,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY 1.0 / CAST(60 + r1 AS DOUBLE)
+                                         + 1.0 / CAST(60 + r2 AS DOUBLE) DESC,
+                                         doc_id) AS rn
+      FROM ranked)
+    SELECT lang, doc_id, CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+           rrf
+    FROM fused WHERE rn <= 5
+    """,
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankers (the standard
+    hybrid-search combiner): per language, rank documents by a length
+    prior and by an independent hash-derived relevance proxy, fuse with
+    RRF (k=60), keep the top 5. Both rank passes and the fusion window
+    share ONE lang exchange (same partition key); each RRF score is the
+    sum of two exact reciprocals — identical doubles in both engines —
+    and every ordering carries a doc_id tie-break, so the top-5 set is
+    bit-deterministic. The mergeable-rank formulation (RRF needs only
+    per-ranker positions, no score calibration) is exactly why RRF is
+    the 100 TB hybrid fusion of choice."""
+    docs = tbl(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#rel")))
+    s2 = sum(
+        (
+            (F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1).cast(
+                "long"
+            )
+            * F.lit(16 ** (4 - i) * 256).cast("long")
+        )
+        for i in range(1, 5)
+    )
+    scored = docs.select("doc_id", "lang", "n_chars", s2.alias("s2"))
+    w1 = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    w2 = Window.partitionBy("lang").orderBy(F.desc("s2"), "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(60) + F.col("r1")).cast("double")
+        + F.lit(1.0) / (F.lit(60) + F.col("r2")).cast("double")
+    )
+    wf = Window.partitionBy("lang").orderBy(F.desc(rrf), "doc_id")
+    return (
+        ranked.withColumn("rrf", rrf)
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("r1").cast("long").alias("r1"),
+            F.col("r2").cast("long").alias("r2"),
+            "rrf",
+        )
+    )
+
+
+@query(
+    "q_annotator_kappa",
+    oracle="""
+    WITH ann AS (
+      SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS a,
+             CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 80
+                  THEN 1 ELSE 0 END AS b
+      FROM documents),
+    m AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+             sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00,
+             sum(a) AS a1, sum(b) AS b1
+      FROM ann)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n11 AS BIGINT) AS n11, CAST(n00 AS BIGINT) AS n00,
+           CAST(a1 AS BIGINT) AS a_pos, CAST(b1 AS BIGINT) AS b_pos,
+           CASE WHEN n * n - (a1 * b1 + (n - a1) * (n - b1)) = 0 THEN NULL
+                ELSE CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1))
+                          AS DOUBLE)
+                     / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+           END AS kappa
+    FROM m
+    """,
+)
+def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic labelers (the
+    inter-annotator agreement gate a labeling pipeline runs before
+    trusting its rubric): annotator A = length >= 500 chars, annotator
+    B = whitespace token count >= 80 — correlated but not identical, so
+    agreement beats chance without saturating. One map-only pass
+    derives both labels, one global reduce yields the 2x2 table, and
+    kappa is computed in CLEARED-DENOMINATOR form — kappa =
+    [n(n11+n00) - (a1*b1 + a0*b0)] / [n^2 - (a1*b1 + a0*b0)] — so both
+    operands are exact int64 and the single division is the only float
+    op (the po/pe formulation would divide twice and subtract,
+    compounding rounding differently per engine). Chance-agreement-1
+    degenerate case NULL-guarded."""
+    ann = tbl(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= 500, 1).otherwise(0).alias("a"),
+        F.when(
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+            >= 80,
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    m = ann.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)).alias(
+            "n11"
+        ),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)).alias(
+            "n00"
+        ),
+        F.sum("a").alias("a1"),
+        F.sum("b").alias("b1"),
+    )
+    n, n11, n00 = F.col("n"), F.col("n11"), F.col("n00")
+    a1, b1 = F.col("a1"), F.col("b1")
+    chance = a1 * b1 + (n - a1) * (n - b1)
+    denom = n * n - chance
+    return m.select(
+        n.cast("long").alias("n_docs"),
+        n11.cast("long").alias("n11"),
+        n00.cast("long").alias("n00"),
+        a1.cast("long").alias("a_pos"),
+        b1.cast("long").alias("b_pos"),
+        F.when(denom == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (n * (n11 + n00) - chance).cast("double") / denom.cast("double")
+        )
+        .alias("kappa"),
+    )
+
+
+@query(
+    "q_score_calibration",
+    oracle=f"""
+    WITH s AS ({_SCORED_CTE}),
+    c AS (
+      SELECT score, pos, neg,
+             sum(pos + neg) OVER (ORDER BY score) AS cum,
+             sum(pos + neg) OVER () AS total
+      FROM s),
+    b AS (
+      SELECT least(9, (cum * 10) // total) AS bin,
+             pos, neg, cum, total
+      FROM c)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(sum(pos + neg) AS BIGINT) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(cum * (pos + neg)) AS DOUBLE)
+             / (CAST(max(total) AS DOUBLE) * CAST(sum(pos + neg) AS DOUBLE))
+             AS confidence,
+           CAST(sum(pos) AS DOUBLE) / CAST(sum(pos + neg) AS DOUBLE)
+             AS accuracy
+    FROM b GROUP BY 1
+    """,
+)
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the length-score classifier (the per-bin
+    decomposition of expected calibration error): treat each document's
+    score percentile (fraction of corpus with score <= s) as its
+    predicted probability, bin into 10 equal-width probability bins,
+    and report predicted confidence vs observed positive rate per bin.
+    Same histogram-first shape as the AUC: percentiles come from a
+    cumulative window over distinct score values, bin assignment is
+    exact integer arithmetic ((cum*10) // total, clamped), and each
+    bin's confidence/accuracy is ONE double division over exact int64
+    sums. The ECE itself is left as the per-bin table (the consumer
+    weights |acc-conf| by n_docs/N) so no cross-bin double summation
+    order can drift between engines."""
+    s = _scored(spark, sf_dir)
+    wc = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    c = s.select(
+        "pos",
+        "neg",
+        F.sum(F.col("pos") + F.col("neg")).over(wc).alias("cum"),
+        F.sum(F.col("pos") + F.col("neg")).over(wall).alias("total"),
+    )
+    b = c.select(
+        F.least(F.lit(9), F.expr("(cum * 10) div total")).cast("long").alias("bin"),
+        "pos",
+        "neg",
+        "cum",
+        "total",
+    )
+    g = b.groupBy("bin").agg(
+        F.sum(F.col("pos") + F.col("neg")).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cum") * (F.col("pos") + F.col("neg"))).alias("conf_num"),
+        F.max("total").alias("total"),
+    )
+    return g.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        (
+            F.col("conf_num").cast("double")
+            / (F.col("total").cast("double") * F.col("n_docs").cast("double"))
+        ).alias("confidence"),
+        (F.col("n_pos").cast("double") / F.col("n_docs").cast("double")).alias(
+            "accuracy"
+        ),
+    )
