@@ -97,3 +97,39 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT explode(acc) AS s);
     END
     """)
+
+
+#: hierarchical ancestor-chain rollup over the implicit 10-ary customer
+#: tree (parent(k) = k div 10, root 0): runs VERBATIM in both engines.
+#: The parent step is the subtract-mod form so the recursion stays
+#: exact-integer in the ANSI common subset (no dialect div operator).
+_RECURSIVE_SQL = """
+    WITH RECURSIVE chain(custkey, anc, depth) AS (
+      SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+      UNION ALL
+      SELECT custkey, CAST((anc - (anc % 10)) / 10 AS BIGINT), depth + 1
+      FROM chain WHERE anc > 0
+    )
+    SELECT ch.custkey,
+           CAST(max(ch.depth) AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CAST(cu.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS chain_balance
+    FROM chain ch JOIN customer cu ON cu.c_custkey = ch.anc
+    GROUP BY 1
+"""
+
+
+@query("q_sql_recursive", oracle=_RECURSIVE_SQL)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``, SPARK-24497): walk
+    every customer's ancestor chain up the implicit 10-ary key tree
+    (parent = key div 10) and roll up chain depth, node count and
+    DECIMAL-exact chain balance — the org-hierarchy / BOM-explosion
+    shape that previously forced a driver-side loop (the iterative
+    join of ``operators/dedup.dedup_clusters``) into hand-written
+    Python. Here the ENGINE owns the fixpoint: each recursion level is
+    one join-free projection (pure key arithmetic), depth is bounded
+    by log10(max key), and the oracle executes the IDENTICAL string in
+    DuckDB — one source of truth, like q_sql_gateway."""
+    return run_sql(spark, sf_dir, _RECURSIVE_SQL)
