@@ -526,3 +526,125 @@ def q_emb_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w_n)
         ).alias("qnorm"),
     )
+
+
+#: ANSI md5 hex-fold (6 chars → exact int in [0, 16^6)), parameterized
+#: by the hash column name — shared text with the geospatial family's
+#: 8-char variant (queries/geospatial.py).
+def _hex6_of(col: str) -> str:
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr({col}, {i}, 1)) - 1)"
+        f" * CAST({16 ** (6 - i)} AS BIGINT)"
+        for i in range(1, 7)
+    )
+
+
+@query(
+    "q_feat_target_encode",
+    oracle="""
+    WITH y AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(count(o.o_orderkey) AS BIGINT) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    seg AS (
+      SELECT c_mktsegment, sum(y) AS s, count(*) AS n
+      FROM y GROUP BY 1)
+    SELECT y.c_custkey, y.c_mktsegment, y.y,
+           CASE WHEN seg.n = 1 THEN NULL
+                ELSE CAST(seg.s - y.y AS DOUBLE) / CAST(seg.n - 1 AS DOUBLE)
+           END AS target_enc
+    FROM y JOIN seg USING (c_mktsegment)
+    """,
+)
+def q_feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature (the
+    leakage-safe mean-target encoder): each customer's market segment is
+    encoded as the mean order count of the OTHER customers in that
+    segment — enc = (S_seg − y_i)/(n_seg − 1), so a row never sees its
+    own target (the leakage K-fold/LOO schemes exist to prevent). Two
+    aggregate-first shuffles (orders → per-customer target, then
+    per-segment sums) and the tiny segment aggregate broadcasts back
+    onto the customer rows; the encoding is ONE double division over
+    exact int64 operands, NULL on singleton segments."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    y = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").cast("long").alias("y"))
+    )
+    seg = y.groupBy("c_mktsegment").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    j = y.join(F.broadcast(seg), "c_mktsegment")
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        "y",
+        F.when(F.col("n") == 1, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("s") - F.col("y")).cast("double")
+            / (F.col("n") - 1).cast("double")
+        )
+        .alias("target_enc"),
+    )
+
+
+_NEG_HASH = "md5(CAST(doc_id AS VARCHAR) || '#neg' || CAST(j AS VARCHAR))"
+
+
+@query(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    j3 AS (SELECT unnest([1, 2, 3]) AS j),
+    drawn AS (
+      SELECT d.doc_id, j3.j,
+             ({_hex6_of(_NEG_HASH)}) AS u, n.n_docs
+      FROM documents d CROSS JOIN j3 CROSS JOIN n)
+    SELECT doc_id, CAST(j AS BIGINT) AS j,
+           CAST((doc_id + 1 + (u % (n_docs - 1))) % n_docs AS BIGINT)
+             AS neg_id
+    FROM drawn
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document draws 3 negatives by modular offset — neg = (id + 1 +
+    h % (N−1)) mod N with h an md5 fold of (doc, draw) — which is (a)
+    reproducible across reruns and cluster layouts, (b) uniform over
+    the corpus, and (c) PROVABLY never the anchor itself (offset ∈
+    [1, N−1]). doc_ids are dense 0..N−1 in this corpus (asserted by
+    the oracle's arithmetic matching); the only non-map operation is
+    the one-row corpus count broadcast. At 100 TB this is the shape
+    that replaces shuffling the corpus per epoch: a map-only pass
+    whose randomness is a function of (id, draw, nothing else)."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    j3 = spark.createDataFrame([(1,), (2,), (3,)], "j long")
+    drawn = (
+        docs.crossJoin(F.broadcast(j3))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#neg"),
+                    F.col("j").cast("string"),
+                )
+            ),
+        )
+        .withColumn("u", F.expr(_hex6_of("h")))
+    )
+    return drawn.select(
+        "doc_id",
+        F.col("j").cast("long").alias("j"),
+        (
+            (F.col("doc_id") + 1 + F.col("u") % (F.col("n_docs") - 1))
+            % F.col("n_docs")
+        )
+        .cast("long")
+        .alias("neg_id"),
+    )

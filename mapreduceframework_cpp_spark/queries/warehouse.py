@@ -938,3 +938,58 @@ def q_ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "q_ts_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1)
+    SELECT month, rev,
+           CASE WHEN lag(rev, 1) OVER w IS NULL THEN NULL
+                ELSE CAST(rev - lag(rev, 1) OVER w AS DOUBLE)
+                     / CAST(lag(rev, 1) OVER w AS DOUBLE) END AS mom_pct,
+           CASE WHEN lag(rev, 12) OVER w IS NULL THEN NULL
+                ELSE CAST(rev - lag(rev, 12) OVER w AS DOUBLE)
+                     / CAST(lag(rev, 12) OVER w AS DOUBLE) END AS yoy_pct
+    FROM m
+    WINDOW w AS (ORDER BY month)
+    """,
+)
+def q_ts_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month / year-over-year growth report — the standard
+    finance trend table. Aggregate-first: the fact collapses to exact
+    int64 cents per month (map-side combinable), then BOTH lags share
+    one ordered window over the ~85-row monthly aggregate. Growth is
+    sequence-lag based (row 12 back, not calendar-month arithmetic) —
+    exact on this data's dense month spine and identical by
+    construction in both engines; leading rows NULL rather than
+    partial-year fabrications."""
+    m = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate")
+            .cast("timestamp_ntz")
+            .alias("month")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("month")
+    l1, l12 = F.lag("rev", 1).over(w), F.lag("rev", 12).over(w)
+    return m.select(
+        "month",
+        "rev",
+        F.when(l1.isNull(), F.lit(None).cast("double"))
+        .otherwise((F.col("rev") - l1).cast("double") / l1.cast("double"))
+        .alias("mom_pct"),
+        F.when(l12.isNull(), F.lit(None).cast("double"))
+        .otherwise((F.col("rev") - l12).cast("double") / l12.cast("double"))
+        .alias("yoy_pct"),
+    )
