@@ -796,3 +796,137 @@ def q_order_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_orders"
         ),
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx,
+             CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS cents
+      FROM orders),
+    coh AS (SELECT o_custkey, min(midx) AS cohort FROM om GROUP BY 1),
+    cells AS (
+      SELECT coh.cohort, om.midx - coh.cohort AS age,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(om.cents) AS BIGINT) AS rev_cents
+      FROM om JOIN coh USING (o_custkey)
+      GROUP BY 1, 2)
+    SELECT cohort, CAST(age AS BIGINT) AS age,
+           n_orders, rev_cents,
+           CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_rev_cents
+    FROM cells
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix: customers grouped by first-order month, each
+    cohort's revenue tracked by months-since-acquisition with a running
+    cumulative — the lifetime-value triangle every subscription /
+    commerce warehouse reports. Months are exact integer indices
+    (year*12+month — no months_between floats, no calendar dialect),
+    revenue is exact int64 cents, and the cumulative is a ROWS window
+    over the tiny (cohort × age) aggregate. Scale shape: one shuffle
+    on custkey for the cohort assignment (co-partitioned with the
+    fact join — Catalyst reuses the exchange), one small-key
+    aggregate, window over ~85² cells max."""
+    om = tbl(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("midx"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).alias("cents"),
+    )
+    coh = om.groupBy("o_custkey").agg(F.min("midx").alias("cohort"))
+    cells = (
+        om.join(coh, "o_custkey")
+        .groupBy("cohort", (F.col("midx") - F.col("cohort")).alias("age"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort",
+        F.col("age").cast("long").alias("age"),
+        "n_orders",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+    )
+
+
+@query(
+    "q_ols_discount_slope",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(round(l_discount * 100) AS BIGINT) AS x,
+             CAST(round(l_quantity) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM d GROUP BY 1)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) END AS intercept
+    FROM s
+    """,
+)
+def q_ols_discount_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed simple linear regression (quantity ~ discount per
+    return flag) by sufficient statistics — THE textbook MapReduce
+    regression: one partial-aggregated pass accumulates (n, Σx, Σy,
+    Σxy, Σx²) as exact int64 (discount quantized to integer points,
+    both engines round the same doubles), and slope/intercept are
+    closed-form double expressions over those exact sums. No iterative
+    solver, no gradient steps, perfectly mergeable across 100 TB of
+    partitions; degenerate (zero-variance-x) groups NULL out."""
+    d = tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round("l_quantity").cast("long").alias("y"),
+    )
+    s = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov.cast("double") / varx.cast("double")
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.when(varx == 0, F.lit(None).cast("double")).otherwise(slope).alias(
+            "slope"
+        ),
+        F.when(varx == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / n.cast("double")
+        )
+        .alias("intercept"),
+    )

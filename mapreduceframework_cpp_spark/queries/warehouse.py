@@ -993,3 +993,91 @@ def q_ts_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("rev") - l12).cast("double") / l12.cast("double"))
         .alias("yoy_pct"),
     )
+
+
+@query(
+    "q_ts_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1),
+    keyed AS (
+      SELECT day, x,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) % 7
+                  AS BIGINT) AS dow
+      FROM daily),
+    stats AS (
+      SELECT dow, count(*) AS n,
+             sum(CAST(x AS DECIMAL(19,0))) AS s1,
+             sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS s2
+      FROM keyed GROUP BY 1)
+    SELECT k.day, k.x, k.dow,
+           CASE WHEN st.n * st.s2 - st.s1 * st.s1 = 0 THEN NULL
+                ELSE (CAST(k.x AS DOUBLE) * CAST(st.n AS DOUBLE)
+                      - CAST(st.s1 AS DOUBLE))
+                     / sqrt(CAST(st.n AS DOUBLE)
+                            * (CAST(st.n AS DOUBLE) * CAST(st.s2 AS DOUBLE)
+                               - CAST(st.s1 AS DOUBLE)
+                                 * CAST(st.s1 AS DOUBLE)))
+           END AS z_seasonal
+    FROM keyed k JOIN stats st USING (dow)
+    """,
+)
+def q_ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly score: each day's revenue is
+    z-scored against ITS OWN WEEKDAY's distribution (raw daily z-scores
+    flag every Saturday in a weekday-seasonal business; deviation from
+    the weekday mean flags real anomalies). The z is computed in a
+    cleared-denominator form — z = (x·n − Σx) / sqrt(n·(n·Σx² − (Σx)²))
+    — so the operands are exact DECIMAL sums (Σx² overflows int64 at
+    cents scale, hence the DECIMAL(38,0) accumulators, as q_ts_acf) and
+    the only float ops are the final products/sqrt/division, identical
+    in both engines. Shape: fact → daily aggregate → 7-row weekday
+    stats broadcast back onto ~2.4k daily rows."""
+    daily = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("day", "o_orderdate")
+            .cast("timestamp_ntz")
+            .alias("day")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("x")
+        )
+    )
+    keyed = daily.select(
+        "day",
+        "x",
+        (
+            F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 7
+        )
+        .cast("long")
+        .alias("dow"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    stats = keyed.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("s1"),
+        F.sum(xd * xd).alias("s2"),
+    )
+    j = keyed.join(F.broadcast(stats), "dow")
+    nn = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    disc = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return j.select(
+        "day",
+        "x",
+        "dow",
+        F.when(disc == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("x").cast("double") * nn - s1)
+            / F.sqrt(nn * (nn * s2 - s1 * s1))
+        )
+        .alias("z_seasonal"),
+    )

@@ -108,6 +108,8 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
         "q_score_auc",
         "q_score_decile_lift",
         "q_ts_acf",
+        "q_cohort_ltv",
+        "q_ts_seasonal_anomaly",
     ],
 )
 def test_tiebreak_queries_shuffle_partition_invariant(spark, oracle_sf_dir, qname):
