@@ -200,7 +200,17 @@ HEADLINE = [
     # geospatial + series-diagnostics family (queries/geospatial.py, warehouse.py)
     "q_geo_radius_join",
     "q_geo_nearest_hub",
+    "q_geo_grid_clusters",
     "q_ts_acf",
+    "q_ts_seasonal_anomaly",
+    # model-evaluation + feature-prep + SQL-surface additions
+    "q_score_auc",
+    "q_rank_fusion",
+    "q_feat_target_encode",
+    "q_negative_sampling",
+    "q_cohort_ltv",
+    "q_ols_discount_slope",
+    "q_sql_recursive",
 ]
 
 
