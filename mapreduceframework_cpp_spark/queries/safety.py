@@ -499,3 +499,102 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("split_a") != F.col("split_b"))
     )
+
+
+@query(
+    "q_release_pipeline",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE source IS NULL OR source NOT IN {_BLOCKED_SOURCES!r}),
+    g AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n
+      FROM kept
+      WHERE len(string_split(text, ' ')) BETWEEN 40 AND 1000
+        AND CAST(len(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' ')) BETWEEN 3 AND 8
+        AND list_contains(string_split(text, ' '), 'the')
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) >= 0.35),
+    red AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}',
+                     '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g')) AS rh,
+             n AS toks
+      FROM g),
+    ded AS (
+      SELECT min(doc_id) AS doc_id,
+             min_by(lang, doc_id) AS lang,
+             min_by(toks, doc_id) AS toks
+      FROM red GROUP BY rh),
+    s AS (
+      SELECT lang, toks,
+             CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train'
+                  WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ded)
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-release flow — blocklist → C4/Gopher quality
+    gates → PII redaction → exact dedup of the redacted text →
+    deterministic train/val/test split → per-(split, lang) release
+    stats — every stage the standalone safety queries verify
+    individually, chained the way a real release job runs them. The
+    oracle recomposes all five stages in SQL, so the hash match proves
+    STAGE ORDER AND INTERACTION, not just each gate alone.
+
+    100 TB shape: blocklist filter, all four gates, the redaction and
+    the md5 fingerprint FUSE INTO THE SCAN (one map-only
+    whole-stage-codegen pass — the plan has exactly two exchanges:
+    the 32-byte-key dedup shuffle and the tiny (split, lang) counter
+    shuffle). Dedup ships md5(redacted) + 3 small columns, never
+    document text; the split needs no RNG state (sha256 of the
+    surviving doc id)."""
+    docs = tbl(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    kept = docs.filter(
+        F.col("source").isNull() | ~F.col("source").isin(*_BLOCKED_SOURCES)
+    )
+    g = kept.filter(
+        n.between(40, 1000)
+        & (F.length(F.regexp_replace("text", " ", "")).cast("double") / n).between(
+            3, 8
+        )
+        & F.array_contains(words, "the")
+        & ((F.size(F.array_distinct(words)).cast("double") / n) >= 0.35)
+    ).select("doc_id", "lang", "text", n.alias("toks"))
+    red = g.select(
+        "doc_id",
+        "lang",
+        "toks",
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+                F.lit(_PHONE_RE),
+                F.lit("[PHONE]"),
+            )
+        ).alias("rh"),
+    )
+    ded = red.groupBy("rh").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("toks", "doc_id").alias("toks"),
+    )
+    h2 = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 2)
+    split = F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+    return (
+        ded.select("lang", "toks", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+        )
+    )
