@@ -98,3 +98,59 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
         f.name for f in df.schema.fields
     ]
     assert _rows(back.select(*df.columns)) == _rows(df)
+
+
+def test_csv_malformed_rows_permissive_and_drop(spark, tmp_path):
+    """Production ETL contract for dirty input: PERMISSIVE captures the
+    raw offending line in the corrupt-record column (quarantine path),
+    DROPMALFORMED silently filters, FAILFAST raises — the three
+    escalation levels a 100 TB ingest chooses between."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("1,alice,10.5\n2,bob,oops\n3,carol,7.25\nnot,even,close,extra\n")
+    schema = "id INT, name STRING, score DOUBLE, _corrupt STRING"
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(p))
+    )
+    rows = {r.id: r for r in perm.collect()}
+    assert rows[1]._corrupt is None and rows[3]._corrupt is None
+    assert rows[2].score is None and "oops" in rows[2]._corrupt
+    bad_extra = [r for r in rows.values() if r._corrupt and "extra" in r._corrupt]
+    assert len(bad_extra) == 1
+
+    dropped = (
+        spark.read.schema("id INT, name STRING, score DOUBLE")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        (
+            spark.read.schema("id INT, name STRING, score DOUBLE")
+            .option("mode", "FAILFAST")
+            .csv(str(p))
+            .collect()
+        )
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution across snapshot generations: an added column
+    must surface (NULL for old files) under mergeSchema, and column
+    pruning must still reach the scan for either generation."""
+    d = tmp_path / "evo"
+    spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, name STRING").write.parquet(
+        f"{d}/gen=1"
+    )
+    spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.9)], "id LONG, name STRING, score DOUBLE"
+    ).write.parquet(f"{d}/gen=2")
+    df = spark.read.option("mergeSchema", "true").parquet(str(d))
+    assert set(df.columns) == {"id", "name", "score", "gen"}
+    got = {r.id: r.score for r in df.collect()}
+    assert got[1] is None and got[4] == 0.9
+    assert df.filter(df.score.isNotNull()).count() == 2
