@@ -607,3 +607,123 @@ def q_tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("syms").cast("long").alias("n_bpe"),
         (n_raw - F.size("syms")).cast("long").alias("n_merged"),
     )
+
+
+#: markup-planting expression (DuckDB dialect): the synthetic corpus
+#: carries no HTML, so the cleaning stage gets deterministic dirty
+#: input the same way the PII family plants addresses
+#: (queries/safety.py:_aug_sql) — the Spark twin below stays in
+#: lockstep; the pair IS the input contract.
+_MARKUP_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN '<p class=\"x\">' || text "
+    "|| '</p>&nbsp;<br/>' "
+    "WHEN doc_id % 4 = 1 THEN replace(text, ' the ', '  the   ') "
+    "ELSE text END"
+)
+
+
+def _markup_col() -> F.Column:
+    return (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<p class="x">'), F.col("text"), F.lit("</p>&nbsp;<br/>")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.replace(F.col("text"), F.lit(" the "), F.lit("  the   ")),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+@query(
+    "q_text_clean",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_MARKUP_SQL} AS t FROM documents),
+    c AS (
+      SELECT doc_id, t,
+             trim(regexp_replace(regexp_replace(regexp_replace(t,
+                    '<[^>]+>', '', 'g'),
+                    '&[a-z]+;', ' ', 'g'),
+                    '[ ]+', ' ', 'g')) AS clean
+      FROM aug)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS len_dirty,
+           CAST(len(clean) AS BIGINT) AS len_clean,
+           md5(clean) AS clean_md5
+    FROM c
+    """,
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style text cleaning: strip HTML tags, decode-or-drop
+    entities, collapse runs of spaces, trim — the first transform of
+    every web-scrape ingest. Markup is planted deterministically
+    (doc_id % 4 — the corpus itself is clean), then THREE chained JVM
+    regexes + trim run map-only, fused into the scan; the md5 of the
+    cleaned text proves the rewrite byte-identical across engines
+    (same regex subset: no lookaround, ASCII classes only). Kernel:
+    R3 row map."""
+    aug = tbl(spark, sf_dir, "documents").select(
+        "doc_id", _markup_col().alias("t")
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), F.lit("<[^>]+>"), F.lit("")),
+                F.lit("&[a-z]+;"),
+                F.lit(" "),
+            ),
+            F.lit("[ ]+"),
+            F.lit(" "),
+        )
+    )
+    return aug.select(
+        "doc_id",
+        F.length("t").cast("long").alias("len_dirty"),
+        F.length(clean).cast("long").alias("len_clean"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+@query(
+    "q_text_collapse_runs",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    toks AS (
+      SELECT doc_id, t[i] AS w, i
+      FROM arr, unnest(range(1, len(t) + 1)) AS u(i)),
+    keep AS (
+      SELECT doc_id, w, i,
+             lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM toks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN prev IS NULL OR prev <> w THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after,
+           md5(string_agg(w, ' ' ORDER BY i)
+               FILTER (WHERE prev IS NULL OR prev <> w)) AS collapsed_md5
+    FROM keep GROUP BY doc_id
+    """,
+)
+def q_text_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate token collapse ("the the the" → "the") —
+    the repetition normalizer that runs after boilerplate stripping
+    (q_text_repetition MEASURES runs; this removes them). The Spark
+    path is SHUFFLE-FREE: an index-aware array lambda
+    (``filter(t, (x, i) -> i = 0 OR x <> t[i-1])``) collapses runs
+    inside each row during the scan. The oracle deliberately takes the
+    other formulation — explode WITH ORDINALITY + lag window +
+    order-preserving string_agg — so the hash match cross-checks two
+    independent algorithms, not one transliteration."""
+    docs = tbl(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    kept = F.expr("filter(split(text, ' '), (x, i) -> i = 0 OR x != split(text, ' ')[i - 1])")
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_before"),
+        F.size(kept).cast("long").alias("n_after"),
+        F.md5(F.array_join(kept, " ")).alias("collapsed_md5"),
+    )
