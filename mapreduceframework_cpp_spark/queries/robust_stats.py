@@ -570,3 +570,81 @@ def q_agg_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("s").cast("double").alias("slope_per_day"),
         )
     )
+
+
+@query(
+    "q_spend_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1),
+    h AS (SELECT x, count(*) AS c FROM spend GROUP BY 1),
+    r AS (
+      SELECT x, c,
+             coalesce(sum(c) OVER (ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM h),
+    s AS (
+      SELECT sum(c) AS n, sum(x * c) AS sx,
+             sum(x * (c * cum_before + (c * (c + 1)) // 2)) AS six
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS total_cents,
+           CASE WHEN sx = 0 THEN NULL
+                ELSE (2.0 * CAST(six AS DOUBLE)
+                      - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+           END AS gini
+    FROM s
+    """,
+)
+def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the concentration audit a
+    curation pipeline runs on sources/domains before mixing (a corpus
+    whose token mass has Gini → 1 is one domain in a trench coat).
+    Histogram-first like q_score_auc: spend collapses to (value,
+    count) rows, ranks of a tie-group of size c after C cumulative
+    contribute x·(c·C + c(c+1)/2) — a CLOSED FORM over the histogram,
+    so Σi·x_i needs no per-row ranks and no global sort of customers.
+    All rank sums exact int64 (c(c+1)/2 is integral); the Gini is one
+    double formula, NULL on zero mass."""
+    spend = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("x")
+        )
+    )
+    h = spend.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    r = h.select(
+        "x", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_before")
+    )
+    s = r.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("x") * F.col("c")).alias("sx"),
+        F.sum(
+            F.col("x")
+            * (
+                F.col("c") * F.col("cum_before")
+                + F.expr("(c * (c + 1)) div 2")
+            )
+        ).alias("six"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        F.when(F.col("sx") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.lit(2.0) * F.col("six").cast("double") - (nn + 1.0) * sx)
+            / (nn * sx)
+        )
+        .alias("gini"),
+    )
