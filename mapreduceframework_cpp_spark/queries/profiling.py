@@ -299,10 +299,11 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.*")
 
 
-@query(
-    "q_graph_triangles",
-    oracle="""
-    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+#: mutual-10NN co-supply edge set (oracle dialect, shared by the
+#: triangle census and the BFS distances — one definition, two
+#: algorithms verified against it).
+_EDGE_CTE = """
+    ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
     ok AS (SELECT p FROM ps GROUP BY p HAVING count(*) <= 64),
     co AS (
       SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS shared
@@ -320,40 +321,17 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn AS (SELECT src, dst FROM rk WHERE rn <= 10),
     e AS (SELECT x.src AS a, x.dst AS b
           FROM knn x JOIN knn y ON x.src = y.dst AND x.dst = y.src
-          WHERE x.src < x.dst),
-    tri AS (SELECT e1.a, e1.b, e2.b AS c
-            FROM e e1 JOIN e e2 ON e1.b = e2.a
-            WHERE EXISTS (SELECT 1 FROM e e3
-                          WHERE e3.a = e1.a AND e3.b = e2.b))
-    SELECT
-      (SELECT CAST(count(DISTINCT v) AS BIGINT)
-       FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)) AS n_vertices,
-      (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
-      (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
-    """,
-)
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the mutual-kNN co-supply graph — the
-    clustering-coefficient precursor used to QA similarity graphs (a
-    near-dup or co-occurrence graph whose triangle density collapses
-    after an ingest change is a red flag). Three standard scale guards,
-    each of which is a no-op at test SF but load-bearing at 100 TB:
-    (1) hyper-common parts (>64 distinct suppliers) are dropped before
-    the quadratic part self-join — the stop-item cap of co-occurrence
-    mining; (2) each vertex keeps only its 10 strongest neighbours
-    (shared-part count, id tie-break), so the edge set is O(V), not
-    O(V^2); (3) mutuality (both directions survive the cap) makes the
-    kNN graph symmetric. Triangle enumeration then orders vertices
-    (a<b<c) so each triangle is found exactly once, and the degree cap
-    bounds the e1⋈e2 wedge fan-out at 10 per vertex."""
+          WHERE x.src < x.dst)
+"""
+
+
+def _mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mutual-10NN co-supply graph as canonical (a < b) edges —
+    the Spark twin of :data:`_EDGE_CTE` (see q_graph_triangles's
+    docstring for the three scale guards). Returned persisted; caller
+    epochs release via ``release_persisted()``."""
     from mapreduceframework_cpp_spark.operators.common import persist_tracked
 
-    # Per-part sorted supplier sets in ONE shuffle (collect_set is
-    # order-free; array_sort fixes a total order), then the sa<sb pair
-    # expansion happens MAP-SIDE off the array — replacing the
-    # distinct + cap-join + equi-self-join pipeline (4 shuffles over
-    # the fact) with aggregate-once + explode (2). Same (sa, sb,
-    # shared) multiset, hash-verified by the unchanged oracle.
     sup_sets = (
         tbl(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -382,10 +360,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = direct.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= 10
     )
-    # mutuality without a self-join: a directed edge survives the cap in
-    # BOTH directions iff its canonical (least, greatest) pair occurs
-    # exactly twice — one partial-agg shuffle on the capped O(V·k) set.
-    e = persist_tracked(
+    return persist_tracked(
         knn.groupBy(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
@@ -393,6 +368,44 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") == 2)
         .select("a", "b")
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {_EDGE_CTE},
+    tri AS (SELECT e1.a, e1.b, e2.b AS c
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+            WHERE EXISTS (SELECT 1 FROM e e3
+                          WHERE e3.a = e1.a AND e3.b = e2.b))
+    SELECT
+      (SELECT CAST(count(DISTINCT v) AS BIGINT)
+       FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)) AS n_vertices,
+      (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the mutual-kNN co-supply graph — the
+    clustering-coefficient precursor used to QA similarity graphs (a
+    near-dup or co-occurrence graph whose triangle density collapses
+    after an ingest change is a red flag). Three standard scale guards,
+    each of which is a no-op at test SF but load-bearing at 100 TB:
+    (1) hyper-common parts (>64 distinct suppliers) are dropped before
+    the quadratic part self-join — the stop-item cap of co-occurrence
+    mining; (2) each vertex keeps only its 10 strongest neighbours
+    (shared-part count, id tie-break), so the edge set is O(V), not
+    O(V^2); (3) mutuality (both directions survive the cap) makes the
+    kNN graph symmetric. Triangle enumeration then orders vertices
+    (a<b<c) so each triangle is found exactly once, and the degree cap
+    bounds the e1⋈e2 wedge fan-out at 10 per vertex.
+
+    Edge construction is the shared :func:`_mutual_knn_edges` (per-part
+    sorted supplier sets in ONE shuffle, map-side sa<sb pair expansion
+    off the array, mutuality as a canonical-pair count==2 aggregate —
+    2 fact shuffles total instead of the 4 of the naive distinct +
+    cap-join + equi-self-join pipeline)."""
+    e = _mutual_knn_edges(spark, sf_dir)
     e1 = e.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
     e2 = e.select(F.col("a").alias("wb"), F.col("b").alias("tc"))
     wedges = e1.join(e2, F.col("tb") == F.col("wb")).select("ta", "tb", "tc")
@@ -624,3 +637,60 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_key_share"
         ),
     )
+
+
+@query(
+    "q_graph_bfs_dist",
+    oracle=f"""
+    WITH RECURSIVE {_EDGE_CTE},
+    sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    src AS (SELECT min(a) AS s FROM e),
+    reach(v, d) AS (
+      SELECT s, CAST(0 AS BIGINT) FROM src
+      UNION
+      SELECT sym.v, r.d + 1
+      FROM reach r JOIN sym ON sym.u = r.v
+      WHERE r.d < 8
+    )
+    SELECT v, CAST(min(d) AS BIGINT) AS dist
+    FROM reach GROUP BY v
+    """,
+)
+def q_graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BFS: hop distances (≤ 8) from the lowest-id vertex
+    of the mutual-kNN co-supply graph — the reachability/radius probe
+    that QAs a similarity graph's connectivity (an ingest change that
+    fragments the graph shows up as exploding distances before any
+    downstream metric moves). The Spark side is TRUE frontier BFS:
+    each level is one join + distinct + anti-join against the visited
+    set, ``localCheckpoint`` keeps the plan flat, and only a scalar
+    frontier count reaches the driver per level (the
+    operators/dedup.py convergence-probe discipline). The oracle walks
+    the same graph with a recursive CTE whose UNION-dedup working set
+    is bounded by 9·|V| rows — two independent traversal algorithms,
+    one result."""
+    e = _mutual_knn_edges(spark, sf_dir)
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    src = e.agg(F.min("a")).collect()[0][0]  # scalar probe: one value
+    visited = (
+        sym.sparkSession.createDataFrame([(src, 0)], "v long, dist long")
+        .localCheckpoint()
+    )
+    frontier = visited.select("v")
+    for depth in range(1, 9):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("v", "u"), "u")
+            .select("v")
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .localCheckpoint()
+        )
+        n_new = nxt.count()  # scalar probe: frontier size only
+        if n_new == 0:
+            break
+        nxt_d = nxt.withColumn("dist", F.lit(depth).cast("long"))
+        visited = visited.unionByName(nxt_d).localCheckpoint()
+        frontier = nxt
+    return visited
