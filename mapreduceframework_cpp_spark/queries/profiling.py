@@ -673,7 +673,7 @@ def q_graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     ).localCheckpoint()
-    src = e.agg(F.min("a")).collect()[0][0]  # scalar probe: one value
+    src = e.agg(F.min("a")).collect()[0][0]  # scalar-probe: one value
     visited = (
         sym.sparkSession.createDataFrame([(src, 0)], "v long, dist long")
         .localCheckpoint()
@@ -694,3 +694,94 @@ def q_graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt_d).localCheckpoint()
         frontier = nxt
     return visited
+
+
+#: 3 synchronized label-propagation rounds (oracle dialect), generated
+#: once and inlined verbatim — each round: neighbor labels ∪ self,
+#: per-vertex majority with (count DESC, label ASC) tie-break.
+_LP_ROUNDS_SQL = """
+    nbr1 AS (
+      SELECT sym.v AS v, l0.lbl AS lbl
+      FROM sym JOIN l0 ON l0.v = sym.u
+      UNION ALL
+      SELECT v, lbl FROM l0),
+    cnt1 AS (SELECT v, lbl, count(*) AS c FROM nbr1 GROUP BY 1, 2),
+    mx1 AS (SELECT v, max(c) AS mc FROM cnt1 GROUP BY 1),
+    l1 AS (
+      SELECT cnt1.v, min(cnt1.lbl) AS lbl
+      FROM cnt1 JOIN mx1 ON mx1.v = cnt1.v AND cnt1.c = mx1.mc
+      GROUP BY 1),
+    nbr2 AS (
+      SELECT sym.v AS v, l1.lbl AS lbl
+      FROM sym JOIN l1 ON l1.v = sym.u
+      UNION ALL
+      SELECT v, lbl FROM l1),
+    cnt2 AS (SELECT v, lbl, count(*) AS c FROM nbr2 GROUP BY 1, 2),
+    mx2 AS (SELECT v, max(c) AS mc FROM cnt2 GROUP BY 1),
+    l2 AS (
+      SELECT cnt2.v, min(cnt2.lbl) AS lbl
+      FROM cnt2 JOIN mx2 ON mx2.v = cnt2.v AND cnt2.c = mx2.mc
+      GROUP BY 1),
+    nbr3 AS (
+      SELECT sym.v AS v, l2.lbl AS lbl
+      FROM sym JOIN l2 ON l2.v = sym.u
+      UNION ALL
+      SELECT v, lbl FROM l2),
+    cnt3 AS (SELECT v, lbl, count(*) AS c FROM nbr3 GROUP BY 1, 2),
+    mx3 AS (SELECT v, max(c) AS mc FROM cnt3 GROUP BY 1),
+    l3 AS (
+      SELECT cnt3.v, min(cnt3.lbl) AS lbl
+      FROM cnt3 JOIN mx3 ON mx3.v = cnt3.v AND cnt3.c = mx3.mc
+      GROUP BY 1)"""
+
+
+@query(
+    "q_graph_labelprop",
+    oracle=f"""
+    WITH {_EDGE_CTE},
+    sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM e
+           UNION SELECT DISTINCT b, b FROM e),
+    {_LP_ROUNDS_SQL}
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l3 GROUP BY 1
+    """,
+)
+def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronized label propagation over the
+    mutual-kNN co-supply graph: every vertex starts as its own label,
+    then 3 FIXED rounds of "adopt the most frequent label among
+    neighbors ∪ self, ties to the smallest label". Fixing the round
+    count and the (count DESC, label ASC) tie-break makes classically
+    nondeterministic LPA fully deterministic — deterministic enough
+    that the oracle restates all three rounds as chained CTEs over the
+    SAME shared edge definition and the hashes must agree. Per round:
+    one edge join + two partial-agg shuffles on the capped O(V·k)
+    graph; no per-vertex driver traffic at all (the round count is
+    static, unlike the convergence-probed components loop —
+    the trade a synchronous bulk engine makes at 100 TB)."""
+    e = _mutual_knn_edges(spark, sf_dir)
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("u").alias("v")).distinct().select(
+            "v", F.col("v").alias("lbl")
+        )
+    ).localCheckpoint()
+    for _ in range(3):
+        nbr = sym.join(
+            labels.withColumnRenamed("v", "u"), "u"
+        ).select("v", "lbl").unionAll(labels)
+        cnt = nbr.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        mx = cnt.groupBy("v").agg(F.max("c").alias("mc"))
+        labels = (
+            cnt.join(mx, "v")
+            .filter(F.col("c") == F.col("mc"))
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
