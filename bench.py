@@ -211,6 +211,12 @@ HEADLINE = [
     "q_cohort_ltv",
     "q_ols_discount_slope",
     "q_sql_recursive",
+    "q_release_pipeline",
+    "q_spend_gini",
+    "q_graph_bfs_dist",
+    "q_graph_labelprop",
+    "q_text_clean",
+    "q_text_collapse_runs",
 ]
 
 

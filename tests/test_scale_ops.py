@@ -110,6 +110,10 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
         "q_ts_acf",
         "q_cohort_ltv",
         "q_ts_seasonal_anomaly",
+        "q_spend_gini",
+        "q_graph_bfs_dist",
+        "q_graph_labelprop",
+        "q_release_pipeline",
     ],
 )
 def test_tiebreak_queries_shuffle_partition_invariant(spark, oracle_sf_dir, qname):
