@@ -648,3 +648,57 @@ def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("gini"),
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH m1 AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, e.value, m1.med, abs(e.value - m1.med) AS d
+      FROM events e JOIN m1 USING (event_type)),
+    m2 AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad
+      FROM dev GROUP BY 1)
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           max(dev.med) AS med,
+           max(m2.mad) AS mad,
+           CAST(sum(CASE WHEN dev.d > 3 * 1.4826 * m2.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN m2 USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — the
+    screen that survives what breaks z-scores (a single extreme value
+    inflates the stddev and masks every other outlier; the MAD
+    doesn't move). Two grouped exact-median aggregates (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the
+    interpolation, proven by q_agg_percentile), each broadcast back
+    onto the scan — so the fact table is read twice, shuffled never,
+    and the modified-z threshold 3·1.4826·MAD is one double product
+    per group evaluated identically in both engines."""
+    ev = tbl(spark, sf_dir, "events")
+    m1 = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(m1), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    m2 = dev.groupBy("event_type").agg(F.percentile("d", F.lit(0.5)).alias("mad"))
+    j = dev.join(F.broadcast(m2), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("d") > F.lit(3) * F.lit(1.4826) * F.col("mad"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )

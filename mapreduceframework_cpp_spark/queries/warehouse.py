@@ -1081,3 +1081,63 @@ def q_ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z_seasonal"),
     )
+
+
+@query(
+    "q_incr_agg_retract",
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+    inserts AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0),
+    deletes AS (SELECT * FROM base WHERE o_orderkey % 7 = 3)
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS total
+    FROM (SELECT o_custkey, o_totalprice FROM base
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+          UNION ALL
+          SELECT o_custkey, o_totalprice FROM inserts)
+    GROUP BY 1
+    """,
+)
+def q_incr_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable incremental aggregate maintenance — the step past
+    q_incr_agg's insert-only world: a CDC batch carries BOTH inserts
+    and deletes, and the maintained (count, sum) state absorbs them as
+    SIGNED partial aggregates — state ⊕ agg(inserts) ⊖ agg(deletes) —
+    because count/sum form an abelian group (retractions are just
+    negated rows; the trick every streaming upsert engine's
+    update-mode aggregation runs on). The base's full aggregate is
+    computed ONCE; each delta leg aggregates only its own rows, the
+    three partial states union (3 tiny frames) and re-reduce. Empty
+    groups (all rows retracted) drop via the HAVING-style count
+    filter. The oracle is the full recompute over the surviving rows —
+    hash-equality proves the retraction algebra."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    base = o.filter(F.col("o_orderkey") % 5 != 0)
+    inserts = o.filter(F.col("o_orderkey") % 5 == 0)
+    deletes = base.filter(F.col("o_orderkey") % 7 == 3)
+
+    def state(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            (F.count(F.lit(1)) * sign).alias("cnt"),
+            (F.sum("price") * sign).alias("tot"),
+        )
+
+    merged = (
+        state(base, 1)
+        .unionByName(state(inserts, 1))
+        .unionByName(state(deletes, -1))
+        .groupBy("o_custkey")
+        .agg(F.sum("cnt").alias("n"), F.sum("tot").alias("total"))
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("total").cast("decimal(18,2)").alias("total"),
+    )
