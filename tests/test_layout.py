@@ -67,3 +67,46 @@ def test_partition_pruning_skips_directories(spark, sf_dir, tmp_path):
     got = scan.count()
     want = ev.filter(F.col("year") == pick).count()
     assert got == want > 0
+
+
+def test_dynamic_partition_pruning_through_join(spark, sf_dir, tmp_path):
+    """DYNAMIC partition pruning: when the pruning predicate only
+    exists on the OTHER side of a join (filter on the dim, fact
+    partitioned on the join key's functional companion), Catalyst must
+    inject a runtime subquery filter into the fact scan
+    (``dynamicpruning`` expression) so only matching partitions are
+    read — the join-driven pruning a 100 TB star schema lives on."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+
+    fact_dir = str(tmp_path / "orders_by_year")
+    o = tbl(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    o.write.partitionBy("o_year").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    years = (
+        fact.select("o_year").distinct().withColumnRenamed("o_year", "d_year")
+        .withColumn("flag", (F.col("d_year") % 3 == 0).cast("int"))
+    )
+    dim_dir = str(tmp_path / "years_dim")
+    years.write.parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("flag") == 1)
+    j = fact.join(dim.hint("broadcast"), fact.o_year == dim.d_year).select(
+        "o_orderkey", "o_year"
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain(True)
+    plan_text = buf.getvalue().lower()
+    assert "dynamicpruning" in plan_text, plan_text[-2000:]
+    # and it actually executes correctly
+    expected = {
+        r.d_year
+        for r in years.filter(F.col("flag") == 1).select("d_year").collect()
+    }
+    assert {r.o_year for r in j.select("o_year").distinct().collect()} == expected
