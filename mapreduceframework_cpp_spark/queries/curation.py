@@ -648,3 +648,72 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("neg_id"),
     )
+
+
+_FH_BUCKETS = 64
+_FH_HASH = "md5(tok || '#fh')"
+
+
+@query(
+    "q_feat_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok, ({_hex6_of(_FH_HASH)}) % {_FH_BUCKETS} AS bucket
+      FROM (SELECT DISTINCT tok FROM toks)),
+    cells AS (
+      SELECT t.doc_id, v.bucket, CAST(count(*) AS BIGINT) AS c
+      FROM toks t JOIN vocab v USING (tok)
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+                      ' ' ORDER BY bucket) AS sparse_vec
+    FROM cells GROUP BY doc_id
+    """,
+)
+def q_feat_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): every token maps to one of
+    64 buckets by an md5 fold, giving each document a fixed-width
+    sparse count vector with NO vocabulary to build, ship, or version —
+    the linear-model featurizer that works on a stream. Scale shape:
+    the hash is computed once per DISTINCT token (the vocabulary is
+    tiny next to the corpus) and broadcast back onto the exploded
+    tokens, then two partial-agg shuffles produce per-(doc, bucket)
+    cells and the serialized sorted vector. Bucket assignment is the
+    shared ANSI hex-fold, so both engines build byte-identical
+    vectors."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .withColumn("h", F.md5(F.concat(F.col("tok"), F.lit("#fh"))))
+        .select(
+            "tok",
+            (F.expr(_hex6_of("h")) % _FH_BUCKETS).alias("bucket"),
+        )
+    )
+    cells = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cells.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "c"))),
+                lambda s: F.concat(
+                    s["bucket"].cast("string"), F.lit(":"), s["c"].cast("string")
+                ),
+            ),
+            " ",
+        ).alias("sparse_vec"),
+    )
