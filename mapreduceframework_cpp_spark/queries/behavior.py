@@ -1020,3 +1020,69 @@ def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("concurrent").alias("peak_concurrent"))
     )
+
+
+@query(
+    "q_events_pattern_match",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, substr(event_type, 1, 1) AS ini,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, ini,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    ),
+    sig AS (
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             string_agg(ini, '' ORDER BY ts, event_id) AS sig
+      FROM s GROUP BY 1, 2)
+    SELECT user_id, session_idx, sig,
+           CAST(CASE WHEN regexp_matches(sig, 'cv*p') THEN 1 ELSE 0 END
+                AS BIGINT) AS matched
+    FROM sig
+    """,
+)
+def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection: each session's
+    ordered event stream is collapsed to a signature string (one char
+    per event) and the behavioral pattern — a click, any browsing, a
+    purchase (``cv*p``) — is a plain REGEX over that string. This is
+    the row-pattern-matching capability SQL:2016 added, lowered to
+    Spark's existing primitives: the gaps-and-islands session pass
+    (shared ``_with_session_ids`` definition), ONE per-session ordered
+    fold (array_sort over (ts, event_id) makes the signature
+    deterministic under timestamp ties), and a JVM regex per session —
+    no per-event state machine, no UDF, linear in events. Arbitrary
+    patterns (negation, bounded repetition) are regex features for
+    free."""
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "ini", F.substring("event_type", 1, 1)
+    )
+    sig = (
+        _with_session_ids(ev)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "ini"))
+                    ),
+                    lambda s: s["ini"],
+                ),
+                "",
+            ).alias("sig")
+        )
+    )
+    return sig.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "sig",
+        F.col("sig").rlike("cv*p").cast("long").alias("matched"),
+    )
