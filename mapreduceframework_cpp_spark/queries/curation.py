@@ -717,3 +717,160 @@ def q_feat_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("sparse_vec"),
     )
+
+
+@query(
+    "q_feat_churn_labels",
+    oracle="""
+    WITH cut AS (SELECT max(ts) - INTERVAL 7 DAY AS c FROM events),
+    f AS (
+      SELECT e.user_id,
+             CAST(sum(CASE WHEN e.ts < cut.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events_obs,
+             CAST(sum(CASE WHEN e.ts < cut.c AND e.event_type = 'click'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks_obs,
+             CAST(sum(CASE WHEN e.ts < cut.c AND e.event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_purch_obs,
+             CAST(count(DISTINCT CASE WHEN e.ts < cut.c
+                        THEN date_trunc('day', e.ts) END) AS BIGINT)
+               AS days_active_obs,
+             CAST(sum(CASE WHEN e.ts >= cut.c AND e.event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_purch_hold
+      FROM events e CROSS JOIN cut
+      GROUP BY 1)
+    SELECT user_id, n_events_obs, n_clicks_obs, n_purch_obs,
+           days_active_obs,
+           CAST(CASE WHEN n_purch_hold >= 4 THEN 1 ELSE 0 END AS BIGINT)
+             AS label_active_buyer
+    FROM f
+    """,
+)
+def q_feat_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal label generation for a churn/propensity model — the
+    leakage-safe featurize-then-label split every behavioral ML
+    pipeline needs: the LAST 7 days of data are the holdout (label =
+    kept purchasing, >= 4 purchases), everything before the cut is the
+    observation window (event/click/purchase counts, active days).
+    Features and label come out of ONE conditional-aggregation scan —
+    the cut is a 1-row aggregate broadcast, every window membership a
+    CASE — so no row ever contributes to both sides (no leakage by
+    construction) and no second pass over the fact. The cut is derived
+    from the data's own max(ts): reproducible on any snapshot."""
+    ev = tbl(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("c")
+    )
+    j = ev.crossJoin(F.broadcast(cut))
+    obs = F.col("ts") < F.col("c")
+    hold = F.col("ts") >= F.col("c")
+    return j.groupBy("user_id").agg(
+        F.sum(F.when(obs, 1).otherwise(0)).cast("long").alias("n_events_obs"),
+        F.sum(F.when(obs & (F.col("event_type") == "click"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicks_obs"),
+        F.sum(F.when(obs & (F.col("event_type") == "purchase"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_purch_obs"),
+        F.count_distinct(
+            F.when(obs, F.date_trunc("day", "ts"))
+        )
+        .cast("long")
+        .alias("days_active_obs"),
+        F.when(
+            F.sum(
+                F.when(hold & (F.col("event_type") == "purchase"), 1).otherwise(0)
+            )
+            >= 4,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("label_active_buyer"),
+    )
+
+
+@query(
+    "q_emb_zscore_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e7 + 0.5) AS BIGINT)
+               AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    st AS (
+      SELECT label, pos, count(*) AS n,
+             sum(CAST(qv AS DECIMAL(19,0))) AS s,
+             sum(CAST(qv AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0))) AS sq
+      FROM q GROUP BY 1, 2)
+    SELECT q.vec_id, q.label,
+           CAST(sum(CASE WHEN st.n * st.sq - st.s * st.s > 0
+                          AND abs(CAST(q.qv AS DOUBLE) * CAST(st.n AS DOUBLE)
+                                  - CAST(st.s AS DOUBLE))
+                              > 3 * sqrt(CAST(st.n AS DOUBLE)
+                                         * (CAST(st.n AS DOUBLE)
+                                            * CAST(st.sq AS DOUBLE)
+                                            - CAST(st.s AS DOUBLE)
+                                              * CAST(st.s AS DOUBLE)))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme_dims,
+           CAST(CASE WHEN sum(CASE WHEN st.n * st.sq - st.s * st.s > 0
+                          AND abs(CAST(q.qv AS DOUBLE) * CAST(st.n AS DOUBLE)
+                                  - CAST(st.s AS DOUBLE))
+                              > 3 * sqrt(CAST(st.n AS DOUBLE)
+                                         * (CAST(st.n AS DOUBLE)
+                                            * CAST(st.sq AS DOUBLE)
+                                            - CAST(st.s AS DOUBLE)
+                                              * CAST(st.s AS DOUBLE)))
+                         THEN 1 ELSE 0 END) >= 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_outlier
+    FROM q JOIN st ON st.label = q.label AND st.pos = q.pos
+    GROUP BY 1, 2
+    """,
+)
+def q_emb_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier screen by per-dimension z-scores within each
+    label (diagonal-Mahalanobis QA): a vector with >= 2 dimensions
+    beyond 3 sigma of its class is flagged — the cheap geometric sanity
+    check that catches corrupted embeddings and mislabeled points
+    before they poison centroids or ANN training. Elements quantize to
+    the shared 1e-7 grid (q_emb_centroid's discipline), per-(label,
+    dim) power sums accumulate exact DECIMALs, and each z-test is the
+    cleared-denominator comparison |qv·n − S| > 3·sqrt(n(n·Q − S²)) —
+    exact operands, one comparison, no division at all. Shapes: one
+    posexplode shuffle to (label, dim) stats, tiny stats broadcast
+    back, one partial-agg count per vector."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1e7 + 0.5).cast("long").alias("qv"),
+    )
+    qd = F.col("qv").cast("decimal(19,0)")
+    st = q.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd).alias("s"),
+        F.sum(qd * qd).alias("sq"),
+    )
+    j = q.join(F.broadcast(st), ["label", "pos"])
+    nn = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    sq = F.col("sq").cast("double")
+    var_pos = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    extreme = (
+        (var_pos > 0)
+        & (
+            F.abs(F.col("qv").cast("double") * nn - s)
+            > F.lit(3) * F.sqrt(nn * (nn * sq - s * s))
+        )
+    ).cast("int")
+    g = j.groupBy("vec_id", "label").agg(
+        F.sum(extreme).cast("long").alias("n_extreme_dims")
+    )
+    return g.select(
+        "vec_id",
+        "label",
+        "n_extreme_dims",
+        (F.col("n_extreme_dims") >= 2).cast("long").alias("is_outlier"),
+    )
