@@ -10,7 +10,7 @@ sort-merge/shuffled-hash for big-big — the choices that survive 100 TB.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from mapreduceframework_cpp_spark.operators.asof import asof_join
 from mapreduceframework_cpp_spark.registry import query
@@ -500,4 +500,81 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("exact") & ~F.col("bloom_pass"), 1).otherwise(0)).alias(
             "n_false_neg"
         ),
+    )
+
+
+@query(
+    "q_link_sorted_neighborhood",
+    oracle="""
+    WITH r AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+      FROM customer),
+    cand AS (
+      SELECT a.c_custkey AS key_a, a.c_name AS name_a,
+             b.c_custkey AS key_b, b.c_name AS name_b,
+             levenshtein(a.c_name, b.c_name) AS dist,
+             CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END
+               AS same_nation
+      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3)
+    SELECT key_a, name_a, key_b, name_b,
+           CAST(dist AS BIGINT) AS dist,
+           CAST(same_nation AS BIGINT) AS same_nation
+    FROM cand WHERE dist <= 1
+    """,
+)
+def q_link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by SORTED-NEIGHBORHOOD blocking — the third
+    blocking family next to set-similarity prefix filtering
+    (q_dedup_prefix_filter) and LSH (q_dedup_near): sort records once
+    by the match key, compare each record only against its w=3
+    successors, score candidates with edit distance. O(n·w)
+    comparisons instead of O(n²), and near-miss typos that share no
+    token (invisible to set blocking) sit adjacent in sort order. The
+    Spark plan is ONE global sort (range-partitioned at scale — rank
+    windows over successive partitions overlap by w, the standard
+    distributed SNM) and the w successors come from lead() over the
+    same sort — no self-join at all; the oracle states the textbook
+    rank-band self-join instead (two formulations, one result)."""
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    w = Window.orderBy("c_name", "c_custkey")
+    r = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        *[
+            F.lead("c_name", k).over(w).alias(f"n{k}")
+            for k in (1, 2, 3)
+        ],
+        *[
+            F.lead("c_custkey", k).over(w).alias(f"k{k}")
+            for k in (1, 2, 3)
+        ],
+        *[
+            F.lead("c_nationkey", k).over(w).alias(f"nat{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    pairs = None
+    for k in (1, 2, 3):
+        leg = r.filter(F.col(f"n{k}").isNotNull()).select(
+            F.col("c_custkey").alias("key_a"),
+            F.col("c_name").alias("name_a"),
+            F.col(f"k{k}").alias("key_b"),
+            F.col(f"n{k}").alias("name_b"),
+            F.levenshtein("c_name", f"n{k}").alias("dist"),
+            (F.col("c_nationkey") == F.col(f"nat{k}"))
+            .cast("long")
+            .alias("same_nation"),
+        )
+        pairs = leg if pairs is None else pairs.unionByName(leg)
+    return pairs.filter(F.col("dist") <= 1).select(
+        "key_a",
+        "name_a",
+        "key_b",
+        "name_b",
+        F.col("dist").cast("long").alias("dist"),
+        "same_nation",
     )
