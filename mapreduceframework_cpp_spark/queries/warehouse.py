@@ -1141,3 +1141,89 @@ def q_incr_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_orders"),
         F.col("total").cast("decimal(18,2)").alias("total"),
     )
+
+
+@query(
+    "q_alloc_largest_remainder",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+      FROM lineitem),
+    o AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+      FROM orders),
+    j AS (
+      SELECT li.l_orderkey, li.l_linenumber, li.w, o.t,
+             sum(li.w) OVER (PARTITION BY li.l_orderkey) AS tw
+      FROM li JOIN o ON o.o_orderkey = li.l_orderkey),
+    b AS (
+      SELECT l_orderkey, l_linenumber, w, t, tw,
+             (t * w) // tw AS base,
+             (t * w) % tw AS rem
+      FROM j),
+    r AS (
+      SELECT l_orderkey, l_linenumber, base,
+             t - sum(base) OVER (PARTITION BY l_orderkey) AS leftover,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rk
+      FROM b)
+    SELECT l_orderkey, l_linenumber,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_cents
+    FROM r
+    """,
+)
+def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Penny-exact proration by the largest-remainder (Hamilton)
+    method: each order's total is allocated across its line items
+    proportional to extended price such that the allocated cents SUM
+    EXACTLY to the order total — the conservation law naive
+    round(T·w/W) violates (penny drift that fails reconciliation).
+    Base share = exact integer floor division, the leftover R cents
+    (0 <= R < n) go to the R largest fractional remainders
+    (linenumber tie-break). Everything is int64 (T·w <= ~5e14), the
+    two windows share the ONE orderkey exchange, and conservation is
+    provable from the construction: Σalloc = Σbase + R = T."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("w"),
+    )
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("t"),
+    )
+    w_ord = Window.partitionBy("l_orderkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "tw", F.sum("w").over(w_ord)
+    )
+    b = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("(t * w) div tw").alias("base"),
+        F.expr("(t * w) % tw").alias("rem"),
+        "t",
+    )
+    w_rk = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("rem"), "l_linenumber"
+    )
+    r = b.select(
+        "l_orderkey",
+        "l_linenumber",
+        "base",
+        (F.col("t") - F.sum("base").over(w_ord)).alias("leftover"),
+        F.row_number().over(w_rk).alias("rk"),
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc_cents"),
+    )

@@ -160,3 +160,28 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_allocation_conserves_order_totals(spark, oracle_sf_dir):
+    """Largest-remainder proration must conserve every order's total
+    EXACTLY (the invariant the method exists for — beyond Spark==DuckDB,
+    this proves both are right)."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.registry import all_queries
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+
+    alloc = all_queries()["q_alloc_largest_remainder"](spark, oracle_sf_dir)
+    per_order = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("got")
+    )
+    o = tbl(spark, oracle_sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("want"),
+    )
+    bad = per_order.join(o, "l_orderkey").filter(
+        F.col("got") != F.col("want")
+    )
+    assert bad.count() == 0
