@@ -1227,3 +1227,94 @@ def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_cents"),
     )
+
+
+@query(
+    "q_dup_payments",
+    oracle="""
+    WITH feed AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+      UNION ALL
+      SELECT o_orderkey + 200000000, o_custkey, o_totalprice,
+             o_orderdate + INTERVAL 14 DAY
+      FROM orders WHERE o_orderkey % 37 = 0),
+    o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 ORDER BY o_orderdate, o_orderkey) AS prev_date,
+             lag(o_orderkey) OVER (PARTITION BY o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 ORDER BY o_orderdate, o_orderkey) AS prev_key
+      FROM feed)
+    SELECT o_orderkey, o_custkey, cents, o_orderdate, prev_key, prev_date,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT)
+             AS days_apart
+    FROM o
+    WHERE prev_date IS NOT NULL
+      AND date_diff('day', prev_date, o_orderdate) <= 30
+    """,
+)
+def q_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment / double-billing audit: same customer, same
+    exact amount, within 30 days — the finance reconciliation screen.
+    The naive form is a self-join on (customer, amount) with a date
+    band; partitioning the WINDOW on (customer, exact-cents amount)
+    instead makes each repeat adjacent to its predecessor, so ONE
+    sort+exchange finds every consecutive repeat with lag() — no join,
+    no band logic, and the 30-day test is exact day arithmetic. Amounts
+    compare as exact int64 cents (double equality on money is the bug
+    this query exists to catch). The corpus has no organic repeats, so
+    a replayed-charge batch is PLANTED deterministically (every 37th
+    order re-billed 14 days later — the same dirty-input contract as
+    the PII and markup families) and the audit must recover exactly
+    that set."""
+    base = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    feed = base.unionByName(
+        base.filter(F.col("o_orderkey") % 37 == 0).select(
+            (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+            (F.col("o_orderdate") + F.expr("INTERVAL 14 DAY")).alias(
+                "o_orderdate"
+            ),
+        )
+    )
+    o = feed.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        "o_orderdate",
+    )
+    w = Window.partitionBy("o_custkey", "cents").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    x = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    )
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date")
+    )
+    return x.filter(
+        F.col("prev_date").isNotNull() & (days <= 30)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        "o_orderdate",
+        "prev_key",
+        "prev_date",
+        days.cast("long").alias("days_apart"),
+    )
