@@ -637,3 +637,98 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_logp"),
         F.exp(-avg).alias("perplexity"),
     )
+
+
+@query(
+    "q_text_rake",
+    oracle="""
+    WITH pad AS (
+      SELECT doc_id, '  ' || replace(text, ' ', '  ') || '  ' AS t
+      FROM documents),
+    seg AS (
+      SELECT doc_id,
+             regexp_replace(t, ' (the|a) ', ' ~ ', 'g') AS t
+      FROM pad),
+    phr AS (
+      SELECT doc_id,
+             trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+      FROM seg, unnest(string_split(t, '~')) AS u(p)),
+    phr_ok AS (
+      SELECT doc_id, phrase, string_split(phrase, ' ') AS ws
+      FROM phr WHERE phrase <> ''),
+    wocc AS (
+      SELECT doc_id, phrase, len(ws) AS plen, unnest(ws) AS w
+      FROM phr_ok),
+    wstat AS (
+      SELECT doc_id, w,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM wocc GROUP BY 1, 2),
+    scored AS (
+      SELECT o.doc_id, o.phrase,
+             sum((s.deg * 1000000) // s.freq) AS score_q
+      FROM wocc o JOIN wstat s ON s.doc_id = o.doc_id AND s.w = o.w
+      GROUP BY 1, 2),
+    dedup AS (
+      SELECT doc_id, phrase, max(score_q) AS score_q
+      FROM scored GROUP BY 1, 2),
+    rk AS (
+      SELECT doc_id, phrase, score_q,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_q DESC, phrase) AS rn
+      FROM dedup)
+    SELECT doc_id, phrase, CAST(score_q AS BIGINT) AS score_q
+    FROM rk WHERE rn = 1
+    """,
+)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rapid Automatic Keyword Extraction):
+    candidate phrases are maximal token runs between stopword
+    boundaries ('the'/'a' here), each word scores deg/freq within its
+    document (degree = summed length of phrases it appears in), and a
+    phrase's score is the sum of its words' scores — top phrase per
+    document. The float trap in RAKE is the word-score SUM (doubles,
+    order-dependent); scores are therefore integer-quantized FIRST
+    ((deg·1e6) div freq — exact) so every sum is int64 and the ranking
+    is bit-deterministic. Stopword segmentation survives consecutive
+    stopwords by space-doubling before the boundary regex (a
+    single-pass regexp_replace cannot re-match inside its own
+    replacement). Shapes: all segmentation is map-side string work
+    fused into the scan; two (doc, word) partial-agg shuffles and one
+    per-doc top-1 window over phrases."""
+    docs = tbl(spark, sf_dir, "documents")
+    pad = F.concat(
+        F.lit("  "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit("  ")
+    )
+    seg = F.regexp_replace(pad, F.lit(" (the|a) "), F.lit(" ~ "))
+    phr = docs.select(
+        "doc_id", F.explode(F.split(seg, "~")).alias("p")
+    ).select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.col("p"), F.lit(" +"), F.lit(" "))).alias(
+            "phrase"
+        ),
+    ).filter(F.col("phrase") != "")
+    wocc = phr.select(
+        "doc_id",
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    wstat = wocc.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored = (
+        wocc.join(wstat, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase")
+        .agg(F.sum(F.expr("(deg * 1000000) div freq")).alias("score_q"))
+    )
+    dedup = scored.groupBy("doc_id", "phrase").agg(
+        F.max("score_q").alias("score_q")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), "phrase")
+    return (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "phrase", F.col("score_q").cast("long").alias("score_q"))
+    )
