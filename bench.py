@@ -217,6 +217,16 @@ HEADLINE = [
     "q_graph_labelprop",
     "q_text_clean",
     "q_text_collapse_runs",
+    "q_text_rake",
+    "q_feat_hashing",
+    "q_events_pattern_match",
+    "q_alloc_largest_remainder",
+    "q_link_sorted_neighborhood",
+    "q_dup_payments",
+    "q_mad_outliers",
+    "q_incr_agg_retract",
+    "q_feat_churn_labels",
+    "q_emb_zscore_outliers",
 ]
 
 
