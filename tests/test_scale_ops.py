@@ -114,6 +114,15 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
         "q_graph_bfs_dist",
         "q_graph_labelprop",
         "q_release_pipeline",
+        # final round-3 batch: remainder-ranked allocation, RAKE score
+        # ranking, SNM lead-pairs, signature-string folds, hashed
+        # sparse-vector serialization
+        "q_alloc_largest_remainder",
+        "q_text_rake",
+        "q_link_sorted_neighborhood",
+        "q_events_pattern_match",
+        "q_feat_hashing",
+        "q_dup_payments",
     ],
 )
 def test_tiebreak_queries_shuffle_partition_invariant(spark, oracle_sf_dir, qname):
