@@ -276,3 +276,94 @@ def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("dim"),
         (acc.cast("double") / 1000000).alias("projected"),
     )
+
+
+@query(
+    "q_emb_pair_distance",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_vecs FROM embeddings),
+    q AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e7 + 0.5) AS BIGINT)
+               AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    pairs AS (
+      SELECT a.vec_id AS id_a,
+             (a.vec_id + (n.n_vecs - (n.n_vecs % 2)) / 2) % n.n_vecs AS id_b
+      FROM embeddings a CROSS JOIN n
+      WHERE a.vec_id < (a.vec_id + (n.n_vecs - (n.n_vecs % 2)) / 2)
+                       % n.n_vecs),
+    d AS (
+      SELECT p.id_a, p.id_b,
+             sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS dist2_q
+      FROM pairs p
+      JOIN q qa ON qa.vec_id = p.id_a
+      JOIN q qb ON qb.vec_id = p.id_b AND qb.pos = qa.pos
+      GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(dist2_q) AS BIGINT) AS min_dist2_q,
+           CAST(max(dist2_q) AS BIGINT) AS max_dist2_q,
+           CAST(sum(dist2_q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e14)
+             AS mean_dist2
+    FROM d
+    """,
+)
+def q_emb_pair_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity audit by mean pairwise embedding distance —
+    estimated in LINEAR work: the true statistic is quadratic
+    (all-pairs), but a fixed derangement (partner = id + N/2 mod N)
+    samples N/2 unbiased-by-construction pairs with ONE equi self-join,
+    no cross join, no RNG (the deterministic-pairing trick for any
+    quadratic statistic at 100 TB; collapsing mean distance is how
+    representation collapse shows up before model eval does). Elements
+    quantize to the shared 1e-7 grid, each pair's distance² is an exact
+    int64 sum over dimensions, and the single double division happens
+    once at the end."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    half = (F.col("n_vecs") - F.col("n_vecs") % 2) / 2
+    pairs = (
+        emb.select("vec_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("vec_id").alias("id_a"),
+            ((F.col("vec_id") + half) % F.col("n_vecs"))
+            .cast("long")
+            .alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    qarr = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT))"
+        ).alias("qa"),
+    )
+    d = (
+        pairs.join(qarr, pairs.id_a == qarr.vec_id)
+        .drop("vec_id")
+        .join(
+            qarr.select(
+                F.col("vec_id").alias("vb"), F.col("qa").alias("qb")
+            ),
+            F.col("id_b") == F.col("vb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("dist2_q"),
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("dist2_q").cast("long").alias("min_dist2_q"),
+        F.max("dist2_q").cast("long").alias("max_dist2_q"),
+        (
+            F.sum("dist2_q").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e14))
+        ).alias("mean_dist2"),
+    )
