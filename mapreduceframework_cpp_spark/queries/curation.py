@@ -874,3 +874,68 @@ def q_emb_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_extreme_dims",
         (F.col("n_extreme_dims") >= 2).cast("long").alias("is_outlier"),
     )
+
+
+@query(
+    "q_feat_impute",
+    oracle="""
+    WITH damaged AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+      FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(count(v) AS BIGINT) AS n_obs,
+             sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS qsum
+      FROM damaged GROUP BY 1)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN d.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_imputed,
+           round(CAST(m.qsum AS DOUBLE) / (CAST(m.n_obs AS DOUBLE) * 1e6), 6)
+             AS fill_value,
+           CAST(sum(coalesce(CAST(floor(d.v * 1e6 + 0.5) AS BIGINT),
+                             (m.qsum - (m.qsum % m.n_obs)) / m.n_obs))
+                AS BIGINT) AS imputed_qsum
+    FROM damaged d JOIN m USING (event_type)
+    GROUP BY d.event_type, m.qsum, m.n_obs
+    """,
+)
+def q_feat_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation with the group mean — the feature-prep
+    default before model training. The corpus has no organic nulls, so
+    damage is PLANTED deterministically (every 11th event's value
+    nulled — the dirty-input contract of the PII/markup/dup-payment
+    families), then each group's fill value is its observed mean and
+    the audit reports rows imputed plus a checksum of the imputed
+    column. Float discipline: values quantize to a 1e-6 grid, the fill
+    value used in the checksum is the exact INTEGER floor-mean
+    (subtract-mod division — both engines agree without float means),
+    and the per-group stats broadcast back onto the scan (two
+    aggregate passes, zero extra shuffles of the fact)."""
+    damaged = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    qv = F.floor(F.col("v") * 1e6 + 0.5).cast("long")
+    m = damaged.groupBy("event_type").agg(
+        F.count("v").alias("n_obs"), F.sum(qv).alias("qsum")
+    )
+    fill_int = F.expr("(qsum - (qsum % n_obs)) / n_obs").cast("long")
+    j = damaged.join(F.broadcast(m), "event_type")
+    return j.groupBy("event_type", "qsum", "n_obs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_imputed"),
+        F.round(
+            F.col("qsum").cast("double") / (F.col("n_obs").cast("double") * 1e6),
+            6,
+        ).alias("fill_value"),
+        F.sum(F.coalesce(qv, fill_int)).cast("long").alias("imputed_qsum"),
+    ).select(
+        "event_type", "n_rows", "n_imputed", "fill_value", "imputed_qsum"
+    )
