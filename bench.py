@@ -227,6 +227,8 @@ HEADLINE = [
     "q_incr_agg_retract",
     "q_feat_churn_labels",
     "q_emb_zscore_outliers",
+    "q_emb_pair_distance",
+    "q_feat_impute",
 ]
 
 
