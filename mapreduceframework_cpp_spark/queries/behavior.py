@@ -1086,3 +1086,130 @@ def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig",
         F.col("sig").rlike("cv*p").cast("long").alias("matched"),
     )
+
+
+@query(
+    "q_events_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    tr AS (
+      SELECT event_type AS cur, nxt, count(*) AS n_ij
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY 1, 2),
+    marg AS (
+      SELECT cur, sum(n_ij) AS n_i FROM tr GROUP BY 1),
+    terms AS (
+      SELECT tr.cur, tr.nxt, tr.n_ij, marg.n_i,
+             CAST(floor(CAST(tr.n_ij AS DOUBLE)
+                        * ln(CAST(tr.n_ij AS DOUBLE)
+                             / CAST(marg.n_i AS DOUBLE)) * 1e9 + 0.5)
+                  AS BIGINT) AS q_term
+      FROM tr JOIN marg USING (cur)),
+    tot AS (SELECT sum(n_ij) AS n FROM tr)
+    SELECT CAST(tot.n AS BIGINT) AS n_transitions,
+           round(-CAST(sum(terms.q_term) AS DOUBLE)
+                 / (CAST(tot.n AS DOUBLE) * 1e9), 6) AS entropy_rate_nats
+    FROM terms CROSS JOIN tot
+    GROUP BY tot.n
+    """,
+)
+def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy of the behavioral Markov chain — H(next |
+    current) = −Σ_ij (n_ij/N)·ln(n_ij/n_i) — the single-number
+    predictability score of a clickstream (a rate collapsing toward 0
+    means sessions became deterministic: bot traffic or a broken UI
+    loop; rising means navigation chaos). Transition counts come from
+    ONE user-ordered window pass (the q_events_markov exchange); the
+    entropy terms are the float trap (sum of ln products is
+    order-dependent), so each term quantizes to an exact 1e-9 integer
+    grid FIRST (the q_text_perplexity discipline) and the sum is
+    int64; one double division at the end."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tr = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n_ij"))
+    marg = tr.groupBy("cur").agg(F.sum("n_ij").alias("n_i"))
+    terms = tr.join(F.broadcast(marg), "cur").select(
+        "n_ij",
+        F.floor(
+            F.col("n_ij").cast("double")
+            * F.log(F.col("n_ij").cast("double") / F.col("n_i").cast("double"))
+            * 1e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("q_term"),
+    )
+    return terms.agg(
+        F.sum("n_ij").cast("long").alias("n_transitions"),
+        F.round(
+            -F.sum("q_term").cast("double")
+            / (F.sum("n_ij").cast("double") * 1e9),
+            6,
+        ).alias("entropy_rate_nats"),
+    )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+    co AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE)
+             AS jaccard
+    FROM co
+    JOIN sz sa ON sa.event_type = type_a
+    JOIN sz sb ON sb.event_type = type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: exact Jaccard between every pair of
+    event types' user sets — the activation/cannibalization readout
+    (high click∩purchase overlap = converting audience; two channels
+    at Jaccard ≈ 1 are the same audience twice). The raw fact
+    collapses to DISTINCT (type, user) in one shuffle; pair
+    co-occurrence generates from the per-user type set (the self-join
+    in the oracle; array pair expansion would serve at higher type
+    cardinality), so the quadratic side is |types|² = 25, never users.
+    Set sizes broadcast; Jaccard divides exact int64 once per pair."""
+    ev = tbl(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sz = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    j = co.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_both").cast("long").alias("n_both"),
+        (
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+        ).alias("jaccard"),
+    )
