@@ -930,3 +930,136 @@ def q_ols_discount_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("intercept"),
     )
+
+
+@query(
+    "q_revenue_bridge",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l.l_tax * 100) AS BIGINT) AS t
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT month,
+           CAST(sum(cents) AS BIGINT) AS gross_cents,
+           round(CAST(sum(cents * d) AS DOUBLE) / 100.0, 2) AS discount_cents,
+           round(CAST(sum(cents * (100 - d) * t) AS DOUBLE) / 10000.0, 2)
+             AS tax_cents,
+           round(CAST(sum(cents * (100 - d) * (100 + t)) AS DOUBLE)
+                 / 10000.0, 2) AS net_cents
+    FROM li GROUP BY 1
+    """,
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (gross → discounts → tax → net waterfall) per
+    month — the finance decomposition that reconciles the P&L. Every
+    component accumulates as EXACT int64 products (cents × integer
+    discount/tax points; max term ≈ 1e11, sums ≈ 1e17 — no overflow,
+    no float sums), and each output divides ONCE at the end — so the
+    bridge identity net = gross − discounts + tax-on-discounted holds
+    to the cent in both engines. One co-partitioned fact join + one
+    month-key aggregate."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate")
+        .cast("timestamp_ntz")
+        .alias("month"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    c, d, t = F.col("cents"), F.col("d"), F.col("t")
+    return j.groupBy("month").agg(
+        F.sum(c).cast("long").alias("gross_cents"),
+        F.round(F.sum(c * d).cast("double") / 100.0, 2).alias("discount_cents"),
+        F.round(F.sum(c * (100 - d) * t).cast("double") / 10000.0, 2).alias(
+            "tax_cents"
+        ),
+        F.round(
+            F.sum(c * (100 - d) * (100 + t)).cast("double") / 10000.0, 2
+        ).alias("net_cents"),
+    )
+
+
+@query(
+    "q_mix_shift",
+    oracle="""
+    WITH y AS (
+      SELECT o_orderpriority,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             count(*) AS q,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2),
+    p AS (
+      SELECT a.o_orderpriority,
+             a.q AS q1, b.q AS q2, a.rev AS rev1, b.rev AS rev2
+      FROM (SELECT * FROM y WHERE yr = 1996) a
+      JOIN (SELECT * FROM y WHERE yr = 1997) b USING (o_orderpriority))
+    SELECT o_orderpriority,
+           CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+           CAST(rev1 AS BIGINT) AS rev1_cents,
+           CAST(rev2 AS BIGINT) AS rev2_cents,
+           CAST(rev2 - rev1 AS BIGINT) AS delta_cents,
+           round(CAST((q2 - q1) * rev1 AS DOUBLE) / CAST(q1 AS DOUBLE), 2)
+             AS volume_effect,
+           round(CAST(rev2 * q1 - q2 * rev1 AS DOUBLE) / CAST(q1 AS DOUBLE),
+                 2) AS price_effect
+    FROM p
+    """,
+)
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of the year-over-year revenue change
+    per order priority: ΔRev splits into a VOLUME effect ((q2−q1)
+    valued at last year's average price) and a PRICE effect (this
+    year's volume times the average-price change) — and the two
+    reconcile to ΔRev exactly in the cleared-denominator forms used
+    here ((q2−q1)·rev1/q1 and (rev2·q1 − q2·rev1)/q1 share the q1
+    denominator; numerators are exact int64 products ≈ 1e17). The
+    fact collapses to (priority, year) in one partial-agg shuffle;
+    the decomposition is per-segment single-division arithmetic, no
+    cross-row double sums."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    y = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).alias("q"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("rev"),
+    )
+    a = y.filter(F.col("yr") == 1996).select(
+        "o_orderpriority", F.col("q").alias("q1"), F.col("rev").alias("rev1")
+    )
+    b = y.filter(F.col("yr") == 1997).select(
+        "o_orderpriority", F.col("q").alias("q2"), F.col("rev").alias("rev2")
+    )
+    p = a.join(b, "o_orderpriority")
+    q1, q2 = F.col("q1"), F.col("q2")
+    r1, r2 = F.col("rev1"), F.col("rev2")
+    return p.select(
+        "o_orderpriority",
+        q1.cast("long").alias("q1"),
+        q2.cast("long").alias("q2"),
+        r1.cast("long").alias("rev1_cents"),
+        r2.cast("long").alias("rev2_cents"),
+        (r2 - r1).cast("long").alias("delta_cents"),
+        F.round(((q2 - q1) * r1).cast("double") / q1.cast("double"), 2).alias(
+            "volume_effect"
+        ),
+        F.round(
+            (r2 * q1 - q2 * r1).cast("double") / q1.cast("double"), 2
+        ).alias("price_effect"),
+    )
