@@ -939,3 +939,127 @@ def q_feat_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "n_rows", "n_imputed", "fill_value", "imputed_qsum"
     )
+
+
+#: 4 raking steps (2 rounds x lang/source), generated once and inlined
+#: — each step scales every doc weight toward a UNIFORM marginal on one
+#: dimension, with weights re-quantized to the 1e-9 integer grid after
+#: every step so marginal sums stay exact int64.
+_IPF_CHAIN_SQL = """
+    m1 AS (
+      SELECT lang, sum(w) AS mw FROM w0 GROUP BY 1),
+    t1 AS (
+      SELECT sum(w) AS tw, (SELECT count(*) FROM m1) AS nd FROM w0),
+    w1 AS (
+      SELECT p.doc_id, p.lang, p.source,
+             CAST(floor(CAST(p.w AS DOUBLE)
+                        * (CAST(t1.tw AS DOUBLE)
+                           / (CAST(t1.nd AS DOUBLE)
+                              * CAST(m1.mw AS DOUBLE))) + 0.5)
+                  AS BIGINT) AS w
+      FROM w0 p
+      JOIN m1 ON m1.lang = p.lang
+      CROSS JOIN t1),
+    m2 AS (
+      SELECT source, sum(w) AS mw FROM w1 GROUP BY 1),
+    t2 AS (
+      SELECT sum(w) AS tw, (SELECT count(*) FROM m2) AS nd FROM w1),
+    w2 AS (
+      SELECT p.doc_id, p.lang, p.source,
+             CAST(floor(CAST(p.w AS DOUBLE)
+                        * (CAST(t2.tw AS DOUBLE)
+                           / (CAST(t2.nd AS DOUBLE)
+                              * CAST(m2.mw AS DOUBLE))) + 0.5)
+                  AS BIGINT) AS w
+      FROM w1 p
+      JOIN m2 ON m2.source = p.source
+      CROSS JOIN t2),
+    m3 AS (
+      SELECT lang, sum(w) AS mw FROM w2 GROUP BY 1),
+    t3 AS (
+      SELECT sum(w) AS tw, (SELECT count(*) FROM m3) AS nd FROM w2),
+    w3 AS (
+      SELECT p.doc_id, p.lang, p.source,
+             CAST(floor(CAST(p.w AS DOUBLE)
+                        * (CAST(t3.tw AS DOUBLE)
+                           / (CAST(t3.nd AS DOUBLE)
+                              * CAST(m3.mw AS DOUBLE))) + 0.5)
+                  AS BIGINT) AS w
+      FROM w2 p
+      JOIN m3 ON m3.lang = p.lang
+      CROSS JOIN t3),
+    m4 AS (
+      SELECT source, sum(w) AS mw FROM w3 GROUP BY 1),
+    t4 AS (
+      SELECT sum(w) AS tw, (SELECT count(*) FROM m4) AS nd FROM w3),
+    w4 AS (
+      SELECT p.doc_id, p.lang, p.source,
+             CAST(floor(CAST(p.w AS DOUBLE)
+                        * (CAST(t4.tw AS DOUBLE)
+                           / (CAST(t4.nd AS DOUBLE)
+                              * CAST(m4.mw AS DOUBLE))) + 0.5)
+                  AS BIGINT) AS w
+      FROM w3 p
+      JOIN m4 ON m4.source = p.source
+      CROSS JOIN t4)"""
+
+
+@query(
+    "q_mix_raking",
+    oracle=f"""
+    WITH w0 AS (
+      SELECT doc_id, lang, source, CAST(1000000000 AS BIGINT) AS w
+      FROM documents),
+    {_IPF_CHAIN_SQL}
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS weight_q
+    FROM w4 GROUP BY 1, 2
+    """,
+)
+def q_mix_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset reweighting by RAKING (iterative proportional fitting):
+    document weights are alternately scaled so the LANGUAGE marginal
+    and then the SOURCE marginal match uniform targets, twice over —
+    the survey-statistics workhorse that is exactly how a training
+    mix is rebalanced on two attributes at once when per-cell targets
+    are unavailable. Classic IPF is float-iterative and
+    order-sensitive; here every step re-quantizes weights to the 1e-9
+    integer grid (floor(w·factor + 0.5) — identical IEEE ops both
+    engines), so marginal sums are exact int64 and the fixed 4-step
+    schedule is bit-deterministic — deterministic enough that the
+    oracle restates all four scalings as chained CTEs. Per step: one
+    marginal partial-agg shuffle + a broadcast factor join; weights
+    never leave the executors."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.lit(10**9).cast("long").alias("w")
+    )
+    cur = docs
+    for dim in ("lang", "source", "lang", "source"):
+        m = cur.groupBy(dim).agg(F.sum("w").alias("mw"))
+        t = cur.agg(F.sum("w").alias("tw")).crossJoin(
+            F.broadcast(m.agg(F.count(F.lit(1)).alias("nd")))
+        )
+        cur = (
+            cur.join(F.broadcast(m), dim)
+            .crossJoin(F.broadcast(t))
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                F.floor(
+                    F.col("w").cast("double")
+                    * (
+                        F.col("tw").cast("double")
+                        / (F.col("nd").cast("double") * F.col("mw").cast("double"))
+                    )
+                    + 0.5
+                )
+                .cast("long")
+                .alias("w"),
+            )
+        )
+    return cur.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("weight_q"),
+    )
