@@ -1213,3 +1213,94 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
         ).alias("jaccard"),
     )
+
+
+@query(
+    "q_funnel_by_arm",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, substr(event_type, 1, 1) AS ini,
+             CAST(instr('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR) || '#ab'), 1, 1))
+                  - 1 AS BIGINT) % 2 AS grp,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, grp, event_id, ts, ini,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o),
+    sig AS (
+      SELECT grp, user_id, session_idx,
+             CAST(CASE WHEN regexp_matches(
+                    string_agg(ini, '' ORDER BY ts, event_id), 'cv*p')
+                  THEN 1 ELSE 0 END AS BIGINT) AS conv
+      FROM s GROUP BY 1, 2, 3)
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(conv) AS BIGINT) AS n_converted,
+           CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate
+    FROM sig GROUP BY grp
+    """,
+)
+def q_funnel_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment readout analysts actually ship: per A/B arm
+    (md5-parity bucketing, q_ab_ztest's assignment), the share of
+    sessions completing the click→browse→purchase pattern
+    (q_events_pattern_match's regex funnel) — three verified
+    primitives composed end-to-end, so the composed oracle checks
+    their INTERACTION (arm assignment must not perturb
+    sessionization; the funnel regex must see arm-partitioned
+    sessions identically). One user-ordered exchange feeds both the
+    session pass and the signature fold; arms are a projection; the
+    final table is 2 rows of exact counters + one division each."""
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "ini", F.substring("event_type", 1, 1)
+    ).withColumn(
+        "grp",
+        (
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(
+                        F.md5(
+                            F.concat(F.col("user_id").cast("string"), F.lit("#ab"))
+                        ),
+                        1,
+                        1,
+                    ),
+                )
+                - 1
+            ).cast("long")
+            % 2
+        ),
+    )
+    sig = (
+        _with_session_ids(ev)
+        .groupBy("grp", "user_id", "session_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "ini"))
+                    ),
+                    lambda s: s["ini"],
+                ),
+                "",
+            )
+            .rlike("cv*p")
+            .cast("long")
+            .alias("conv")
+        )
+    )
+    return sig.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("conv").cast("long").alias("n_converted"),
+        (F.sum("conv").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "conv_rate"
+        ),
+    )

@@ -785,3 +785,66 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
+
+
+@query(
+    "q_graph_degree_dist",
+    oracle=f"""
+    WITH {_EDGE_CTE},
+    deg AS (
+      SELECT v, count(*) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      GROUP BY 1),
+    hist AS (SELECT d, count(*) AS n_vertices FROM deg GROUP BY 1),
+    hill AS (
+      SELECT count(*) AS n,
+             sum(CAST(floor(ln(CAST(d AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+               AS qlnsum
+      FROM deg WHERE d >= 2)
+    SELECT hist.d AS degree, CAST(hist.n_vertices AS BIGINT) AS n_vertices,
+           round(1.0 + CAST(hill.n AS DOUBLE)
+                 / (CAST(hill.qlnsum AS DOUBLE) / 1e9
+                    - CAST(hill.n AS DOUBLE) * ln(2.0)), 6) AS hill_alpha
+    FROM hist CROSS JOIN hill
+    """,
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the mutual-kNN graph plus the Hill
+    power-law tail exponent (α = 1 + n/Σln(d/d_min), d_min=2) — the
+    shape diagnostic that tells a similarity graph's hubs from its
+    noise (a kNN graph whose degree tail fattens after an ingest
+    change grew spurious hubs). The per-degree histogram is two
+    partial-agg shuffles over the capped edge set; the Hill sum is the
+    ln float trap, so each ln quantizes to the 1e-9 grid before the
+    int64 sum (q_events_entropy_rate's discipline) and the α formula
+    is one double expression attached by a 1-row broadcast."""
+    e = _mutual_knn_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_vertices"))
+    hill = deg.filter(F.col("d") >= 2).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.log(F.col("d").cast("double")) * 1e9 + 0.5).cast("long")
+        ).alias("qlnsum"),
+    )
+    out = hist.crossJoin(F.broadcast(hill))
+    return out.select(
+        F.col("d").cast("long").alias("degree"),
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        F.round(
+            F.lit(1.0)
+            + F.col("n").cast("double")
+            / (
+                F.col("qlnsum").cast("double") / 1e9
+                # ln(2.0) to the correctly-rounded double, matching the
+                # oracle's ln(2.0) bit-for-bit
+                - F.col("n").cast("double") * F.lit(0.6931471805599453)
+            ),
+            6,
+        ).alias("hill_alpha"),
+    )
