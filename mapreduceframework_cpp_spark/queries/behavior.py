@@ -1304,3 +1304,55 @@ def q_funnel_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_rate"
         ),
     )
+
+
+@query(
+    "q_events_burstiness",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS s1, sum(x * x) AS s2
+      FROM hourly GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           CAST(s1 AS BIGINT) AS n_events,
+           CASE WHEN s1 = 0 THEN NULL
+                ELSE (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE))
+           END AS fano_factor
+    FROM s
+    """,
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness by the Fano factor (variance-to-mean ratio of
+    hourly counts): ≈1 is Poisson (organic), ≫1 is bursty (incidents,
+    batch jobs, scripted traffic), ≪1 is suspiciously regular (rate-
+    limited bots) — the dispersion diagnostic that catches what mean
+    volume hides. Two aggregate-first passes (fact → hourly cells →
+    per-type power sums, both map-side combinable); the factor is the
+    cleared-denominator form (n·Σx² − (Σx)²)/(n·Σx) — exact int64
+    operands, one double expression, NULL on empty."""
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("s1").cast("long").alias("n_events"),
+        F.when(F.col("s1") == 0, F.lit(None).cast("double"))
+        .otherwise((n * s2 - s1 * s1) / (n * s1))
+        .alias("fano_factor"),
+    )

@@ -367,3 +367,97 @@ def q_emb_pair_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * F.lit(1e14))
         ).alias("mean_dist2"),
     )
+
+
+@query(
+    "q_emb_silhouette",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e7 + 0.5) AS BIGINT)
+               AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    cent AS (
+      SELECT label AS clabel, pos, count(DISTINCT vec_id) AS n,
+             sum(CAST(qv AS DECIMAL(19,0))) AS s
+      FROM q GROUP BY 1, 2),
+    d AS (
+      SELECT q.vec_id, q.label, cent.clabel,
+             CAST(sum((CAST(q.qv AS DECIMAL(19,0)) * cent.n - cent.s)
+                      * (CAST(q.qv AS DECIMAL(19,0)) * cent.n - cent.s))
+                  AS DOUBLE)
+             / (CAST(max(cent.n) AS DOUBLE) * CAST(max(cent.n) AS DOUBLE))
+               AS d2
+      FROM q JOIN cent ON cent.pos = q.pos
+      GROUP BY 1, 2, 3),
+    ab AS (
+      SELECT vec_id, label,
+             max(CASE WHEN clabel = label THEN d2 END) AS a,
+             min(CASE WHEN clabel <> label THEN d2 END) AS b
+      FROM d GROUP BY 1, 2),
+    sil AS (
+      SELECT vec_id, label,
+             CAST(floor(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                             ELSE (b - a) / greatest(a, b) END * 1e9 + 0.5)
+                  AS BIGINT) AS s_q
+      FROM ab)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(s_q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9),
+                 6) AS mean_silhouette
+    FROM sil GROUP BY 1
+    """,
+)
+def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette score per label — the clustering-quality
+    readout ((b−a)/max(a,b) with a = distance² to the OWN class
+    centroid, b = distance² to the nearest OTHER centroid; near 1 =
+    separated, near 0 = overlapping, negative = mislabeled cluster) at
+    LINEAR cost: the full silhouette is quadratic in points, the
+    centroid form is |points|·|labels|. No float centroid is ever
+    materialized — distances use the cleared-denominator rational form
+    Σ(qv·n − S)²/n² with DECIMAL(38) numerators over the shared 1e-7
+    grid, and each vector's silhouette quantizes to the 1e-9 grid
+    before the per-label mean (exact int64 sum, no double
+    accumulation). Shapes: one posexplode shuffle, tiny centroid stats
+    broadcast onto a per-(vec, candidate-label) aggregate."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1e7 + 0.5).cast("long").alias("qv"),
+    )
+    qd = F.col("qv").cast("decimal(19,0)")
+    cent = q.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.count_distinct("vec_id").alias("n"), F.sum(qd).alias("s")
+    )
+    diff = qd * F.col("n") - F.col("s")
+    d = (
+        q.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            (
+                F.sum(diff * diff).cast("double")
+                / (F.max("n").cast("double") * F.max("n").cast("double"))
+            ).alias("d2")
+        )
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias("b"),
+    )
+    s_q = F.floor(
+        F.when(F.greatest("a", "b") == 0, F.lit(0.0))
+        .otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+        * 1e9
+        + 0.5
+    ).cast("long")
+    return ab.select("label", s_q.alias("s_q")).groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum("s_q").cast("double") / (F.count(F.lit(1)).cast("double") * 1e9),
+            6,
+        ).alias("mean_silhouette"),
+    )
