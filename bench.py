@@ -229,6 +229,16 @@ HEADLINE = [
     "q_emb_zscore_outliers",
     "q_emb_pair_distance",
     "q_feat_impute",
+    "q_events_entropy_rate",
+    "q_audience_overlap",
+    "q_revenue_bridge",
+    "q_mix_shift",
+    "q_mix_raking",
+    "q_funnel_by_arm",
+    "q_graph_degree_dist",
+    "q_events_burstiness",
+    "q_emb_silhouette",
+    "q_tok_vocab_coverage",
 ]
 
 

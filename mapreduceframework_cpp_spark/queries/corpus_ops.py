@@ -727,3 +727,67 @@ def q_text_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("long").alias("n_after"),
         F.md5(F.array_join(kept, " ")).alias("collapsed_md5"),
     )
+
+
+@query(
+    "q_tok_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents),
+    freq AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY n DESC, t) AS rn FROM freq)
+      WHERE rn <= 100),
+    cov AS (
+      SELECT tok.lang,
+             count(*) AS n_tokens,
+             sum(CASE WHEN vocab.t IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab
+      FROM tok LEFT JOIN vocab ON vocab.t = tok.t
+      GROUP BY 1)
+    SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(in_vocab AS BIGINT) AS in_vocab,
+           CAST(n_tokens - in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS oov_rate
+    FROM cov
+    """,
+)
+def q_tok_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-governance metric: out-of-vocabulary rate per language
+    against a frozen top-100 corpus vocabulary — the coverage audit run
+    before committing a tokenizer (a language whose OOV rate spikes is
+    about to be shredded into bytes). The vocabulary ranks the
+    vocabulary-sized frequency aggregate (count DESC, token tie-break —
+    deterministic cut), broadcasts into a left join against the token
+    stream, and coverage reduces to two counters per language. Two
+    passes over the exploded tokens, both partial-agg combinable; the
+    OOV rate is one exact-integer division."""
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), "t")
+    vocab = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("t", F.lit(1).alias("in_v"))
+    )
+    cov = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_v"), F.lit(0))).alias("in_vocab"),
+        )
+    )
+    return cov.select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("in_vocab").cast("long").alias("in_vocab"),
+        (
+            (F.col("n_tokens") - F.col("in_vocab")).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("oov_rate"),
+    )

@@ -123,6 +123,10 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
         "q_events_pattern_match",
         "q_feat_hashing",
         "q_dup_payments",
+        "q_mix_raking",
+        "q_emb_silhouette",
+        "q_tok_vocab_coverage",
+        "q_graph_degree_dist",
     ],
 )
 def test_tiebreak_queries_shuffle_partition_invariant(spark, oracle_sf_dir, qname):
