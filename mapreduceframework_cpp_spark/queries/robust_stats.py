@@ -702,3 +702,75 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH h AS (
+      SELECT n_chars AS x,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c2
+      FROM documents GROUP BY 1),
+    n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM h),
+    c AS (
+      SELECT x,
+             sum(c1) OVER (ORDER BY x) AS f1,
+             sum(c2) OVER (ORDER BY x) AS f2
+      FROM h),
+    d AS (
+      SELECT c.x, abs(c.f1 * n.n2 - c.f2 * n.n1) AS dnum, n.n1, n.n2
+      FROM c CROSS JOIN n),
+    best AS (
+      SELECT x, dnum, n1, n2,
+             row_number() OVER (ORDER BY dnum DESC, x) AS rn
+      FROM d)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(x AS BIGINT) AS argmax_value,
+           CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             AS ks_stat
+    FROM best WHERE rn = 1
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between the corpus
+    halves' length distributions — the distribution-free drift detector
+    (no binning choices, no moments to fool) that monitoring runs
+    between snapshots. Histogram-first like the AUC: both empirical
+    CDFs come from cumulative windows over the DISTINCT-value
+    histogram, and the supremum is found on the CLEARED-DENOMINATOR
+    integer |F1·n2 − F2·n1| (exact int64, ≈1e8 at test scale) with a
+    value tie-break, so the argmax is bit-deterministic and the single
+    division happens once on the winning row."""
+    docs = tbl(spark, sf_dir, "documents")
+    h = docs.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c2"),
+    )
+    n = h.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = h.select(
+        "x",
+        F.sum("c1").over(wc).alias("f1"),
+        F.sum("c2").over(wc).alias("f2"),
+    )
+    d = c.crossJoin(F.broadcast(n)).select(
+        "x",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("dnum"),
+        "n1",
+        "n2",
+    )
+    w = Window.orderBy(F.desc("dnum"), "x")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("x").cast("long").alias("argmax_value"),
+            (
+                F.col("dnum").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )
