@@ -774,3 +774,80 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+@query(
+    "q_mannwhitney",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS v,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a,
+             CASE WHEN c.c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS b
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    h AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM j GROUP BY 1),
+    c AS (
+      SELECT v, ca, cb,
+             coalesce(sum(cb) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS b_below
+      FROM h),
+    u AS (
+      SELECT sum(ca) AS n1, sum(cb) AS n2,
+             sum(2 * ca * b_below + ca * cb) AS u2
+      FROM c)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(u2 AS BIGINT) AS u2,
+           CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             AS effect_size
+    FROM u
+    """,
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann–Whitney rank-sum test: do BUILDING and MACHINERY
+    customers spend from the same distribution? — the nonparametric
+    companion to the KS drift test (KS finds ANY shape difference; U
+    measures stochastic dominance, and U/(n1·n2) is the
+    common-language effect size: the probability a random BUILDING
+    order exceeds a random MACHINERY one). Identical machinery to
+    q_score_auc — the tie-aware doubled-U over the value histogram,
+    cumulative window over distinct exact-cents values, never a global
+    sort of raw rows; one final division."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    c = tbl(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "v",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("a"),
+        F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0).alias("b"),
+    )
+    h = j.groupBy("v").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cc = h.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(w), F.lit(0)).alias("b_below"),
+    )
+    u = cc.agg(
+        F.sum("ca").alias("n1"),
+        F.sum("cb").alias("n2"),
+        F.sum(2 * F.col("ca") * F.col("b_below") + F.col("ca") * F.col("cb")).alias(
+            "u2"
+        ),
+    )
+    return u.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("u2").cast("long").alias("u2"),
+        (
+            F.col("u2").cast("double")
+            / (F.lit(2.0) * F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("effect_size"),
+    )
