@@ -239,6 +239,8 @@ HEADLINE = [
     "q_events_burstiness",
     "q_emb_silhouette",
     "q_tok_vocab_coverage",
+    "q_ks_drift",
+    "q_mannwhitney",
 ]
 
 

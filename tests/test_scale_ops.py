@@ -127,6 +127,8 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
         "q_emb_silhouette",
         "q_tok_vocab_coverage",
         "q_graph_degree_dist",
+        "q_ks_drift",
+        "q_mannwhitney",
     ],
 )
 def test_tiebreak_queries_shuffle_partition_invariant(spark, oracle_sf_dir, qname):
