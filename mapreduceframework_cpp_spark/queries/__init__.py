@@ -46,51 +46,56 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     evaluation,
 )
 
-#: round-4 verification window (50 slots). Cumulative driver signal
-#: after round 2: 89 hash-green + 7 rows-only clean of 117. This window
-#: leads with every query that still lacks a hard driver row:
-#: 18 never-verified + 2 round-1 errs fixed at rotation positions 51-52
-#: + q_map_funcs (round-2 hash-fail, oracle cast fixed) = 21, then any
-#: queries added this round, then rows-only and round-1 hash-green
-#: re-confirmations to fill the window.
+#: round-5 verification window (50 slots). Cumulative driver signal
+#: after round 3: 132 hash-green + 13 rows-only clean of 296 → 151
+#: queries still lack any driver row (`python tools/next_rotation.py`
+#: recomputes this from CORRECTNESS_r0{1,2,3}.json). Round 4 is a pure
+#: verification round: capability registration is frozen, and all 50
+#: slots go to previously-untested queries, ordered by user value
+#: (VERDICT r3 §Next-round item 1): the TPC-H completions first — a
+#: user's first benchmark run — then decision support, core SQL-surface
+#: torture queries, the warehouse/CDC siblings, the five rows-only
+#: queries that have never had a driver row, model evaluation, and
+#: privacy gates. Remaining backlog after this window: 101, queued for
+#: rounds 5-6.
 #: (tests/test_driver_contract.py asserts registration follows this.)
 VERIFY_ROTATION = [
-        # -- 21 queries with no green driver row yet ---------------------
-        # data-safety family (registered after the round-2 window)
-        "q_text_pii_scrub", "q_text_quality_gates", "q_dataset_split",
-        "q_source_blocklist",
-        # Spark-4-native surfaces
-        "q_source_python", "q_json_variant", "q_udaf_arrow",
-        # as-of variants + binned interval join
-        "q_join_asof_tol", "q_join_asof_fwd", "q_join_interval_binned",
-        # skew / rollup / approx / mode / sketch aggregates
-        "q_skew_keys", "q_ts_rollup_multi", "q_agg_hll_rollup",
-        "q_agg_approx_quantile", "q_agg_mode", "q_sketch_countmin",
-        # window additions
-        "q_win_first_last", "q_win_distinct_count",
-        # round-1 err rows, fixed by serialization, parked at 51-52 in r2
-        "q_text_fingerprint", "q_mm_features",
-        # round-2 hash-fail: oracle HUGEINT now CAST to BIGINT
-        "q_map_funcs",
-        # -- round-3 additions (driver rows needed this round) -----------
-        "q_merge_upsert", "q_scd2_intervals", "q_ts_interpolate",
-        "q_text_bigram_lm", "q_tfidf_cosine", "q_dedup_cluster_sizes",
-        "q_sql_gateway", "q_stream_enrich",
-        "q_events_p99_outliers", "q_orders_rfm", "q_sample_weighted",
-        "q_dup_rate_by_source", "q_stream_stream_join",
-        "q_emb_quantize_int8", "q_graph_pagerank", "q_dq_audit",
-        "q_dedup_containment", "q_table_profile",
-        "q_events_paths", "q_events_cooccurrence", "q_events_value_hist",
-        "q_tpch_q7_shape", "q_tpch_q10_shape", "q_ts_ewma",
-        "q_graph_triangles", "q_dedup_editdist", "q_dedup_bow",
-        "q_text_ngram_topk",
-        # -- backfill: round-1 hash-green re-confirmation (regression
-        #    guard on the highest-value path) -----------------------------
-        "q_pipeline_e2e",
+        # -- TPC-H completions (queries/tpch_complete.py) ----------------
+        "q_tpch_q1_shape", "q_tpch_q8_shape", "q_tpch_q9_shape",
+        "q_tpch_q13_shape", "q_tpch_q16_shape", "q_tpch_q19_shape",
+        "q_tpch_q20_shape",
+        # -- decision support (queries/decision_support.py, all 20) ------
+        "q_tpch_q11_shape", "q_tpch_q12_shape", "q_tpch_q14_shape",
+        "q_tpch_q18_shape", "q_tpch_q22_shape", "q_tpch_q21_shape",
+        "q_tpch_q2_shape", "q_tpch_q4_shape", "q_tpch_q6_shape",
+        "q_tpch_q15_shape", "q_orders_cohort", "q_orders_abc",
+        "q_brand_yoy", "q_supplier_hhi", "q_orders_reorder_gap",
+        "q_order_size_dist", "q_cohort_ltv", "q_ols_discount_slope",
+        "q_revenue_bridge", "q_mix_shift",
+        # -- core SQL-surface torture queries ----------------------------
+        "q_null_semantics", "q_win_median", "q_release_pipeline",
+        # -- warehouse/CDC siblings (merge/SCD-2 passed r3; these next) --
+        "q_date_spine", "q_incr_agg", "q_scd2_pit_lookup",
+        "q_dataset_diff",
+        # -- rows-only queries with no driver row in any round -----------
+        "q_emb_kmeans", "q_tok_bpe_merges", "q_emb_pca_top",
+        "q_sketch_theta", "q_sketch_kll",
+        # -- model evaluation (queries/evaluation.py, all 7) -------------
+        "q_score_auc", "q_score_decile_lift", "q_score_confusion",
+        "q_ab_ztest", "q_rank_fusion", "q_annotator_kappa",
+        "q_score_calibration",
+        # -- privacy gates + behavior lead-off ---------------------------
+        # (q_dedup_normalized deferred to round 5: it matches its oracle
+        # on 0 rows at sf=0.01 — no normalized dupes in that sample — so
+        # a driver slot spent on it would prove nothing)
+        "q_k_anonymity", "q_dp_counts", "q_split_leakage",
+        "q_events_dau_wau",
 ]
-# Round-4 rotation TODO: run `python tools/next_rotation.py` once
-# CORRECTNESS_r03.json lands — it folds every round's driver rows and
-# prints the next 50-slot window (unproven first, oldest registration
-# first, then green re-confirmations).
+# Round-5 rotation: run `python tools/next_rotation.py` once
+# CORRECTNESS_r04.json lands — it folds every round's driver rows
+# (rows-only clean runs count as green) and prints the next 50-slot
+# window over the remaining ~101-query backlog (behavior.py,
+# warehouse.py series ops, robust_stats.py, sparse_text.py, mining.py,
+# geospatial.py, retrieval.py, profiling graph ops, corpus_ops.py).
 
 registry.reorder(VERIFY_ROTATION)

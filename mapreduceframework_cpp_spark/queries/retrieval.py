@@ -122,41 +122,15 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_prefix_filter",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
-                  FROM documents),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-           FROM toks, unnest(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
-    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-    inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                     count(*) AS i
-              FROM sh a JOIN sh b USING (shingle)
-              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-    SELECT doc_id_a, doc_id_b,
-           CAST(i * 1.0 / (sa.sz + sb.sz - i) AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN sz sa ON sa.doc_id = doc_id_a
-    JOIN sz sb ON sb.doc_id = doc_id_b
-    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7
-    """,
-)
-def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT set-similarity self-join (Jaccard ≥ 0.7 on 3-gram
-    shingles) via prefix filtering: order the vocabulary by
-    ascending document frequency, keep only each document's first
-    ⌊(1−t)·|d|⌋+1 rank-sorted shingles as its "prefix", and generate
-    candidates ONLY from prefix collisions — two sets with Jaccard ≥ t
-    must share a prefix element (pigeonhole on the (1−t) fraction), so
-    recall is 100% while the join touches a sliver of the token index.
-    Unlike MinHash-LSH (`q_dedup_near`) there is no probabilistic
-    recall argument to tune — this is the exact-answer scale path.
-    The oracle states the quadratic all-pairs truth. The vocabulary
-    ranking sorts the distinct-shingle domain only; verification
-    counts intersections for candidate pairs alone."""
-    docs = tbl(spark, sf_dir, "documents")
-    t = 0.7
+def prefix_filter_candidates(
+    docs: DataFrame, t: float
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate generator for the prefix-filter join: returns
+    ``(sh, cand)`` — the distinct (doc_id, shingle) frame (persisted)
+    and the candidate pair frame. Factored out so the scale tests can
+    assert the candidate-count bound on exactly the production path
+    (tests/test_scale_ops.py — a vocabulary shift that blows up prefix
+    collisions must fail a test, not the bench)."""
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("t")
     ).filter(F.size("t") >= 3)
@@ -206,6 +180,45 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return sh, cand
+
+
+@query(
+    "q_dedup_prefix_filter",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM toks, unnest(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     count(*) AS i
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_id_a, doc_id_b,
+           CAST(i * 1.0 / (sa.sz + sb.sz - i) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_id_a
+    JOIN sz sb ON sb.doc_id = doc_id_b
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7
+    """,
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard ≥ 0.7 on 3-gram
+    shingles) via prefix filtering: order the vocabulary by
+    ascending document frequency, keep only each document's first
+    ⌊(1−t)·|d|⌋+1 rank-sorted shingles as its "prefix", and generate
+    candidates ONLY from prefix collisions — two sets with Jaccard ≥ t
+    must share a prefix element (pigeonhole on the (1−t) fraction), so
+    recall is 100% while the join touches a sliver of the token index.
+    Unlike MinHash-LSH (`q_dedup_near`) there is no probabilistic
+    recall argument to tune — this is the exact-answer scale path.
+    The oracle states the quadratic all-pairs truth. The vocabulary
+    ranking sorts the distinct-shingle domain only; verification
+    counts intersections for candidate pairs alone."""
+    docs = tbl(spark, sf_dir, "documents")
+    t = 0.7
+    sh, cand = prefix_filter_candidates(docs, t)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")

@@ -39,30 +39,56 @@ def test_output_columns_are_atomic(name, spark, sf_dir):
 
 def test_registration_follows_verify_rotation():
     """The verifier checks the first ~50 registered queries per round;
-    queries/__init__.py declares the rotation explicitly
-    (VERIFY_ROTATION: every query still lacking a driver correctness
-    row, then the two fixed rows-only array-output queries). Guard that
-    registration actually honors it, and that the window holds exactly
-    the 50 highest-value entries."""
+    queries/__init__.py declares the rotation explicitly. Guard that
+    registration actually honors it, that the window is exactly the
+    driver's 50 slots, and — round 4 being a verification round — that
+    every slot is spent on a query with NO green driver row in any
+    prior round (computed from the immutable CORRECTNESS_r01-r03
+    artifacts, same policy as tools/next_rotation.py)."""
+    import json
+
     from mapreduceframework_cpp_spark.queries import VERIFY_ROTATION
+    from mapreduceframework_cpp_spark.registry import all_oracles
 
     registered = list(_QUERIES)
     assert registered[: len(VERIFY_ROTATION)] == VERIFY_ROTATION
     assert len(VERIFY_ROTATION) == 50  # exactly the driver's window
     # window entries are unique and the window is full
     assert len(set(VERIFY_ROTATION)) == len(VERIFY_ROTATION)
-    # every query that still lacks a hard driver correctness row
-    # (see VERDICT round 2) must sit inside the window
-    unproven = {
-        "q_text_pii_scrub", "q_text_quality_gates", "q_dataset_split",
-        "q_source_blocklist", "q_source_python", "q_json_variant",
-        "q_udaf_arrow", "q_join_asof_tol", "q_join_asof_fwd",
-        "q_join_interval_binned", "q_skew_keys", "q_ts_rollup_multi",
-        "q_agg_hll_rollup", "q_agg_approx_quantile", "q_agg_mode",
-        "q_sketch_countmin", "q_win_first_last", "q_win_distinct_count",
-        "q_text_fingerprint", "q_mm_features", "q_map_funcs",
-    }
-    assert unproven <= set(VERIFY_ROTATION)
+
+    oracles = set(all_oracles())
+    green: set[str] = set()
+    for rnd in ("r01", "r02", "r03"):  # frozen artifacts, never change
+        rows = json.load(open(f"CORRECTNESS_{rnd}.json"))
+        for name, r in rows.items():
+            if name in oracles:
+                if not r.get("err") and r.get("hash_match"):
+                    green.add(name)
+            elif r.get("spark_rows") is not None and r.get("err") in (
+                None,
+                "no_oracle",
+            ):
+                green.add(name)
+    assert not green & set(VERIFY_ROTATION), (
+        "round-4 window must only hold previously-unproven queries; "
+        f"already green: {sorted(green & set(VERIFY_ROTATION))}"
+    )
+
+
+def test_readme_counts_match_registry():
+    """README's 'N of M registered queries are hash-verified' sentence
+    drifted twice (r2, r3); pin it to the registry."""
+    import re
+
+    from mapreduceframework_cpp_spark.registry import all_oracles
+
+    text = open("README.md").read()
+    m = re.search(r"(\d+) of (\d+) registered\s+queries are hash-verified",
+                  text)
+    assert m, "README verification-count sentence not found"
+    n_sql, total = map(int, m.groups())
+    assert n_sql == len(all_oracles())
+    assert total == len(_QUERIES)
 
 
 def test_survey_totals_match_registry():

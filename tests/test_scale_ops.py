@@ -200,3 +200,38 @@ def test_allocation_conserves_order_totals(spark, oracle_sf_dir):
         F.col("got") != F.col("want")
     )
     assert bad.count() == 0
+
+
+def test_prefix_filter_candidate_count_bounded(spark):
+    """q_dedup_prefix_filter's worst case is superlinear if the corpus
+    vocabulary shifts so prefix shingles stop being rare (VERDICT r3
+    item 7). Assert at sf0.1 that the prefix+length filters keep the
+    candidate-pair count a sliver of the n^2 pair space — a data-shape
+    regression fails here instead of silently blowing up the bench."""
+    import os
+
+    from mapreduceframework_cpp_spark.operators.common import release_persisted
+    from mapreduceframework_cpp_spark.queries.retrieval import (
+        prefix_filter_candidates,
+    )
+
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = tbl(spark, sf01, "documents")
+    n_docs = docs.count()
+    try:
+        _, cand = prefix_filter_candidates(docs, 0.7)
+        n_cand = cand.count()
+    finally:
+        release_persisted()
+    all_pairs = n_docs * (n_docs - 1) / 2
+    # observed at sf0.1: ~a few candidates per doc out of n_docs-1
+    # possible partners; 5% of n^2 / 32-per-doc are order-of-magnitude
+    # tripwires, not tight constants.
+    assert n_cand <= 0.05 * all_pairs, (
+        f"{n_cand} candidates vs {all_pairs:.0f} all-pairs: prefix "
+        "filter no longer prunes"
+    )
+    assert n_cand <= 32 * n_docs, (
+        f"{n_cand} candidates for {n_docs} docs: per-doc candidate "
+        "fan-out regressed"
+    )

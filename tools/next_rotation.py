@@ -37,12 +37,13 @@ def main() -> None:
         rows = json.load(open(path))
         for name, r in rows.items():
             seen.add(name)
-            if r.get("err"):
-                continue
             if name in oracles:
-                if r.get("hash_match"):
+                if not r.get("err") and r.get("hash_match"):
                     green.add(name)
-            elif r.get("rows_match") or r.get("spark_rows") is not None:
+            elif r.get("spark_rows") is not None and r.get("err") in (
+                None,
+                "no_oracle",  # driver tags rows-only queries with this
+            ):
                 green.add(name)  # rows-only: clean run is the max signal
 
     unproven = [q for q in queries if q not in green]
