@@ -129,6 +129,14 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
         "q_graph_degree_dist",
         "q_ks_drift",
         "q_mannwhitney",
+        # round-4 window hardening: rank-fusion rank ties, calibration
+        # bucketing, lag ordering over possibly-tied order dates,
+        # Q2's per-part argmin tie, mix-shift share deltas
+        "q_rank_fusion",
+        "q_score_calibration",
+        "q_orders_reorder_gap",
+        "q_tpch_q2_shape",
+        "q_mix_shift",
     ],
 )
 def test_tiebreak_queries_shuffle_partition_invariant(spark, oracle_sf_dir, qname):
