@@ -52,27 +52,51 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + a combined score, all JVM-side:
-    length, token count, mean token length, stopword ratio, alpha ratio."""
+    length, token count, mean token length, stopword ratio, alpha ratio.
+
+    Rounding discipline: every 6dp output is computed as EXACT BIGINT
+    arithmetic — ``(num·2e6 + den) div (2·den)`` is round-half-up at 6
+    decimals done entirely in integers — then divided by 1e6 once. A
+    ``F.round`` over chained double terms is 1-ulp unstable across
+    engines at half boundaries (Spark rounds the exact binary decimal
+    HALF_UP, DuckDB multiplies by 1e6 first and rounds the product);
+    a 10×-scale sweep caught exactly one such row, so the score grid is
+    now integer-exact like the repo's other cross-engine folds."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_toks = F.size(toks)
-    # stopword OCCURRENCES (not distinct): filter + size
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-    total = F.length(F.col(text_col))
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        total.cast("long").alias("n_chars"),
-        n_toks.cast("long").alias("n_tokens"),
-        F.round((total - n_toks + 1) / n_toks, 6).alias("avg_token_len"),
-        F.round(n_stop / n_toks, 6).alias("stopword_ratio"),
-        F.round(alpha / total, 6).alias("alpha_ratio"),
-        F.round(
-            F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.5
-            + (alpha / total) * 0.3
-            + F.least(n_stop / n_toks * 5, F.lit(1.0)) * 0.2,
-            6,
-        ).alias("quality_score"),
+        F.length(F.col(text_col)).cast("long").alias("_total"),
+        F.size(toks).cast("long").alias("_ntoks"),
+        # stopword OCCURRENCES (not distinct): filter + size
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("_nstop"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+        .cast("long")
+        .alias("_alpha"),
+    )
+    # quality = least(n_toks/100,1)·0.5 + alpha/total·0.3
+    #           + least(n_stop/n_toks·5,1)·0.2  as one exact rational
+    # num/den with den = 1000·total·n_toks (all < 2^53 after scaling).
+    g = base.withColumn(
+        "_qnum",
+        F.least(F.col("_ntoks"), F.lit(100).cast("long"))
+        * 5 * F.col("_total") * F.col("_ntoks")
+        + 300 * F.col("_alpha") * F.col("_ntoks")
+        + 200 * F.least(5 * F.col("_nstop"), F.col("_ntoks")) * F.col("_total"),
+    ).withColumn("_qden", 1000 * F.col("_total") * F.col("_ntoks"))
+    r6 = "((({n}) * 2000000 + ({d})) div (2 * ({d}))) / 1000000.0"
+    return g.select(
+        "doc_id",
+        F.col("_total").alias("n_chars"),
+        F.col("_ntoks").alias("n_tokens"),
+        F.expr(r6.format(n="_total - _ntoks + 1", d="_ntoks")).alias(
+            "avg_token_len"
+        ),
+        F.expr(r6.format(n="_nstop", d="_ntoks")).alias("stopword_ratio"),
+        F.expr(r6.format(n="_alpha", d="_total")).alias("alpha_ratio"),
+        F.expr(r6.format(n="_qnum", d="_qden")).alias("quality_score"),
     )
 
 

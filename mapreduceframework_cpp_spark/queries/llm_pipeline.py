@@ -320,19 +320,26 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(total AS BIGINT) AS n_chars,
            CAST(n_toks AS BIGINT) AS n_tokens,
-           round((total - n_toks + 1) / n_toks, 6) AS avg_token_len,
-           round(n_stop / n_toks, 6) AS stopword_ratio,
-           round(alpha / total, 6) AS alpha_ratio,
-           round(least(n_toks / 100.0, 1.0) * 0.5
-                 + (alpha / total) * 0.3
-                 + least(n_stop / n_toks * 5, 1.0) * 0.2, 6) AS quality_score
+           (((total - n_toks + 1) * 2000000 + n_toks) // (2 * n_toks))
+             / 1000000.0 AS avg_token_len,
+           ((n_stop * 2000000 + n_toks) // (2 * n_toks))
+             / 1000000.0 AS stopword_ratio,
+           ((alpha * 2000000 + total) // (2 * total))
+             / 1000000.0 AS alpha_ratio,
+           (((least(n_toks, 100) * 5 * total * n_toks
+              + 300 * alpha * n_toks
+              + 200 * least(5 * n_stop, n_toks) * total) * 2000000
+             + 1000 * total * n_toks)
+            // (2 * 1000 * total * n_toks)) / 1000000.0 AS quality_score
     FROM c
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality features + combined score, all JVM-side; the
-    oracle replicates the identical double arithmetic (per-row chains on
-    equal operands are bit-identical — no aggregation involved)."""
+    """Heuristic quality features + combined score, all JVM-side; every
+    6dp output is integer-grid round-half-up (exact BIGINT num/den, one
+    final /1e6 — see operators/text.py::quality_scores) so Spark and the
+    oracle agree bit-for-bit at any scale, including the round()-boundary
+    row the sf0.1 sweep caught."""
     return quality_scores(tbl(spark, sf_dir, "documents"))
 
 
