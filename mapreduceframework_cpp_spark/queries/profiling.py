@@ -737,6 +737,11 @@ _LP_ROUNDS_SQL = """
 
 @query(
     "q_graph_labelprop",
+    # every CTE is MATERIALIZED: the three chained LP rounds reference
+    # sym/cntN/lN multiple times each, and DuckDB 1.0 inlines
+    # multi-referenced CTEs — which re-evaluates the kNN edge build
+    # exponentially per round (measured: 90 s at sf0.01, a 70 GB temp
+    # spill at sf0.1; with the hint 0.13 s, identical rows).
     oracle=f"""
     WITH {_EDGE_CTE},
     sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
@@ -745,7 +750,7 @@ _LP_ROUNDS_SQL = """
     {_LP_ROUNDS_SQL}
     SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
     FROM l3 GROUP BY 1
-    """,
+    """.replace(" AS (", " AS MATERIALIZED ("),
 )
 def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronized label propagation over the
