@@ -296,6 +296,16 @@ def main() -> None:
             release_persisted()  # operator-held caches don't leak across queries
         timings[name] = round(best, 3)
 
+    emit(timings, sf)
+    spark.stop()
+
+
+def emit(timings: dict[str, float], sf: float | None) -> dict:
+    """Write BENCH_DETAIL.json and print the two stdout lines: the full
+    per-query record first, then a SHORT final line (metric/value/unit/
+    sf/n_queries + 5 slowest) that the driver's tail capture can always
+    parse — the one-line-with-all-timings format broke BENCH_r03.json.
+    Returns the short record (unit-tested in tests/test_bench_format.py)."""
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_suite_wall_sec",
@@ -304,31 +314,24 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # Full per-query map: to disk for the judge, and to stdout FIRST so
-    # a generous capture still has it...
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail))
-    # ...then the short headline record as the FINAL line, so the
-    # driver's tail capture always gets a parseable JSON object.
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "slowest": slowest,
-                "detail": "BENCH_DETAIL.json",
-            }
-        )
-    )
+    headline = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "slowest": slowest,
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(headline))
     sys.stdout.flush()
-    spark.stop()
+    return headline
 
 
 if __name__ == "__main__":

@@ -1,0 +1,50 @@
+"""The driver records bench.py's LAST stdout line as BENCH_r{N}.json;
+round 3's artifact was unparseable because that line carried every
+per-query timing. Pin the contract: the final line stays short and
+parseable no matter how many queries the headline suite grows to, every
+headline query exists in the registry, and the detail file carries the
+full map."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from contextlib import redirect_stdout
+
+import bench
+
+
+def test_headline_queries_all_registered():
+    from mapreduceframework_cpp_spark.registry import all_queries
+
+    registered = set(all_queries())
+    missing = [q for q in bench.HEADLINE if q not in registered]
+    assert not missing, f"bench HEADLINE names not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate names"
+
+
+def test_emit_final_line_is_short_and_parseable(tmp_path, monkeypatch):
+    # even with 1000 queries the final line must stay tail-capture-sized
+    timings = {f"q_{i:04d}": round(0.1 + i / 1000, 3) for i in range(1000)}
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda _: str(tmp_path / "bench.py")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        headline = bench.emit(timings, sf=0.1)
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+
+    final = json.loads(lines[-1])  # must parse on its own
+    assert final == headline
+    assert final["metric"] == "headline_suite_wall_sec"
+    assert final["unit"] == "sec"
+    assert final["n_queries"] == 1000
+    assert len(final["slowest"]) == 5
+    assert "queries" not in final, "full map must not ride the final line"
+    assert len(lines[-1]) < 4096, "final line outgrew tail capture again"
+
+    detail = json.load(open(tmp_path / "BENCH_DETAIL.json"))
+    assert detail["queries"] == timings
+    assert detail["value"] == final["value"] == round(sum(timings.values()), 3)
+    assert os.path.exists(tmp_path / "BENCH_DETAIL.json")
