@@ -137,6 +137,30 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
         "q_orders_reorder_gap",
         "q_tpch_q2_shape",
         "q_mix_shift",
+        # rounds-5/6 backlog pre-hardening: every SQL-oracle query must
+        # be partition-invariant BEFORE its first driver row — these are
+        # the tie/rank/sequence-sensitive ones not yet in the net
+        # (sweep-line concurrency ties, frequency-rank ties, median-of-
+        # slopes/median selection, KM cumulative products, equi-depth
+        # boundaries, changepoint argmax, transition ranking, percentile
+        # cuts, Holt recursion, z-order ranks, BM25/kNN top-k ties,
+        # hash-seeded sampling and imputation)
+        "q_sessions_concurrency",
+        "q_text_zipf",
+        "q_agg_theilsen",
+        "q_mad_outliers",
+        "q_survival_km",
+        "q_equidepth_hist",
+        "q_events_changepoint",
+        "q_events_markov",
+        "q_user_ltv_percentiles",
+        "q_ts_holt",
+        "q_zorder_profile",
+        "q_text_bm25",
+        "q_knn_blocked",
+        "q_negative_sampling",
+        "q_sample_balanced",
+        "q_feat_impute",
     ],
 )
 def test_tiebreak_queries_shuffle_partition_invariant(spark, oracle_sf_dir, qname):
