@@ -301,11 +301,13 @@ def main() -> None:
 
 
 def emit(timings: dict[str, float], sf: float | None) -> dict:
-    """Write BENCH_DETAIL.json and print the two stdout lines: the full
-    per-query record first, then a SHORT final line (metric/value/unit/
-    sf/n_queries + 5 slowest) that the driver's tail capture can always
-    parse — the one-line-with-all-timings format broke BENCH_r03.json.
-    Returns the short record (unit-tested in tests/test_bench_format.py)."""
+    """Print the two stdout lines — the full per-query record first,
+    then a SHORT final line (metric/value/unit/sf/n_queries + 5 slowest)
+    that the driver's tail capture can always parse (the
+    one-line-with-all-timings format broke BENCH_r03.json) — and then
+    write BENCH_DETAIL.json, best-effort, so an I/O failure can't
+    discard a finished run. Returns the short record (unit-tested in
+    tests/test_bench_format.py)."""
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_suite_wall_sec",
@@ -314,10 +316,8 @@ def emit(timings: dict[str, float], sf: float | None) -> dict:
         "queries": timings,
         "sf": sf,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    # stdout FIRST: a completed run's timings must survive even if the
+    # detail-file write fails (read-only checkout, full disk)
     print(json.dumps(detail))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     headline = {
@@ -331,6 +331,13 @@ def emit(timings: dict[str, float], sf: float | None) -> dict:
     }
     print(json.dumps(headline))
     sys.stdout.flush()
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as ex:  # never discard a finished run over a file write
+        print(f"BENCH_DETAIL.json not written: {ex}", file=sys.stderr)
     return headline
 
 

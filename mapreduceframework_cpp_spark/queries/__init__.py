@@ -46,7 +46,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     evaluation,
 )
 
-#: round-5 verification window (50 slots). Cumulative driver signal
+#: round-4 verification window (50 slots). Cumulative driver signal
 #: after round 3: 132 hash-green + 13 rows-only clean of 296 → 151
 #: queries still lack any driver row (`python tools/next_rotation.py`
 #: recomputes this from CORRECTNESS_r0{1,2,3}.json). Round 4 is a pure

@@ -240,15 +240,15 @@ def test_prefix_filter_candidate_count_bounded(spark):
     item 7). Assert at sf0.1 that the prefix+length filters keep the
     candidate-pair count a sliver of the n^2 pair space — a data-shape
     regression fails here instead of silently blowing up the bench."""
-    import os
-
     from mapreduceframework_cpp_spark.operators.common import release_persisted
     from mapreduceframework_cpp_spark.queries.retrieval import (
         prefix_filter_candidates,
     )
 
-    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    docs = tbl(spark, sf01, "documents")
+    # deliberately pinned (NOT bench.py's SPARK_GRAFT_SF_DIR): the bound
+    # is only meaningful at the largest fixture; a rebound env var must
+    # not silently shrink the regression's teeth
+    docs = tbl(spark, "/root/testdata/sf0.1", "documents")
     n_docs = docs.count()
     try:
         _, cand = prefix_filter_candidates(docs, 0.7)

@@ -5,52 +5,39 @@ Reproduces the external verifier end-to-end against `__spark_entry__.py`:
 a FRESH SparkSession (none of the engine's tuned confs, and a
 deliberately hostile `America/New_York` session timezone to prove the
 engine re-pins UTC itself via `session.tune()`), then every
-``queries()`` entry collected and diffed against ``oracle_sql()`` run in
-DuckDB over the same parquet.
+``queries()`` entry diffed against ``oracle_sql()`` run in DuckDB over
+the same parquet.
+
+The comparison is `tests/_compare.py::assert_df_matches_oracle` — the
+SAME driver-mirroring comparator the pytest oracle gate uses, including
+the pandas dtype-kind lens (a DuckDB HUGEINT vs Spark bigint hash-fails
+on the real driver even when values match — round-2's q_map_funcs) and
+the NaN/-0.0/Decimal canonicalization. Re-deriving a looser copy here
+once produced false OKs / false mismatches; don't.
 
 Usage::
 
     python tools/driver_sim.py [query ...]     # default: all queries
     DRIVER_SIM_SF_DIR=/root/testdata/sf0.1 python tools/driver_sim.py
 
-Exit status is nonzero on any schema/row-count/value mismatch — the same
-canonicalization the driver applies (columns sorted by name, rows sorted
-by repr, Decimal→float, float→round(9), datetimes naive-ISO).
+Exit status is nonzero on any schema/row-count/dtype/value mismatch.
 """
 
 from __future__ import annotations
 
 import os
 import sys
-from datetime import date, datetime
-from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 from pyspark.sql import SparkSession
 
+from tests._compare import assert_df_matches_oracle
+
 SF_DIR = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
-
-
-def norm(v):
-    if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, float):
-        return round(v, 9)
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
-    return v
-
-
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=repr)
 
 
 def main():
@@ -81,31 +68,14 @@ def main():
     for name in names:
         try:
             df = qs[name](spark, SF_DIR)
-            scols = df.columns
-            srows = [tuple(r) for r in df.collect()]
             if name not in oracles:
-                print(f"{name}: rows-only, {len(srows)} rows")
+                print(f"{name}: rows-only, {df.count()} rows")
                 continue
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-            sc, sr = canon(scols, srows)
-            dc, dr = canon(dcols, drows)
-            if sc != dc:
-                print(f"{name}: SCHEMA MISMATCH spark={sc} duck={dc}")
-                bad += 1
-            elif len(sr) != len(dr):
-                print(f"{name}: ROWS {len(sr)} vs {len(dr)}")
-                bad += 1
-            elif sr != dr:
-                diffs = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b][:3]
-                print(f"{name}: VALUE MISMATCH at {diffs}")
-                for i in diffs[:1]:
-                    print("  spark:", sr[i])
-                    print("  duck :", dr[i])
-                bad += 1
-            else:
-                print(f"{name}: OK ({len(sr)} rows)")
+            assert_df_matches_oracle(df, con, oracles[name], name=name)
+            print(f"{name}: OK")
+        except AssertionError as ex:
+            print(f"{name}: MISMATCH {str(ex)[:300]}")
+            bad += 1
         except Exception as ex:
             print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}")
             bad += 1
