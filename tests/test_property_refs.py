@@ -1,4 +1,4 @@
-"""Randomized brute-force references for the two operators whose
+"""Randomized brute-force references for the operators whose
 correctness arguments are the most intricate (SURVEY §7 "what's hard"):
 
 - asof_join (operators/asof.py): the side-tag + window construction has
@@ -11,6 +11,9 @@ correctness arguments are the most intricate (SURVEY §7 "what's hard"):
   chains) against a Python union-find. A chain longer than the
   iteration budget would silently mis-cluster — the probe must converge,
   not just stop.
+- binned_interval_join (operators/rangejoin.py): random [start, end)
+  windows and points vs the quadratic definition; bin-edge alignment is
+  the classic off-by-one.
 
 Each hypothesis example runs Spark jobs, so examples are few and inputs
 small; the value is the corner coverage, not the volume.
@@ -140,3 +143,55 @@ def test_dedup_clusters_long_chain_converges(spark):
     df = spark.createDataFrame(pairs, "doc_id_a long, doc_id_b long")
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(df, max_iter=64).collect()}
     assert got == {i: 0 for i in range(41)}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    intervals=st.lists(
+        # (start_second, length_seconds): lengths 0..900 straddle the
+        # 600 s bin both ways; zero-length intervals must match nothing
+        st.tuples(st.integers(0, 1800), st.integers(0, 900)),
+        min_size=1,
+        max_size=6,
+    ),
+    points=st.lists(st.integers(0, 2700), min_size=1, max_size=10),
+)
+def test_binned_interval_join_matches_bruteforce(spark, intervals, points):
+    """[start, end) over random second offsets vs the quadratic
+    definition — bin-edge alignment (point or boundary exactly on a
+    multiple of bin_seconds) is the classic off-by-one."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.operators.rangejoin import (
+        binned_interval_join,
+    )
+
+    irows = [
+        (i, _BASE + dt.timedelta(seconds=s), _BASE + dt.timedelta(seconds=s + ln))
+        for i, (s, ln) in enumerate(intervals)
+    ]
+    prows = [
+        (j, _BASE + dt.timedelta(seconds=p)) for j, p in enumerate(points)
+    ]
+    idf = spark.createDataFrame(irows, "iid long, s timestamp, e timestamp")
+    pdf = spark.createDataFrame(prows, "pid long, p timestamp")
+    got = sorted(
+        (r.iid, r.pid)
+        for r in binned_interval_join(
+            idf,
+            pdf,
+            start=F.col("s"),
+            end=F.col("e"),
+            point=F.col("p"),
+            bin_seconds=600,
+        )
+        .select("iid", "pid")
+        .collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s, ln) in enumerate(intervals)
+        for j, p in enumerate(points)
+        if s <= p < s + ln
+    )
+    assert got == want
