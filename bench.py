@@ -1,17 +1,18 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. The FINAL stdout line is a short,
+always-parseable headline record:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "headline_suite_wall_sec", "value": N, "unit": "sec",
+     "sf": 0.1, "n_queries": K, "slowest": {...5 queries...},
+     "detail": "BENCH_DETAIL.json"}
 
-The suite has grown to ~190 queries, and a single line carrying every
+The suite has grown past 200 queries, and a single line carrying every
 per-query timing outgrew the driver's tail capture in round 3
-(BENCH_r03.json recorded `parsed: null`). So the FINAL stdout line is
-now a short, always-parseable headline record (metric/value/unit/sf/
-n_queries + the 5 slowest queries); the full per-query map is printed
-on an earlier line AND written to BENCH_DETAIL.json next to this
-script for the judge.
+(BENCH_r03.json recorded `parsed: null`). So the full per-query map is
+NOT on the final line: it is printed on an earlier stdout line AND
+written to BENCH_DETAIL.json next to this script for the judge.
 
 Each query is forced end-to-end with a noop-format write (full
 computation on the executors, zero driver collection — the shape a real

@@ -78,14 +78,19 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # quality = least(n_toks/100,1)·0.5 + alpha/total·0.3
     #           + least(n_stop/n_toks·5,1)·0.2  as one exact rational
-    # num/den with den = 1000·total·n_toks (all < 2^53 after scaling).
+    # num/den with den = 200·total·n_toks — the common factor 5 is
+    # divided out (ADVICE r4). int64 bound: the r6 grid computes
+    # qnum·2e6 ≈ 4e8·total·n_toks, which must stay < 2^63, i.e.
+    # total·n_toks < ~2.3e10 — a ≈370 KB doc at ~6 chars/token (both
+    # engines raise loudly past it: Spark-4 ANSI overflow, DuckDB
+    # int64 overflow — no silent divergence).
     g = base.withColumn(
         "_qnum",
         F.least(F.col("_ntoks"), F.lit(100).cast("long"))
-        * 5 * F.col("_total") * F.col("_ntoks")
-        + 300 * F.col("_alpha") * F.col("_ntoks")
-        + 200 * F.least(5 * F.col("_nstop"), F.col("_ntoks")) * F.col("_total"),
-    ).withColumn("_qden", 1000 * F.col("_total") * F.col("_ntoks"))
+        * F.col("_total") * F.col("_ntoks")
+        + 60 * F.col("_alpha") * F.col("_ntoks")
+        + 40 * F.least(5 * F.col("_nstop"), F.col("_ntoks")) * F.col("_total"),
+    ).withColumn("_qden", 200 * F.col("_total") * F.col("_ntoks"))
     r6 = "((({n}) * 2000000 + ({d})) div (2 * ({d}))) / 1000000.0"
     return g.select(
         "doc_id",

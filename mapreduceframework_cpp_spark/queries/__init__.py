@@ -46,56 +46,76 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     evaluation,
 )
 
-#: round-4 verification window (50 slots). Cumulative driver signal
-#: after round 3: 132 hash-green + 13 rows-only clean of 296 → 151
+#: round-5 verification window (50 slots). Cumulative driver signal
+#: after round 4: 177 hash-green + 18 rows-only clean of 296 → 101
 #: queries still lack any driver row (`python tools/next_rotation.py`
-#: recomputes this from CORRECTNESS_r0{1,2,3}.json). Round 4 is a pure
-#: verification round: capability registration is frozen, and all 50
-#: slots go to previously-untested queries, ordered by user value
-#: (VERDICT r3 §Next-round item 1): the TPC-H completions first — a
-#: user's first benchmark run — then decision support, core SQL-surface
-#: torture queries, the warehouse/CDC siblings, the five rows-only
-#: queries that have never had a driver row, model evaluation, and
-#: privacy gates. Remaining backlog after this window: 101, queued for
-#: rounds 5-6.
+#: recomputes this from CORRECTNESS_r0{1..4}.json). Round 5 continues
+#: the pure-verification schedule: registration is frozen at 296, all
+#: 50 slots go to previously-untested queries, in backlog order
+#: (VERDICT r4 §Next-round item 1): the Spark-4 SQL-surface queries
+#: first (recursive CTE, collation, stateful streaming), then the
+#: Arrow/cogroup UDF surface, the remaining dedup/similarity paths
+#: (q_dedup_normalized reshaped this round so its sf0.01 slot is
+#: non-vacuous — per-language dedup counters instead of dup groups
+#: only), corpus tooling, and the behavior.py + curation.py families.
 #: (tests/test_driver_contract.py asserts registration follows this.)
 VERIFY_ROTATION = [
-        # -- TPC-H completions (queries/tpch_complete.py) ----------------
-        "q_tpch_q1_shape", "q_tpch_q8_shape", "q_tpch_q9_shape",
-        "q_tpch_q13_shape", "q_tpch_q16_shape", "q_tpch_q19_shape",
-        "q_tpch_q20_shape",
-        # -- decision support (queries/decision_support.py, all 20) ------
-        "q_tpch_q11_shape", "q_tpch_q12_shape", "q_tpch_q14_shape",
-        "q_tpch_q18_shape", "q_tpch_q22_shape", "q_tpch_q21_shape",
-        "q_tpch_q2_shape", "q_tpch_q4_shape", "q_tpch_q6_shape",
-        "q_tpch_q15_shape", "q_orders_cohort", "q_orders_abc",
-        "q_brand_yoy", "q_supplier_hhi", "q_orders_reorder_gap",
-        "q_order_size_dist", "q_cohort_ltv", "q_ols_discount_slope",
-        "q_revenue_bridge", "q_mix_shift",
-        # -- core SQL-surface torture queries ----------------------------
-        "q_null_semantics", "q_win_median", "q_release_pipeline",
-        # -- warehouse/CDC siblings (merge/SCD-2 passed r3; these next) --
-        "q_date_spine", "q_incr_agg", "q_scd2_pit_lookup",
-        "q_dataset_diff",
-        # -- rows-only queries with no driver row in any round -----------
-        "q_emb_kmeans", "q_tok_bpe_merges", "q_emb_pca_top",
-        "q_sketch_theta", "q_sketch_kll",
-        # -- model evaluation (queries/evaluation.py, all 7) -------------
-        "q_score_auc", "q_score_decile_lift", "q_score_confusion",
-        "q_ab_ztest", "q_rank_fusion", "q_annotator_kappa",
-        "q_score_calibration",
-        # -- privacy gates + behavior lead-off ---------------------------
-        # (q_dedup_normalized deferred to round 5: it matches its oracle
-        # on 0 rows at sf=0.01 — no normalized dupes in that sample — so
-        # a driver slot spent on it would prove nothing)
-        "q_k_anonymity", "q_dp_counts", "q_split_leakage",
-        "q_events_dau_wau",
+        # -- Spark-4 SQL surface + streaming state -----------------------
+        "q_recursive_cte", "q_sql4_surfaces", "q_str_collation",
+        "q_stream_stateful", "q_stream_attrib_coverage",
+        # -- Arrow / cogroup UDF surface ---------------------------------
+        "q_cogroup_reconcile", "q_arrow_map", "q_agg_approx_topk",
+        # -- dedup / similarity remainder --------------------------------
+        "q_knn_blocked", "q_dedup_normalized", "q_dedup_rate_curve",
+        "q_bloom_prune", "q_link_sorted_neighborhood",
+        # -- corpus tooling (queries/corpus_ops.py) ----------------------
+        "q_doc_chunks", "q_chunk_dedup", "q_dataset_card",
+        "q_sample_balanced", "q_tok_bpe_encode", "q_text_clean",
+        "q_text_collapse_runs", "q_tok_vocab_coverage",
+        # -- stats remainder (queries/stats.py) --------------------------
+        "q_agg_ols_trend", "q_agg_mad", "q_bitmap_distinct",
+        # -- event analytics (queries/behavior.py, all 17 untested) ------
+        "q_events_markov", "q_events_anomaly", "q_events_conversion_lag",
+        "q_sessions_stats", "q_events_funnel_windowed",
+        "q_events_seasonality", "q_user_ltv_percentiles",
+        "q_events_streaks", "q_events_power_users", "q_attrib_linear",
+        "q_events_changepoint", "q_sessions_concurrency",
+        "q_events_pattern_match", "q_events_entropy_rate",
+        "q_audience_overlap", "q_funnel_by_arm", "q_events_burstiness",
+        # -- feature curation (queries/curation.py) ----------------------
+        "q_emb_feature_stats", "q_emb_outliers", "q_emb_quantile_norm",
+        "q_feat_target_encode", "q_negative_sampling", "q_feat_hashing",
+        "q_feat_churn_labels", "q_emb_zscore_outliers", "q_feat_impute",
 ]
-# Round-5 rotation: run `python tools/next_rotation.py` once
-# CORRECTNESS_r04.json lands — it folds every round's driver rows
-# (rows-only clean runs count as green) and prints the next 50-slot
-# window over the remaining ~101-query backlog (behavior.py,
-# warehouse.py series ops, robust_stats.py, sparse_text.py, mining.py,
-# geospatial.py, retrieval.py, profiling graph ops, corpus_ops.py).
+
+#: round-6 window, committed now so round 6 is mechanical (VERDICT r4
+#: item 4): exactly the 51 queries left unproven after the round-5
+#: window above — warehouse.py time-series ops, sparse_text.py lexical
+#: stats, SQL gateway scripting, profiling graph ops, mining.py,
+#: retrieval.py, robust_stats.py, geospatial.py. If any round-5 slot
+#: comes back red, its query is re-queued at the head of this list;
+#: otherwise it ships verbatim (51 > 50 slots: the final name,
+#: q_geo_grid_clusters, spills to a round-7 re-confirm window).
+#: tests/test_driver_contract.py pins VERIFY_ROTATION + ROUND6_ROTATION
+#: == the full unproven backlog, no overlap.
+ROUND6_ROTATION = [
+        "q_mix_raking", "q_ts_holt", "q_zorder_profile",
+        "q_ts_rolling_corr", "q_incr_join_view", "q_ts_acf",
+        "q_ts_seasonal_index", "q_ts_growth", "q_ts_seasonal_anomaly",
+        "q_incr_agg_retract", "q_alloc_largest_remainder",
+        "q_dup_payments", "q_text_zipf", "q_text_hapax", "q_doc_entropy",
+        "q_text_js_divergence", "q_text_logodds", "q_text_perplexity",
+        "q_text_rake", "q_sql_scripting", "q_sql_recursive",
+        "q_chi_square", "q_benford_audit", "q_graph_purchase_rank",
+        "q_join_size_estimate", "q_graph_bfs_dist", "q_graph_labelprop",
+        "q_graph_degree_dist", "q_basket_pairs", "q_equidepth_hist",
+        "q_rolling_dau", "q_emb_random_projection", "q_emb_pair_distance",
+        "q_emb_silhouette", "q_text_bm25", "q_dedup_prefix_filter",
+        "q_text_phrase", "q_skyline", "q_agg_weighted_median",
+        "q_bootstrap_ci", "q_agg_trimmed", "q_survival_km",
+        "q_agg_theilsen", "q_spend_gini", "q_mad_outliers", "q_ks_drift",
+        "q_mannwhitney", "q_geo_cell_density", "q_geo_nearest_hub",
+        "q_geo_radius_join", "q_geo_grid_clusters",
+]
 
 registry.reorder(VERIFY_ROTATION)

@@ -751,6 +751,11 @@ _LP_ROUNDS_SQL = """
     SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
     FROM l3 GROUP BY 1
     """.replace(" AS (", " AS MATERIALIZED ("),
+    # ^ the blanket replace assumes EVERY " AS (" in this oracle is a
+    # CTE header (true today for _EDGE_CTE/_LP_ROUNDS_SQL, verified);
+    # a future non-CTE " AS (" added here would be silently corrupted —
+    # write it without the surrounding spaces or inline MATERIALIZED
+    # per CTE instead.
 )
 def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronized label propagation over the

@@ -41,14 +41,21 @@ def test_registration_follows_verify_rotation():
     """The verifier checks the first ~50 registered queries per round;
     queries/__init__.py declares the rotation explicitly. Guard that
     registration actually honors it, that the window is exactly the
-    driver's 50 slots, and — round 4 being a verification round — that
+    driver's 50 slots, and — round 5 being a verification round — that
     every slot is spent on a query with NO green driver row in any
-    prior round (computed from the immutable CORRECTNESS_r01-r03
-    artifacts, same policy as tools/next_rotation.py)."""
-    import json
+    prior round. The green fold is imported from
+    tools/next_rotation.py::green_set (ADVICE r4: a local copy of the
+    fold silently diverged from the CLI's policy)."""
+    import sys
 
-    from mapreduceframework_cpp_spark.queries import VERIFY_ROTATION
+    from mapreduceframework_cpp_spark.queries import (
+        ROUND6_ROTATION,
+        VERIFY_ROTATION,
+    )
     from mapreduceframework_cpp_spark.registry import all_oracles
+
+    sys.path.insert(0, ".")
+    from tools.next_rotation import green_set
 
     registered = list(_QUERIES)
     assert registered[: len(VERIFY_ROTATION)] == VERIFY_ROTATION
@@ -57,22 +64,22 @@ def test_registration_follows_verify_rotation():
     assert len(set(VERIFY_ROTATION)) == len(VERIFY_ROTATION)
 
     oracles = set(all_oracles())
-    green: set[str] = set()
-    for rnd in ("r01", "r02", "r03"):  # frozen artifacts, never change
-        rows = json.load(open(f"CORRECTNESS_{rnd}.json"))
-        for name, r in rows.items():
-            if name in oracles:
-                if not r.get("err") and r.get("hash_match"):
-                    green.add(name)
-            elif r.get("spark_rows") is not None and r.get("err") in (
-                None,
-                "no_oracle",
-            ):
-                green.add(name)
+    # frozen artifacts, never change after their round lands
+    green = green_set(
+        [f"CORRECTNESS_{r}.json" for r in ("r01", "r02", "r03", "r04")],
+        oracles,
+    )
     assert not green & set(VERIFY_ROTATION), (
-        "round-4 window must only hold previously-unproven queries; "
+        "round-5 window must only hold previously-unproven queries; "
         f"already green: {sorted(green & set(VERIFY_ROTATION))}"
     )
+    # the committed round-6 plan: rounds 5+6 together drain the backlog
+    # exactly — every registered query is either driver-green already or
+    # scheduled in one of the two windows, with no overlap.
+    assert not set(VERIFY_ROTATION) & set(ROUND6_ROTATION)
+    assert len(set(ROUND6_ROTATION)) == len(ROUND6_ROTATION)
+    unproven = [q for q in registered if q not in green]
+    assert sorted(unproven) == sorted(VERIFY_ROTATION + ROUND6_ROTATION)
 
 
 def test_readme_counts_match_registry():

@@ -325,3 +325,34 @@ def test_kmeans_report_invariants(spark, sf_dir):
     assert sorted((r.cluster, r.n_members) for r in rep) == sorted(
         (r.cluster, r.n_members) for r in rep2
     )
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """q_sample_stratified is rows-only (Bernoulli sampleBy has no SQL
+    oracle); pin its non-oracle guarantees instead: seeded determinism
+    (same seed + partitioning -> identical draw), sampled rows are a
+    subset of the corpus, every stratum is sampled at a rate
+    statistically consistent with its 0.5 fraction, and no stratum
+    outside the fraction map leaks through."""
+    from mapreduceframework_cpp_spark.queries.llm_pipeline import (
+        q_sample_stratified,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    s1 = q_sample_stratified(spark, sf_dir)
+    s2 = q_sample_stratified(spark, sf_dir)
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in s2.select("doc_id").collect())
+    assert ids1 == ids2  # seeded: the draw is reproducible
+    assert ids1  # 0.5 fractions on every language: never empty
+    # subset of the corpus, langs confined to the fraction map
+    assert s1.join(docs, "doc_id", "left_anti").count() == 0
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sampled = {r.lang: r.n for r in
+               s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(sampled) <= {"en", "de", "fr", "es", "zh"}
+    for lang, n in sampled.items():
+        # Bernoulli(0.5) over totals[lang] rows: allow 4 sigma
+        mean, sigma = 0.5 * totals[lang], (0.25 * totals[lang]) ** 0.5
+        assert abs(n - mean) <= 4 * sigma + 1, (lang, n, totals[lang])

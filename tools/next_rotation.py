@@ -27,16 +27,20 @@ from mapreduceframework_cpp_spark.registry import all_oracles, all_queries  # no
 WINDOW = 50
 
 
-def main() -> None:
-    queries = list(all_queries())
-    oracles = set(all_oracles())
+def green_set(paths, oracles) -> set[str]:
+    """Fold driver CORRECTNESS rows into the set of driver-green names.
 
+    THE single definition of "green" (ADVICE r4: the test suite used to
+    carry a copy of this fold): SQL-oracle queries are green iff a row
+    has hash_match and no err; rows-only queries are green iff a row ran
+    clean (spark_rows present, err absent or the driver's "no_oracle"
+    tag) — a clean run is the max driver signal a no-oracle query gets.
+    tests/test_driver_contract.py imports this so policy can't diverge.
+    """
     green: set[str] = set()
-    seen: set[str] = set()
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    for path in paths:
         rows = json.load(open(path))
         for name, r in rows.items():
-            seen.add(name)
             if name in oracles:
                 if not r.get("err") and r.get("hash_match"):
                     green.add(name)
@@ -44,8 +48,14 @@ def main() -> None:
                 None,
                 "no_oracle",  # driver tags rows-only queries with this
             ):
-                green.add(name)  # rows-only: clean run is the max signal
+                green.add(name)
+    return green
 
+
+def main() -> None:
+    queries = list(all_queries())
+    oracles = set(all_oracles())
+    green = green_set(sorted(glob.glob("CORRECTNESS_r*.json")), oracles)
     unproven = [q for q in queries if q not in green]
     backfill = [q for q in queries if q in green]
     window = (unproven + backfill)[:WINDOW]
