@@ -187,26 +187,46 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day — the windowed COUNT(DISTINCT)
     that plain window frames can't express (distinct isn't
-    frame-decomposable). Lowering: broadcast the tiny day spine
-    (365 rows/year regardless of fact size) into a range join against
-    events, then one (day, user) aggregate. At 100 TB the fan-out is
-    bounded at 7× the fact rows — the scalable alternative to a
-    per-day self-union; the spine side stays broadcast so no extra
-    shuffle appears."""
-    e = tbl(spark, sf_dir, "events").select(
-        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("eday"), "user_id"
-    )
-    days = e.select(F.col("eday").alias("day")).distinct()
-    return (
-        e.join(
-            F.broadcast(days),
-            (F.col("eday") <= F.col("day"))
-            & (F.col("eday") > F.col("day") - F.expr("INTERVAL 7 DAYS")),
+    frame-decomposable). Lowering (retuned r5 after the r4 bench watch
+    item): (1) pre-aggregate events to distinct (day, user) pairs with
+    per-pair event counts — at 100 TB this shrinks the fan-out input
+    from every event to day-user pairs (heavy users fire many events a
+    day); (2) EXPLODE each pair into the ≤7 window days it contributes
+    to — a pure projection, no join condition to evaluate; (3) filter
+    the exploded days to the observed day spine with a broadcast HASH
+    join (the previous broadcast range join planned as a nested loop
+    scanning every spine day per event row); (4) one (day) aggregate —
+    sum of pair counts for events, distinct users for DAU. Every join
+    in the plan is a BroadcastHashJoin; the only wide exchanges are the
+    two map-side-combinable aggregates."""
+    pairs = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("eday"),
+            "user_id",
         )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    days = pairs.select(F.col("eday").alias("day")).distinct()
+    # eday contributes to days d with eday <= d < eday + 7 — identical
+    # to the oracle's (eday <= d AND eday > d - 7) range predicate.
+    exploded = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("eday"),
+                F.col("eday") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+        "n_events",
+    )
+    return (
+        exploded.join(F.broadcast(days), "day")
         .groupBy("day")
         .agg(
             F.countDistinct("user_id").alias("rolling_7d_users"),
-            F.count(F.lit(1)).alias("rolling_7d_events"),
+            F.sum("n_events").alias("rolling_7d_events"),
         )
     )
 
