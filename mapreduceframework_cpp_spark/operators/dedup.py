@@ -34,6 +34,35 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalized_dedup_report(
+    docs: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Canonicalize-then-hash dedup audit (q_dedup_normalized): per
+    ``group_col`` counters raw_docs / distinct_raw / distinct_normalized
+    / dup_mass, where normalization is lowercase + collapse-whitespace +
+    trim before sha256. dup_mass = docs removable by normalized dedup;
+    distinct_raw − distinct_normalized = mass ONLY the normalized pass
+    catches (trivially re-encoded copies raw sha256 misses). Pure JVM
+    regexp in the scan projection; shuffles 32-byte digests only."""
+    nhash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), 256
+    )
+    return (
+        docs.select(
+            group_col,
+            nhash.alias("nhash"),
+            F.sha2(text_col, 256).alias("rhash"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("raw_docs"),
+            F.countDistinct("rhash").alias("distinct_raw"),
+            F.countDistinct("nhash").alias("distinct_normalized"),
+            (F.count("*") - F.countDistinct("nhash")).alias("dup_mass"),
+        )
+    )
+
+
 def _tokenized(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     toks = F.split(F.lower(F.col(text_col)), " ")
     return docs.select("doc_id", toks.alias("_toks")).filter(F.size("_toks") >= n)

@@ -581,25 +581,14 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ANY corpus sample, duplicated or not (VERDICT r4 item 2: the
     old dup-groups-only shape matched its oracle on 0 rows at
     sf0.01). Same 32-byte-digest shuffle discipline as q_dedup_exact;
-    the normalization is a pure JVM regexp in the scan projection."""
-    docs = tbl(spark, sf_dir, "documents")
-    nhash = F.sha2(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    the normalization is a pure JVM regexp in the scan projection.
+    Planted-duplicate behavior is pinned operator-side
+    (tests/test_llm_pipeline.py::test_normalized_dedup_counters)."""
+    from mapreduceframework_cpp_spark.operators.dedup import (
+        normalized_dedup_report,
     )
-    return (
-        docs.select(
-            "lang",
-            nhash.alias("nhash"),
-            F.sha2("text", 256).alias("rhash"),
-        )
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("raw_docs"),
-            F.countDistinct("rhash").alias("distinct_raw"),
-            F.countDistinct("nhash").alias("distinct_normalized"),
-            (F.count("*") - F.countDistinct("nhash")).alias("dup_mass"),
-        )
-    )
+
+    return normalized_dedup_report(tbl(spark, sf_dir, "documents"))
 
 
 @query(

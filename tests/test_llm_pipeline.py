@@ -356,3 +356,45 @@ def test_stratified_sample_rates(spark, sf_dir):
         # Bernoulli(0.5) over totals[lang] rows: allow 4 sigma
         mean, sigma = 0.5 * totals[lang], (0.25 * totals[lang]) ** 0.5
         assert abs(n - mean) <= 4 * sigma + 1, (lang, n, totals[lang])
+
+
+def test_normalized_dedup_counters(spark):
+    """The sf0.01 corpus has NO normalized duplicates (the round-4
+    finding that made the old dup-groups shape vacuous), so the
+    normalization path is proven on planted variants instead:
+    case/whitespace re-encodings collapse under the normalized hash but
+    not the raw hash, exact copies collapse under both, and the
+    counters decompose accordingly."""
+    from mapreduceframework_cpp_spark.operators.dedup import (
+        normalized_dedup_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # en: 2 raw-distinct variants of one normalized text + 1 other
+            (1, "Hello  World", "en"),
+            (2, "hello world ", "en"),
+            (3, "something else", "en"),
+            # de: exact copies (collapse under BOTH hashes)
+            (4, "gleicher text", "de"),
+            (5, "gleicher text", "de"),
+            # fr: no duplicates at all
+            (6, "texte unique", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.lang: r for r in normalized_dedup_report(docs).collect()}
+    en, de, fr = rows["en"], rows["de"], rows["fr"]
+    # en: raw sha256 sees 3 distinct, normalization merges 1+2
+    assert (en.raw_docs, en.distinct_raw, en.distinct_normalized,
+            en.dup_mass) == (3, 3, 2, 1)
+    # de: exact copies — raw dedup would already catch them
+    assert (de.raw_docs, de.distinct_raw, de.distinct_normalized,
+            de.dup_mass) == (2, 1, 1, 1)
+    # fr: nothing collapses
+    assert (fr.raw_docs, fr.distinct_raw, fr.distinct_normalized,
+            fr.dup_mass) == (1, 1, 1, 0)
+    # counter algebra that must hold for any input
+    for r in rows.values():
+        assert r.dup_mass == r.raw_docs - r.distinct_normalized
+        assert r.distinct_normalized <= r.distinct_raw <= r.raw_docs

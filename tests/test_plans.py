@@ -463,3 +463,19 @@ def test_geo_nearest_hub_partial_min(spark, sf_dir):
     partial-aggregate map-side before the custkey exchange."""
     p = plan(_Q["q_geo_nearest_hub"](spark, sf_dir))
     assert "partial_min" in p, p
+
+
+def test_rolling_dau_is_hash_join_after_explode(spark, sf_dir):
+    """The r5 retune's contract: rolling-DAU pre-aggregates events to
+    (day, user) pairs, EXPLODES each pair into its <=7 window days, and
+    filters against the day spine with a broadcast HASH join. The plan
+    must never fall back to the nested-loop range join the original
+    broadcast range predicate lowered to (a per-event scan of every
+    spine day), and the pre-aggregation must partial-aggregate
+    map-side before the pair exchange."""
+    p = plan(_Q["q_rolling_dau"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "Generate" in p and "explode" in p, p  # the fan-out is a projection
+    assert "partial_count" in p, p  # map-side combine before the pair shuffle
