@@ -1030,16 +1030,19 @@ def q_mix_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedule is bit-deterministic — deterministic enough that the
     oracle restates all four scalings as chained CTEs. Per step: one
     marginal partial-agg shuffle + a broadcast factor join; weights
-    never leave the executors. Each step ends in localCheckpoint —
-    ``cur`` feeds three consumers per step (marginal, total, join), so
-    without lineage truncation the upstream plan re-derives 3× per
-    step, compounding over the 4 steps (measured 2.9 s → 0.97 s at
-    sf0.1) — the same per-round discipline as operators/graph.py."""
+    never leave the executors. Every OTHER step ends in localCheckpoint
+    — ``cur`` feeds three consumers per step (marginal, total, join),
+    so without lineage truncation the upstream plan re-derives 3× per
+    step, compounding over the 4 steps (measured ~3× wall at sf0.1);
+    truncating on alternate steps bounds the re-derivation to one
+    2-step chain while halving the eager materializations — the same
+    cadence as operators/graph.py (checkpointed frames are released by
+    GC, so fewer of them is also less executor-storage linger)."""
     docs = tbl(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", F.lit(10**9).cast("long").alias("w")
     )
     cur = docs
-    for dim in ("lang", "source", "lang", "source"):
+    for step, dim in enumerate(("lang", "source", "lang", "source")):
         m = cur.groupBy(dim).agg(F.sum("w").alias("mw"))
         t = cur.agg(F.sum("w").alias("tw")).crossJoin(
             F.broadcast(m.agg(F.count(F.lit(1)).alias("nd")))
@@ -1063,7 +1066,8 @@ def q_mix_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("w"),
             )
         )
-        cur = cur.localCheckpoint()
+        if step % 2 == 1:
+            cur = cur.localCheckpoint()
     return cur.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("w").cast("long").alias("weight_q"),

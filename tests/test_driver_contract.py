@@ -46,6 +46,7 @@ def test_registration_follows_verify_rotation():
     prior round. The green fold is imported from
     tools/next_rotation.py::green_set (ADVICE r4: a local copy of the
     fold silently diverged from the CLI's policy)."""
+    import os
     import sys
 
     from mapreduceframework_cpp_spark.queries import (
@@ -54,7 +55,9 @@ def test_registration_follows_verify_rotation():
     )
     from mapreduceframework_cpp_spark.registry import all_oracles
 
-    sys.path.insert(0, ".")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     from tools.next_rotation import green_set
 
     registered = list(_QUERIES)
@@ -66,7 +69,10 @@ def test_registration_follows_verify_rotation():
     oracles = set(all_oracles())
     # frozen artifacts, never change after their round lands
     green = green_set(
-        [f"CORRECTNESS_{r}.json" for r in ("r01", "r02", "r03", "r04")],
+        [
+            os.path.join(repo_root, f"CORRECTNESS_{r}.json")
+            for r in ("r01", "r02", "r03", "r04")
+        ],
         oracles,
     )
     assert not green & set(VERIFY_ROTATION), (
