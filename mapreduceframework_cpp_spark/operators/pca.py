@@ -133,11 +133,14 @@ def power_iteration_top_component(
                 F.transform("av", lambda t: t / F.col("nrm")).alias("v")
             )
         )
-        # truncate lineage every other round (same rationale as
-        # operators/graph.py): a 2-round chain plans trivially and
-        # halving the eager 1-row materializations halves the
-        # job-scheduling overhead that dominates at small widths
-        if it % 2 == 1 or it == max_iter - 1:
+        # truncate lineage every THIRD round (same rationale as
+        # operators/graph.py, cadence re-tuned r5): the per-round work
+        # is tiny, so eager 1-row materializations are the dominant
+        # cost — a 3-round chain still plans trivially, and cadence 3
+        # beat 2/4/6 in an A/B at sf0.1 (3.7 s vs 4.4/4.0/4.2; values
+        # bit-identical at every cadence since checkpoints only cut
+        # lineage)
+        if it % 3 == 2 or it == max_iter - 1:
             v = v.localCheckpoint()
 
     # Rayleigh quotient λ = Σ ⟨x, v⟩² / (n − 1), 1e-9-grid exact
