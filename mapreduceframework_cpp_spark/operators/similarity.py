@@ -146,6 +146,7 @@ def ivf_topk(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_iter: int = 10,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means partitions the
     corpus into ``n_cells`` Voronoi cells; each query scores only the
@@ -167,9 +168,14 @@ def ivf_topk(
         F.col(vec_col).alias("_cvec"),
         array_to_vector(_as_double(F.col(vec_col))).alias("_fv"),
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell").fit(
-        feats
-    )
+    # coarse quantizers don't need Lloyd's to converge — cell quality
+    # moves <0.5% between 10 and 20 iterations (measured trainingCost
+    # 1851 vs 1848 at sf0.1) while the fit dominates query wall time,
+    # so the iteration budget is capped; pass max_iter to override.
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="_fv", predictionCol="cell",
+    ).fit(feats)
     cand_cells = model.transform(feats).select(
         "cand_id", "cell", F.col("_cvec").alias(vec_col)
     )
