@@ -130,9 +130,13 @@ def learn_bpe_merges(
                 F.col("cnt").alias("pair_count"),
             )
         )
-        state = _merge_pair(
-            state.crossJoin(F.broadcast(top))
-        ).localCheckpoint()
+        # the final round's merged state has no consumer — the output
+        # is only the merge table — so skip its fold + materialization
+        # (one full corpus pass saved per call)
+        if rnd < n_merges:
+            state = _merge_pair(
+                state.crossJoin(F.broadcast(top))
+            ).localCheckpoint()
     # the merge table assembles as a union of the per-round 1-row
     # frames — nothing is ever materialized on the driver
     return reduce(lambda a, b: a.unionAll(b), tops)
