@@ -479,3 +479,16 @@ def test_rolling_dau_is_hash_join_after_explode(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     assert "Generate" in p and "explode" in p, p  # the fan-out is a projection
     assert "partial_count" in p, p  # map-side combine before the pair shuffle
+
+
+def test_knn_edge_build_spreads_on_group_key(spark, sf_dir):
+    """The r5 widening contract for the shared mutual-kNN edge build:
+    the lineitem scan is hash-repartitioned on the group key
+    (REPARTITION_BY_NUM on l_partkey) BEFORE the supplier-set
+    aggregate, so the CPU-bound aggregate + pair-explode chain runs at
+    full parallelism instead of AQE's byte-coalesced 2-3 tasks — and
+    the group-by reuses that partitioning rather than exchanging
+    again."""
+    p = plan(_Q["q_graph_triangles"](spark, sf_dir))
+    assert "REPARTITION_BY_NUM" in p, p
+    assert "hashpartitioning(l_partkey" in p, p
