@@ -72,13 +72,23 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    from mapreduceframework_cpp_spark.operators.common import (
+        persist_tracked,
+        spread,
+    )
+
+    # spread on the group key BEFORE the collect_set (r5 width lesson,
+    # same as the mutual-kNN build): the persisted brand-set frame
+    # inherits this width, so the downstream pair explode runs
+    # full-parallel instead of on AQE's byte-coalesced 2-3 tasks; the
+    # group-by reuses the partitioning (no extra shuffle). 1.6→1.3 s
+    # warm at sf0.1, identical rows.
     ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        spread(li.join(F.broadcast(p), li.l_partkey == p.p_partkey),
+               "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )
-    from mapreduceframework_cpp_spark.operators.common import persist_tracked
-
     # the brand-set frame feeds three consumers (total, pairs,
     # marginals) — persist once, released by release_persisted()
     ob = persist_tracked(ob)
