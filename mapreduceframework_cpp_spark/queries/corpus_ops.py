@@ -664,8 +664,11 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexes + trim run map-only, fused into the scan; the md5 of the
     cleaned text proves the rewrite byte-identical across engines
     (same regex subset: no lookaround, ASCII classes only). Kernel:
-    R3 row map."""
-    aug = tbl(spark, sf_dir, "documents").select(
+    R3 row map — regex-heavy per row, so the byte-narrow scan spreads
+    to full width first (r5 width lesson)."""
+    from mapreduceframework_cpp_spark.operators.common import spread
+
+    aug = spread(tbl(spark, sf_dir, "documents")).select(
         "doc_id", _markup_col().alias("t")
     )
     clean = F.trim(
@@ -717,8 +720,13 @@ def q_text_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside each row during the scan. The oracle deliberately takes the
     other formulation — explode WITH ORDINALITY + lag window +
     order-preserving string_agg — so the hash match cross-checks two
-    independent algorithms, not one transliteration."""
-    docs = tbl(spark, sf_dir, "documents")
+    independent algorithms, not one transliteration. The array lambda
+    re-indexes the split per element (quadratic-ish per row), so the
+    byte-narrow scan spreads to full width first (r5 width lesson;
+    1.33 s → 0.27 s at sf0.1)."""
+    from mapreduceframework_cpp_spark.operators.common import spread
+
+    docs = spread(tbl(spark, sf_dir, "documents"))
     t = F.split(F.col("text"), " ")
     kept = F.expr("filter(split(text, ' '), (x, i) -> i = 0 OR x != split(text, ' ')[i - 1])")
     return docs.select(

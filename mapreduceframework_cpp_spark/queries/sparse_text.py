@@ -20,7 +20,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from mapreduceframework_cpp_spark.operators.common import persist_tracked
+from mapreduceframework_cpp_spark.operators.common import (
+    persist_tracked,
+    spread,
+)
 from mapreduceframework_cpp_spark.registry import query
 from mapreduceframework_cpp_spark.sources.tables import tbl
 
@@ -342,8 +345,15 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy-paste loops. Float discipline: each c·log2(c) term is computed
     identically in both engines then quantized onto a 1e-9 grid as a
     BIGINT before the cross-row sum (exact, order-independent); the
-    final entropy is two double ops on exact integers."""
-    docs = tbl(spark, sf_dir, "documents")
+    final entropy is two double ops on exact integers.
+
+    The token explode + per-(doc, token) count is compute-bound on a
+    byte-narrow scan, so the input is spread to full width first (r5
+    width lesson; 0.70 s → 0.45 s at sf0.1). The sibling lexical stats
+    (zipf/hapax/JS/log-odds) measured FASTER narrow — their per-row
+    work is too light to pay for the extra exchange — so only this one
+    spreads."""
+    docs = spread(tbl(spark, sf_dir, "documents"))
     tc = (
         docs.select(
             "doc_id",
@@ -693,10 +703,12 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-deterministic. Stopword segmentation survives consecutive
     stopwords by space-doubling before the boundary regex (a
     single-pass regexp_replace cannot re-match inside its own
-    replacement). Shapes: all segmentation is map-side string work
-    fused into the scan; two (doc, word) partial-agg shuffles and one
-    per-doc top-1 window over phrases."""
-    docs = tbl(spark, sf_dir, "documents")
+    replacement). Shapes: all segmentation is map-side string work —
+    heavy regex per row, so the byte-narrow scan is spread to full
+    width first (r5 width lesson; 2.4 s → 0.7 s at sf0.1) — then two
+    (doc, word) partial-agg shuffles and one per-doc top-1 window
+    over phrases."""
+    docs = spread(tbl(spark, sf_dir, "documents"))
     pad = F.concat(
         F.lit("  "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit("  ")
     )
