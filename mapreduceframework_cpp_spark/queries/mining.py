@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from mapreduceframework_cpp_spark.operators.common import spread
 from mapreduceframework_cpp_spark.registry import query
 from mapreduceframework_cpp_spark.sources.tables import tbl
 
@@ -269,8 +270,13 @@ def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs as JVM higher-order functions over the array column; each
     element quantizes to a 1e-6 integer grid first, so the per-lane
     accumulator is exact int64 (order-independent, engine-identical)
-    and only the final value divides back to double."""
-    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    and only the final value divides back to double. Shuffle-free
+    except the ONE spread exchange up front (r5 width lesson): the
+    rows×lanes×dims fold is compute-bound on a byte-narrow scan
+    (0.76 s → 0.25 s at sf0.1)."""
+    emb = spread(
+        tbl(spark, sf_dir, "embeddings"), "vec_id"
+    ).select("vec_id", "embedding")
     lanes = emb.select(
         "vec_id",
         "embedding",
@@ -449,8 +455,11 @@ def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, and each vector's silhouette quantizes to the 1e-9 grid
     before the per-label mean (exact int64 sum, no double
     accumulation). Shapes: one posexplode shuffle, tiny centroid stats
-    broadcast onto a per-(vec, candidate-label) aggregate."""
-    emb = tbl(spark, sf_dir, "embeddings")
+    broadcast onto a per-(vec, candidate-label) aggregate. The
+    rows×dims posexplode is compute-bound on a byte-narrow scan, so
+    the input spreads to full width first (r5 width lesson; 2.3 s →
+    1.3 s at sf0.1)."""
+    emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
     ).select(
