@@ -391,10 +391,18 @@ def test_rolling_dau_spine_broadcasts(spark, sf_dir):
 
 
 def test_random_projection_is_shuffle_free_map(spark, sf_dir):
-    """JL projection is a pure map over the scan: no Exchange at all
-    before the (explode, transform, aggregate) projection."""
+    """JL projection is a pure map over the scan — EXCEPT the one
+    deliberate spread exchange added in r5 (the rows×lanes×dims fold is
+    compute-bound on a byte-narrow scan; see operators/common.spread).
+    Contract: exactly one Exchange, and it is the explicit
+    REPARTITION_BY_NUM — no planner-required (ENSURE_REQUIREMENTS)
+    shuffle appears anywhere."""
     p = plan(_Q["q_emb_random_projection"](spark, sf_dir))
-    assert "Exchange" not in p, p
+    # formatted mode renders each node twice (tree + detail), so one
+    # physical Exchange == two string hits
+    assert p.count("Exchange") == 2, p
+    assert "REPARTITION_BY_NUM" in p, p
+    assert "ENSURE_REQUIREMENTS" not in p, p
 
 
 def test_skyline_broadcasts_frontier(spark, sf_dir):
