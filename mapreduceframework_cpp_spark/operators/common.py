@@ -12,11 +12,22 @@ def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     File-size-based input splitting provisions partitions by bytes; for
     compute-bound stages the cost is per-row, so a small file arriving as
     one task serializes the whole stage — locally AND on a cluster
-    whenever byte-based splitting under-provisions. One extra shuffle of
-    the narrow input buys full-width execution of everything downstream.
+    whenever byte-based splitting under-provisions (the test parquet is
+    the extreme case: single-row-group files, so at most ONE real reader
+    per file no matter how byte ranges split). One extra shuffle of the
+    narrow input buys full-width execution of everything downstream.
     Hash-partitioning by ``key`` keeps later group-bys on the same key
-    co-located."""
+    co-located.
+
+    GUARDED for scale (r5): when the input already has >= the session's
+    default parallelism — the normal case for a big scan on a real
+    cluster — this is a NO-OP, because repartitioning down to
+    defaultParallelism would otherwise COALESCE a wide scan through a
+    full shuffle of every byte. The width check is plan-time only
+    (no job runs)."""
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism, key)
 
 
