@@ -267,3 +267,21 @@ def test_prefix_filter_candidate_count_bounded(spark):
         f"{n_cand} candidates for {n_docs} docs: per-doc candidate "
         "fan-out regressed"
     )
+
+
+def test_spread_noop_on_wide_input(spark, sf_dir):
+    """spread() must fan out a narrow scan but be a NO-OP on input
+    already at or above the session's parallelism — on a cluster an
+    unconditional repartition would coalesce a wide scan through a
+    full shuffle (r5 guard)."""
+    from mapreduceframework_cpp_spark.operators.common import spread
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = tbl(spark, sf_dir, "documents")
+    assert narrow.rdd.getNumPartitions() < par  # single-row-group file
+    assert spread(narrow).rdd.getNumPartitions() == par
+
+    wide = narrow.repartition(par * 2, "doc_id")
+    out = spread(wide)
+    assert out is wide  # untouched: no extra exchange appended
