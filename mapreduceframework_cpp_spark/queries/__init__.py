@@ -46,20 +46,12 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     evaluation,
 )
 
-#: round-5 verification window (50 slots). Cumulative driver signal
-#: after round 4: 177 hash-green + 18 rows-only clean of 296 → 101
-#: queries still lack any driver row (`python tools/next_rotation.py`
-#: recomputes this from CORRECTNESS_r0{1..4}.json). Round 5 continues
-#: the pure-verification schedule: registration is frozen at 296, all
-#: 50 slots go to previously-untested queries, in backlog order
-#: (VERDICT r4 §Next-round item 1): the Spark-4 SQL-surface queries
-#: first (recursive CTE, collation, stateful streaming), then the
-#: Arrow/cogroup UDF surface, the remaining dedup/similarity paths
-#: (q_dedup_normalized reshaped this round so its sf0.01 slot is
-#: non-vacuous — per-language dedup counters instead of dup groups
-#: only), corpus tooling, and the behavior.py + curation.py families.
-#: (tests/test_driver_contract.py asserts registration follows this.)
-VERIFY_ROTATION = [
+#: round-5 verification window (kept for the audit trail; see
+#: ROUND6_ROTATION below for the live window). All 50 slots came back
+#: hash-green in CORRECTNESS_r05.json — cumulative driver signal after
+#: round 5: 227 hash-green + 18 rows-only clean of 296 → exactly the
+#: 51 ROUND6_ROTATION names still lack a driver row.
+ROUND5_ROTATION = [
         # -- Spark-4 SQL surface + streaming state -----------------------
         "q_recursive_cte", "q_sql4_surfaces", "q_str_collation",
         "q_stream_stateful", "q_stream_attrib_coverage",
@@ -88,16 +80,17 @@ VERIFY_ROTATION = [
         "q_feat_churn_labels", "q_emb_zscore_outliers", "q_feat_impute",
 ]
 
-#: round-6 window, committed now so round 6 is mechanical (VERDICT r4
-#: item 4): exactly the 51 queries left unproven after the round-5
-#: window above — warehouse.py time-series ops, sparse_text.py lexical
+#: round-6 verification window (LIVE — the verifier reads the first ~50
+#: registered queries). Round 5 came back 50/50 green, so this list
+#: ships verbatim as committed in round 4: exactly the 51 queries left
+#: unproven — warehouse.py time-series ops, sparse_text.py lexical
 #: stats, SQL gateway scripting, profiling graph ops, mining.py,
-#: retrieval.py, robust_stats.py, geospatial.py. If any round-5 slot
-#: comes back red, its query is re-queued at the head of this list;
-#: otherwise it ships verbatim (51 > 50 slots: the final name,
-#: q_geo_grid_clusters, spills to a round-7 re-confirm window).
-#: tests/test_driver_contract.py pins VERIFY_ROTATION + ROUND6_ROTATION
-#: == the full unproven backlog, no overlap.
+#: retrieval.py, robust_stats.py, geospatial.py. 51 > 50 slots: the
+#: final name, q_geo_grid_clusters, spills to a round-7 re-confirm
+#: window. tests/test_driver_contract.py pins ROUND5_ROTATION +
+#: ROUND6_ROTATION == the full unproven-after-r4 backlog, no overlap,
+#: and that the live window holds only queries with no green row in
+#: CORRECTNESS_r0{1..5}.json.
 ROUND6_ROTATION = [
         "q_mix_raking", "q_ts_holt", "q_zorder_profile",
         "q_ts_rolling_corr", "q_incr_join_view", "q_ts_acf",
@@ -118,4 +111,8 @@ ROUND6_ROTATION = [
         "q_geo_radius_join", "q_geo_grid_clusters",
 ]
 
-registry.reorder(VERIFY_ROTATION)
+#: Alias kept so callers/tests address "the live window" uniformly
+#: across rounds.
+VERIFY_ROTATION = ROUND6_ROTATION
+
+registry.reorder(ROUND6_ROTATION)

@@ -40,16 +40,16 @@ def test_output_columns_are_atomic(name, spark, sf_dir):
 def test_registration_follows_verify_rotation():
     """The verifier checks the first ~50 registered queries per round;
     queries/__init__.py declares the rotation explicitly. Guard that
-    registration actually honors it, that the window is exactly the
-    driver's 50 slots, and — round 5 being a verification round — that
-    every slot is spent on a query with NO green driver row in any
-    prior round. The green fold is imported from
-    tools/next_rotation.py::green_set (ADVICE r4: a local copy of the
-    fold silently diverged from the CLI's policy)."""
+    registration actually honors it, that the live round-6 window leads
+    with the driver's 50 slots, and that every slot is spent on a query
+    with NO green driver row in any prior round (r01-r05). The green
+    fold is imported from tools/next_rotation.py::green_set (ADVICE r4:
+    a local copy of the fold silently diverged from the CLI's policy)."""
     import os
     import sys
 
     from mapreduceframework_cpp_spark.queries import (
+        ROUND5_ROTATION,
         ROUND6_ROTATION,
         VERIFY_ROTATION,
     )
@@ -61,31 +61,35 @@ def test_registration_follows_verify_rotation():
     from tools.next_rotation import green_set
 
     registered = list(_QUERIES)
-    assert registered[: len(VERIFY_ROTATION)] == VERIFY_ROTATION
-    assert len(VERIFY_ROTATION) == 50  # exactly the driver's window
-    # window entries are unique and the window is full
-    assert len(set(VERIFY_ROTATION)) == len(VERIFY_ROTATION)
+    assert VERIFY_ROTATION is ROUND6_ROTATION  # the live window alias
+    assert registered[: len(ROUND6_ROTATION)] == ROUND6_ROTATION
+    # 51 committed names; the driver's 50-slot window takes the first
+    # 50 and the last (q_geo_grid_clusters) spills to round 7.
+    assert len(ROUND6_ROTATION) == 51
+    assert ROUND6_ROTATION[-1] == "q_geo_grid_clusters"
+    # window entries are unique
+    assert len(set(ROUND6_ROTATION)) == len(ROUND6_ROTATION)
 
     oracles = set(all_oracles())
     # frozen artifacts, never change after their round lands
     green = green_set(
         [
             os.path.join(repo_root, f"CORRECTNESS_{r}.json")
-            for r in ("r01", "r02", "r03", "r04")
+            for r in ("r01", "r02", "r03", "r04", "r05")
         ],
         oracles,
     )
-    assert not green & set(VERIFY_ROTATION), (
-        "round-5 window must only hold previously-unproven queries; "
-        f"already green: {sorted(green & set(VERIFY_ROTATION))}"
+    assert not green & set(ROUND6_ROTATION), (
+        "round-6 window must only hold previously-unproven queries; "
+        f"already green: {sorted(green & set(ROUND6_ROTATION))}"
     )
-    # the committed round-6 plan: rounds 5+6 together drain the backlog
-    # exactly — every registered query is either driver-green already or
-    # scheduled in one of the two windows, with no overlap.
-    assert not set(VERIFY_ROTATION) & set(ROUND6_ROTATION)
-    assert len(set(ROUND6_ROTATION)) == len(ROUND6_ROTATION)
+    # round 5 came back 50/50 green, so the committed two-window drain
+    # plan held: the r6 window is EXACTLY the remaining backlog — every
+    # registered query is either driver-green already or in this window.
+    assert not set(ROUND5_ROTATION) & set(ROUND6_ROTATION)
+    assert set(ROUND5_ROTATION) <= green
     unproven = [q for q in registered if q not in green]
-    assert sorted(unproven) == sorted(VERIFY_ROTATION + ROUND6_ROTATION)
+    assert sorted(unproven) == sorted(ROUND6_ROTATION)
 
 
 def test_readme_counts_match_registry():
