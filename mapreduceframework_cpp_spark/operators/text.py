@@ -79,18 +79,26 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # quality = least(n_toks/100,1)·0.5 + alpha/total·0.3
     #           + least(n_stop/n_toks·5,1)·0.2  as one exact rational
     # num/den with den = 200·total·n_toks — the common factor 5 is
-    # divided out (ADVICE r4). int64 bound: the r6 grid computes
-    # qnum·2e6 ≈ 4e8·total·n_toks, which must stay < 2^63, i.e.
-    # total·n_toks < ~2.3e10 — a ≈370 KB doc at ~6 chars/token (both
-    # engines raise loudly past it: Spark-4 ANSI overflow, DuckDB
-    # int64 overflow — no silent divergence).
+    # divided out (ADVICE r4). The combined score multiplies two
+    # document-sized counts, so its grid runs on DECIMAL(38,0) (Spark)
+    # / HUGEINT (the DuckDB oracle): int64 would overflow once
+    # total·n_toks > ~2.3e10, i.e. a ≈370 KB doc at ~6 chars/token —
+    # real 100 TB corpora contain such documents (VERDICT r5). On the
+    # decimal grid qnum·2e6 ≤ 4e8·total·n_toks < 1e38 needs
+    # total·n_toks < ~2.5e29, unreachable for int32-length strings, and
+    # `div` on decimals still returns exact BIGINT in Spark. The three
+    # single-ratio outputs keep the cheap int64 grid (num ≤ total <
+    # 2^31, so num·2e6 < 2^53).
+    tot = F.col("_total").cast("decimal(38,0)")
+    ntk = F.col("_ntoks").cast("decimal(38,0)")
     g = base.withColumn(
         "_qnum",
-        F.least(F.col("_ntoks"), F.lit(100).cast("long"))
-        * F.col("_total") * F.col("_ntoks")
-        + 60 * F.col("_alpha") * F.col("_ntoks")
-        + 40 * F.least(5 * F.col("_nstop"), F.col("_ntoks")) * F.col("_total"),
-    ).withColumn("_qden", 200 * F.col("_total") * F.col("_ntoks"))
+        F.least(F.col("_ntoks"), F.lit(100).cast("long")).cast("decimal(38,0)")
+        * tot * ntk
+        + 60 * F.col("_alpha").cast("decimal(38,0)") * ntk
+        + 40 * F.least(5 * F.col("_nstop"), F.col("_ntoks")).cast("decimal(38,0)")
+        * tot,
+    ).withColumn("_qden", 200 * tot * ntk)
     r6 = "((({n}) * 2000000 + ({d})) div (2 * ({d}))) / 1000000.0"
     return g.select(
         "doc_id",

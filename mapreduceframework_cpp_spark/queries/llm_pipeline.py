@@ -326,20 +326,24 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 1000000.0 AS stopword_ratio,
            ((alpha * 2000000 + total) // (2 * total))
              / 1000000.0 AS alpha_ratio,
-           (((least(n_toks, 100) * total * n_toks
-              + 60 * alpha * n_toks
-              + 40 * least(5 * n_stop, n_toks) * total) * 2000000
-             + 200 * total * n_toks)
-            // (2 * 200 * total * n_toks)) / 1000000.0 AS quality_score
+           (((least(n_toks, 100) * CAST(total AS HUGEINT) * n_toks
+              + 60 * CAST(alpha AS HUGEINT) * n_toks
+              + 40 * least(5 * n_stop, n_toks) * CAST(total AS HUGEINT))
+               * 2000000
+             + 200 * CAST(total AS HUGEINT) * n_toks)
+            // (2 * 200 * CAST(total AS HUGEINT) * n_toks))
+             / 1000000.0 AS quality_score
     FROM c
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality features + combined score, all JVM-side; every
-    6dp output is integer-grid round-half-up (exact BIGINT num/den, one
-    final /1e6 — see operators/text.py::quality_scores) so Spark and the
-    oracle agree bit-for-bit at any scale, including the round()-boundary
-    row the sf0.1 sweep caught."""
+    6dp output is integer-grid round-half-up (exact num/den — BIGINT for
+    the single ratios, DECIMAL(38,0)/HUGEINT for the combined score so
+    multi-hundred-KB documents can't overflow int64 — one final /1e6,
+    see operators/text.py::quality_scores) so Spark and the oracle agree
+    bit-for-bit at any scale, including the round()-boundary row the
+    sf0.1 sweep caught."""
     return quality_scores(tbl(spark, sf_dir, "documents"))
 
 
