@@ -2,7 +2,30 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+#: logical-plan nodes that compile to (or are fed by) an exchange. Used
+#: to keep spread()'s width probe off plans whose upstream stages AQE
+#: would eagerly materialize on ``df.rdd`` (ADVICE r5). Conservative by
+#: design: a false positive only means spread() no-ops, which is the
+#: safe direction at scale.
+_EXCHANGE_NODES = re.compile(
+    r"^[\s+:\-]*(Join|Aggregate|Distinct|Deduplicate|Repartition|"
+    r"RepartitionByExpression|RebalancePartitions|Window|Sort|"
+    r"GlobalLimit|Intersect|Except|CoGroup|FlatMapGroups|MapGroups)\b",
+    re.MULTILINE,
+)
+
+
+def _exchange_bearing(df: DataFrame) -> bool:
+    """True if the ANALYZED logical plan contains an exchange-introducing
+    node. Pure plan inspection — analysis never runs a job (unlike
+    ``df.rdd``, which under AQE materializes every upstream query stage
+    the moment the plan holds an exchange)."""
+    plan = df._jdf.queryExecution().analyzed().treeString()
+    return bool(_EXCHANGE_NODES.search(plan))
 
 
 def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -16,15 +39,26 @@ def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     the extreme case: single-row-group files, so at most ONE real reader
     per file no matter how byte ranges split). One extra shuffle of the
     narrow input buys full-width execution of everything downstream.
-    Hash-partitioning by ``key`` keeps later group-bys on the same key
-    co-located.
+    On the narrow path the repartition hash-partitions by ``key``, so a
+    later group-by on the same key reuses the exchange; on either no-op
+    path below that co-location is BEST-EFFORT only and the group-by
+    exchanges normally.
 
     GUARDED for scale (r5): when the input already has >= the session's
     default parallelism — the normal case for a big scan on a real
     cluster — this is a NO-OP, because repartitioning down to
     defaultParallelism would otherwise COALESCE a wide scan through a
-    full shuffle of every byte. The width check is plan-time only
-    (no job runs)."""
+    full shuffle of every byte.
+
+    Apply this to SCAN PROJECTIONS. For exchange-bearing inputs
+    (joins/aggregates/…) spread() is a NO-OP (r6, ADVICE r5): their
+    width is already governed by shuffle.partitions / AQE rather than
+    byte-based scan splitting, so there is nothing to fix — and probing
+    ``df.rdd`` there would eagerly materialize every upstream query
+    stage under AQE at DataFrame-construction time. On exchange-free
+    plans the width probe compiles the plan but runs no job."""
+    if _exchange_bearing(df):
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df

@@ -25,7 +25,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from mapreduceframework_cpp_spark.operators.common import spread
+from mapreduceframework_cpp_spark.operators.common import (
+    persist_tracked,
+    spread,
+)
 from mapreduceframework_cpp_spark.registry import query
 from mapreduceframework_cpp_spark.sources.tables import tbl
 
@@ -73,20 +76,22 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    from mapreduceframework_cpp_spark.operators.common import (
-        persist_tracked,
-        spread,
-    )
 
-    # spread on the group key BEFORE the collect_set (r5 width lesson,
-    # same as the mutual-kNN build): the persisted brand-set frame
-    # inherits this width, so the downstream pair explode runs
-    # full-parallel instead of on AQE's byte-coalesced 2-3 tasks; the
-    # group-by reuses the partitioning (no extra shuffle). 1.6→1.3 s
-    # warm at sf0.1, identical rows.
+    # spread the SCAN on the group key BEFORE the broadcast join + the
+    # collect_set (r5 width lesson, same as the mutual-kNN build): the
+    # broadcast join preserves the partitioning, so the persisted
+    # brand-set frame inherits full width and the downstream pair
+    # explode runs full-parallel instead of on AQE's byte-coalesced 2-3
+    # tasks, and on the narrow path the group-by reuses the l_orderkey
+    # partitioning (no extra shuffle; on a wide input spread() no-ops
+    # and the group-by exchanges normally). Spreading the scan rather
+    # than the join result also keeps spread()'s width probe off an
+    # exchange-bearing plan, which AQE would eagerly materialize at
+    # construction time (ADVICE r5). 1.6→1.3 s warm at sf0.1,
+    # identical rows.
     ob = (
-        spread(li.join(F.broadcast(p), li.l_partkey == p.p_partkey),
-               "l_orderkey")
+        spread(li, "l_orderkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )

@@ -339,8 +339,10 @@ def _mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate and the pair explode it feeds are CPU-bound on few
     # bytes, so AQE's byte-based coalescing runs them 2-3-wide on a
     # 32-core box; an explicit hash repartition on l_partkey keeps the
-    # whole chain full-width at NO extra shuffle — the group-by reuses
-    # the partitioning instead of exchanging again. Controlled A/B at
+    # whole chain full-width at NO extra shuffle — on the narrow path
+    # the group-by reuses the partitioning instead of exchanging again
+    # (on an already-wide input spread() no-ops and the group-by
+    # exchanges normally — best-effort co-location). Controlled A/B at
     # sf0.1, best-of-2 per consumer: bfs 7.4→4.5 s, labelprop
     # 6.4→3.3 s, triangles 4.6→2.4 s, degree_dist 4.6→3.3 s.
     sup_sets = (

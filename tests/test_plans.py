@@ -394,14 +394,13 @@ def test_random_projection_is_shuffle_free_map(spark, sf_dir):
     """JL projection is a pure map over the scan — EXCEPT the one
     deliberate spread exchange added in r5 (the rows×lanes×dims fold is
     compute-bound on a byte-narrow scan; see operators/common.spread).
-    Contract: exactly one Exchange, and it is the explicit
-    REPARTITION_BY_NUM — no planner-required (ENSURE_REQUIREMENTS)
-    shuffle appears anywhere."""
+    Contract: the one explicit REPARTITION_BY_NUM exchange is present
+    and no planner-required (ENSURE_REQUIREMENTS) shuffle appears
+    anywhere — structural markers, not plan-string render counts
+    (ADVICE r5: counting 'Exchange' substrings pinned the formatted
+    renderer, which prints each node twice)."""
     p = plan(_Q["q_emb_random_projection"](spark, sf_dir))
-    # formatted mode renders each node twice (tree + detail), so one
-    # physical Exchange == two string hits
-    assert p.count("Exchange") == 2, p
-    assert "REPARTITION_BY_NUM" in p, p
+    assert p.count("REPARTITION_BY_NUM") == 1, p
     assert "ENSURE_REQUIREMENTS" not in p, p
 
 

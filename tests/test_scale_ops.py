@@ -285,3 +285,35 @@ def test_spread_noop_on_wide_input(spark, sf_dir):
     wide = narrow.repartition(par * 2, "doc_id")
     out = spread(wide)
     assert out is wide  # untouched: no extra exchange appended
+
+
+def test_spread_noop_on_exchange_bearing_plans(spark, sf_dir):
+    """spread() must be an identity no-op when the input plan already
+    holds an exchange-introducing node (join/aggregate/repartition):
+    post-exchange width is governed by shuffle.partitions / AQE, not
+    byte-based scan splitting, and probing df.rdd on such a plan would
+    eagerly materialize every upstream query stage under AQE at
+    DataFrame-construction time (ADVICE r5). On exchange-free scans it
+    must still fan out."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.operators.common import (
+        _exchange_bearing,
+        spread,
+    )
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    assert not _exchange_bearing(docs)  # plain scan projection
+
+    langs = docs.select("lang").distinct()
+    joined = docs.join(F.broadcast(langs), "lang")
+    agged = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    for frame in (joined, agged):
+        assert _exchange_bearing(frame)
+        assert spread(frame) is frame  # identity: no probe, no exchange
+
+    # a downstream map over an exchange keeps the no-op (the exchange
+    # is anywhere in the lineage, not just the root)
+    mapped = joined.select("doc_id", F.length("lang").alias("n"))
+    assert spread(mapped) is mapped
