@@ -307,6 +307,65 @@ def test_multimodal_decode_deterministic(docs):
         assert len(digest) == 16
 
 
+def _tiny_png(width: int = 2, height: int = 3) -> bytes:
+    """Hand-assemble a minimal valid 8-bit RGB PNG (signature + IHDR +
+    IDAT + IEND) with stdlib zlib/struct only — no imaging dependency.
+    Pixel (x, y) = (10x, 10y, 7), arbitrary but fixed."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00"
+        + b"".join(bytes((10 * x, 10 * y, 7)) for x in range(width))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+    reason="PIL not installed in this container; real-decode path "
+    "exercised wherever it is (VERDICT r5 item 6)",
+)
+def test_decode_image_bytes_real_path_with_pil():
+    """When PIL is importable, _decode_image_bytes must take the REAL
+    decode path on a genuine image payload: a hand-built 2x3 RGB PNG
+    comes back as (2, 3, 3), not digest-derived fake dimensions."""
+    from mapreduceframework_cpp_spark.operators.multimodal import (
+        _decode_image_bytes,
+    )
+
+    assert _decode_image_bytes(_tiny_png(2, 3)) == (2, 3, 3)
+
+
+def test_decode_image_bytes_fallback_is_digest_deterministic():
+    """Non-image bytes (and any environment without PIL) must land on
+    the declared deterministic fallback: digest-derived dimensions,
+    stable across calls, within the documented ranges."""
+    from mapreduceframework_cpp_spark.operators.multimodal import (
+        _decode_image_bytes,
+    )
+
+    got = _decode_image_bytes(b"definitely not an image")
+    assert got == _decode_image_bytes(b"definitely not an image")
+    w, h, c = got
+    assert 16 <= w < 256 and 16 <= h < 256 and 1 <= c <= 4
+
+
 def test_multimodal_feature_shape(docs):
     feats = extract_features(attach_fake_media(docs.limit(10))).collect()
     assert len(feats) == 10
