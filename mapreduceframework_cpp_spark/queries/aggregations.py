@@ -208,7 +208,7 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_agg_approx_distinct")  # rows-only: HLL estimates differ per engine
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++). No SQL oracle — the estimate
-    is engine-specific; tests assert ±5% of the exact count instead."""
+    is engine-specific; tests assert ±2.5% of the exact count instead."""
     return tbl(spark, sf_dir, "lineitem").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
     )

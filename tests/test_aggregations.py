@@ -3,13 +3,17 @@ from __future__ import annotations
 from mapreduceframework_cpp_spark.registry import all_queries
 
 
-def test_approx_distinct_within_5pct(spark, oracle_sf_dir, duck):
+def test_approx_distinct_within_2_5pct(spark, oracle_sf_dir, duck):
+    """approx_count_distinct (HLL++) vs exact — tightened from 5% in
+    r6: measured relative error at sf0.01 is 0.95%, and the operator's
+    configured rsd is 0.02, so 2.5% keeps honest statistical margin
+    without hiding a mis-configured sketch."""
     approx = (
         all_queries()["q_agg_approx_distinct"](spark, oracle_sf_dir)
         .collect()[0]["approx_parts"]
     )
     exact = duck.execute("SELECT count(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
-    assert abs(approx - exact) / exact <= 0.05, (approx, exact)
+    assert abs(approx - exact) / exact <= 0.025, (approx, exact)
 
 
 def test_approx_quantile_within_1pct(spark, oracle_sf_dir, duck):
@@ -27,10 +31,12 @@ def test_approx_quantile_within_1pct(spark, oracle_sf_dir, duck):
     assert abs(row.p95 - exact[1]) / exact[1] <= 0.01, (row.p95, exact[1])
 
 
-def test_hll_rollup_within_5pct(spark, oracle_sf_dir, duck):
+def test_hll_rollup_within_2pct(spark, oracle_sf_dir, duck):
     """Daily HLL estimates AND the merged month estimate must land
-    within 5% of exact distinct users — the union must not degrade
-    accuracy (sketches merge losslessly)."""
+    within 2% of exact distinct users — the union must not degrade
+    accuracy (sketches merge losslessly). Tightened from 5% in r6:
+    every daily and the merged monthly estimate measured EXACT at
+    sf0.01; 2% keeps HLL-noise headroom at larger cardinalities."""
     from mapreduceframework_cpp_spark.registry import all_queries
 
     rows = all_queries()["q_agg_hll_rollup"](spark, oracle_sf_dir).collect()
@@ -45,17 +51,21 @@ def test_hll_rollup_within_5pct(spark, oracle_sf_dir, duck):
     ).fetchone()[0]
     month_rows = [r for r in rows if r.day is None]
     assert len(month_rows) == 1
-    assert abs(month_rows[0].approx_users - exact_month) / exact_month <= 0.05
+    assert abs(month_rows[0].approx_users - exact_month) / exact_month <= 0.02
     day_rows = [r for r in rows if r.day is not None]
     assert len(day_rows) == len(exact_day)
     for r in day_rows:
         exact = exact_day[r.day]
-        assert abs(r.approx_users - exact) / exact <= 0.05, (r.day, r.approx_users, exact)
+        assert abs(r.approx_users - exact) / exact <= 0.02, (r.day, r.approx_users, exact)
 
 
-def test_theta_sketch_set_algebra_within_5pct(spark, oracle_sf_dir, duck):
+def test_theta_sketch_set_algebra_within_1pct(spark, oracle_sf_dir, duck):
     """Theta-sketch audience overlap: every estimate (each side, the
-    intersection, the difference, the union) within 5% of exact."""
+    intersection, the difference, the union) within 1% of exact.
+    Tightened from 5% in r6: at sf0.01 the audience cardinalities sit
+    below the sketch's retention threshold, so every estimate measured
+    EXACT — 1% keeps headroom for a sketch-mode (sub-sampled) future
+    dataset while still catching any real estimator drift."""
     from mapreduceframework_cpp_spark.registry import all_queries
 
     (row,) = all_queries()["q_sketch_theta"](spark, oracle_sf_dir).collect()
@@ -81,11 +91,15 @@ def test_theta_sketch_set_algebra_within_5pct(spark, oracle_sf_dir, duck):
     )
     for k, exact in ex.items():
         got = row[k]
-        assert abs(got - exact) <= max(1, 0.05 * exact), (k, got, exact)
+        assert abs(got - exact) <= max(1, 0.01 * exact), (k, got, exact)
 
 
-def test_kll_quantiles_within_2pct(spark, oracle_sf_dir, duck):
-    """KLL sketch p50/p95 per priority within 2% of exact quantiles."""
+def test_kll_quantiles_within_1_5pct(spark, oracle_sf_dir, duck):
+    """KLL sketch p50/p95 per priority within 1.5% of exact quantiles
+    (tightened from 2% in r6). The estimate depends on sketch-merge
+    order, so it shifts with input partitioning: measured max relative
+    error at sf0.01 is 0.69% on an 8-partition session and 1.06% on
+    the 32-wide test session — 1.5% covers both with margin."""
     from mapreduceframework_cpp_spark.registry import all_queries
 
     rows = all_queries()["q_sketch_kll"](spark, oracle_sf_dir).collect()
@@ -103,5 +117,5 @@ def test_kll_quantiles_within_2pct(spark, oracle_sf_dir, duck):
     assert len(rows) == len(exact)
     for r in rows:
         e50, e95 = exact[r.o_orderpriority]
-        assert abs(r.p50 - e50) / e50 <= 0.02, (r.o_orderpriority, r.p50, e50)
-        assert abs(r.p95 - e95) / e95 <= 0.02, (r.o_orderpriority, r.p95, e95)
+        assert abs(r.p50 - e50) / e50 <= 0.015, (r.o_orderpriority, r.p50, e50)
+        assert abs(r.p95 - e95) / e95 <= 0.015, (r.o_orderpriority, r.p95, e95)

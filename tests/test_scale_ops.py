@@ -60,6 +60,18 @@ def test_ivf_topk_scores_correct_and_recalls(spark, sf_dir):
     for r in approx:
         assert exact_all[(r.query_id, r.cand_id)] == r.cos_sim
 
+    # partial-probe recall floor (r6: score-correctness alone would
+    # pass a sketch that returns almost nothing). Measured recall@5 at
+    # this config is 0.44 on both sf0.001 and sf0.01 (seeded KMeans —
+    # deterministic); 0.30 leaves margin for Spark ML initializer
+    # changes while still failing on any real probe-routing regression.
+    top5 = {
+        (r.query_id, r.cand_id) for r in cosine_topk(q, emb, k=5).collect()
+    }
+    hit = {(r.query_id, r.cand_id) for r in approx}
+    recall = len(top5 & hit) / len(top5)
+    assert recall >= 0.30, f"IVF recall@5 collapsed: {recall:.2f}"
+
     # full-probe IVF == exact top-k (same ranks, same scores)
     exact5 = {
         (r.query_id, r.cand_id, r.rank, r.cos_sim)
