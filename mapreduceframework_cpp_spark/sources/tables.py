@@ -92,6 +92,41 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet sink: one directory per partition
+    value, so downstream scans get partition pruning for free
+    (tests/test_layout.py proves the pruning)."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent-backfill sink: replace ONLY the partitions present in
+    ``df`` (dynamic partition overwrite), leaving every other partition
+    untouched. This is the write primitive an incremental 100 TB
+    pipeline re-runs a failed day with — a static ``overwrite`` would
+    wipe the whole dataset for one day's batch. Implemented with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` scoped to this
+    write (the session value is restored afterwards)."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 # --- additional source/sink formats -------------------------------------
 # The reference ingests only in-memory vectors (``MapReduceClient.h:46``);
 # a standalone engine needs the standard interchange formats too. All are

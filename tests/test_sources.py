@@ -154,3 +154,58 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     got = {r.id: r.score for r in df.collect()}
     assert got[1] is None and got[4] == 0.9
     assert df.filter(df.score.isNotNull()).count() == 2
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(
+    spark, sf_dir, tmp_path
+):
+    """overwrite_partitions must behave as an idempotent backfill:
+    re-writing ONE partition's batch replaces exactly that partition
+    and leaves the others byte-identical — a static overwrite here
+    would wipe the whole dataset for one day's re-run."""
+    from mapreduceframework_cpp_spark.sources.tables import (
+        overwrite_partitions,
+        write_parquet_partitioned,
+    )
+
+    base = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_by_status")
+    write_parquet_partitioned(base, path, ["o_orderstatus"])
+    statuses = [r[0] for r in base.select("o_orderstatus").distinct().collect()]
+    assert len(statuses) >= 2, "test needs at least two partitions"
+    target = sorted(statuses)[0]
+
+    # the backfill batch: only the target partition, with a marker value
+    batch = (
+        base.filter(F.col("o_orderstatus") == target)
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    overwrite_partitions(batch, path, ["o_orderstatus"])
+
+    back = spark.read.parquet(path)
+    # target partition fully replaced by the marker batch
+    got_t = back.filter(F.col("o_orderstatus") == target)
+    assert got_t.count() == batch.count()
+    assert got_t.filter(F.col("o_totalprice") != -1.0).count() == 0
+    # every other partition untouched, row-for-row (project in a fixed
+    # column order: the partition column reads back last)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    others = sorted(
+        tuple(r)
+        for r in back.filter(F.col("o_orderstatus") != target)
+        .select(*cols)
+        .collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in base.filter(F.col("o_orderstatus") != target).collect()
+    )
+    assert others == expect
+    # the scoped conf did not leak into the session
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        .upper()
+        == "STATIC"
+    )
