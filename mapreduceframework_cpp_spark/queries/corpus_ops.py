@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from mapreduceframework_cpp_spark.operators.common import spread
 from mapreduceframework_cpp_spark.operators.dedup import incremental_near_dups
 from mapreduceframework_cpp_spark.operators.multimodal import (
     attach_fake_media,
@@ -218,7 +219,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound = docs.agg(
         F.floor((F.max("doc_id") + 1) * 0.8).cast("long").alias("_bound")
     )
-    with_b = docs.crossJoin(F.broadcast(bound))
+    # spread the SCAN before the broadcast bound attaches: once the
+    # crossJoin is in the plan, the operator-level spread() inside
+    # incremental_near_dups no-ops (exchange-bearing input, r6 guard),
+    # so the compute-bound shingle/minhash stages would inherit the
+    # byte-narrow scan width (measured 1.7 → 2.9 s at sf0.1 when this
+    # was missed). The broadcast join preserves the partitioning.
+    with_b = spread(docs).crossJoin(F.broadcast(bound))
     corpus = with_b.filter(F.col("doc_id") < F.col("_bound")).drop("_bound")
     batch = with_b.filter(F.col("doc_id") >= F.col("_bound"))
     pairs = incremental_near_dups(
