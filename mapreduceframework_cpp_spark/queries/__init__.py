@@ -111,6 +111,39 @@ ROUND6_ROTATION = [
         "q_geo_radius_join", "q_geo_grid_clusters",
 ]
 
+#: round-7 window, committed now so round 7 is mechanical (same pattern
+#: that made round 6 mechanical): slot 1 is q_geo_grid_clusters — the
+#: single query the 50-slot round-6 window could not hold — and the
+#: other 49 re-confirm the queries whose driver evidence is OLDEST
+#: (green since round 1, in the order the round-1 driver verified them,
+#: topped up with the first round-2 greens), so the re-verification
+#: budget goes where green rows have had the most rounds to rot. If any
+#: round-6 slot comes back red, its query is re-queued at the head of
+#: this list per the standing policy. Registration keeps following
+#: ROUND6_ROTATION until the round-6 CORRECTNESS artifact lands.
+ROUND7_ROTATION = [
+        "q_geo_grid_clusters",
+        # -- oldest driver evidence first (CORRECTNESS_r01 order) --------
+        "q_agg_groupby", "q_agg_global", "q_agg_distinct",
+        "q_distinct_rows", "q_agg_having", "q_agg_rollup",
+        "q_agg_cube", "q_agg_grouping_sets", "q_agg_approx_distinct",
+        "q_agg_percentile", "q_tpch_q3_shape", "q_tpch_q5_shape",
+        "q_scalar_subquery", "q_flagship_charcount", "q_join_inner",
+        "q_join_broadcast", "q_join_shuffle_hash", "q_join_left",
+        "q_join_right", "q_join_full", "q_join_semi",
+        "q_join_anti", "q_join_cross", "q_join_theta_range",
+        "q_join_asof", "q_join_interval", "q_join_salted",
+        "q_dedup_exact", "q_dedup_near", "q_dedup_ngram_jaccard",
+        "q_dedup_simhash", "q_dedup_embedding", "q_sim_topk",
+        "q_sim_lsh_topk", "q_text_stats", "q_text_tokens",
+        "q_text_quality", "q_text_langid", "q_mm_decode",
+        "q_sim_ivf_topk", "q_dedup_clusters", "q_pipeline_e2e",
+        "q_sample_stratified", "q_scan_parquet", "q_scan_select_cols",
+        "q_project_expr", "q_filter_pred",
+        # -- top-up from the first round-2 greens ------------------------
+        "q_case_expr", "q_sort_multi",
+]
+
 #: Alias kept so callers/tests address "the live window" uniformly
 #: across rounds.
 VERIFY_ROTATION = ROUND6_ROTATION

@@ -91,6 +91,29 @@ def test_registration_follows_verify_rotation():
     unproven = [q for q in registered if q not in green]
     assert sorted(unproven) == sorted(ROUND6_ROTATION)
 
+    # the committed round-7 plan: the round-6 spill first, then 49
+    # re-confirmations of the OLDEST driver evidence (round-1 greens in
+    # their r01 verification order, topped up from round 2) — a full
+    # unique 50-slot window with no unproven query left out.
+    from mapreduceframework_cpp_spark.queries import ROUND7_ROTATION
+
+    assert len(ROUND7_ROTATION) == 50
+    assert len(set(ROUND7_ROTATION)) == 50
+    assert ROUND7_ROTATION[0] == "q_geo_grid_clusters"
+    g1 = green_set([os.path.join(repo_root, "CORRECTNESS_r01.json")], oracles)
+    g12 = green_set(
+        [
+            os.path.join(repo_root, f"CORRECTNESS_{r}.json")
+            for r in ("r01", "r02")
+        ],
+        oracles,
+    )
+    rest = ROUND7_ROTATION[1:]
+    # every re-confirm slot carries round-1 or round-2 evidence, and all
+    # 47 round-1 greens are included (oldest-first policy, no gaps)
+    assert set(rest) <= g12
+    assert g1 <= set(rest)
+
 
 def test_readme_counts_match_registry():
     """README's 'N of M registered queries are hash-verified' sentence
