@@ -89,15 +89,23 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # `div` on decimals still returns exact BIGINT in Spark. The three
     # single-ratio outputs keep the cheap int64 grid (num ≤ total <
     # 2^31, so num·2e6 < 2^53).
-    tot = F.col("_total").cast("decimal(38,0)")
+    # Degenerate-doc guard (r6): an EMPTY document has _total = 0, and a
+    # 100 TB corpus always contains some — without the floor the ANSI
+    # div raises DIVIDE_BY_ZERO and one empty row kills the whole job.
+    # greatest(_total, 1) keeps the grid exact and total-0 numerators
+    # are all 0, so empty docs score 0.0 across the board in both
+    # engines (mirrored in the oracle). _ntoks >= 1 by split semantics.
+    tot = F.greatest(F.col("_total"), F.lit(1).cast("long")).cast(
+        "decimal(38,0)"
+    )
     ntk = F.col("_ntoks").cast("decimal(38,0)")
     g = base.withColumn(
         "_qnum",
         F.least(F.col("_ntoks"), F.lit(100).cast("long")).cast("decimal(38,0)")
-        * tot * ntk
+        * F.col("_total").cast("decimal(38,0)") * ntk
         + 60 * F.col("_alpha").cast("decimal(38,0)") * ntk
         + 40 * F.least(5 * F.col("_nstop"), F.col("_ntoks")).cast("decimal(38,0)")
-        * tot,
+        * F.col("_total").cast("decimal(38,0)"),
     ).withColumn("_qden", 200 * tot * ntk)
     r6 = "((({n}) * 2000000 + ({d})) div (2 * ({d}))) / 1000000.0"
     return g.select(
@@ -108,7 +116,9 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "avg_token_len"
         ),
         F.expr(r6.format(n="_nstop", d="_ntoks")).alias("stopword_ratio"),
-        F.expr(r6.format(n="_alpha", d="_total")).alias("alpha_ratio"),
+        F.expr(r6.format(n="_alpha", d="greatest(_total, 1)")).alias(
+            "alpha_ratio"
+        ),
         F.expr(r6.format(n="_qnum", d="_qden")).alias("quality_score"),
     )
 

@@ -279,6 +279,36 @@ def test_quality_scores_long_document_no_overflow(spark):
     assert float(r.quality_score) == expected
 
 
+def test_quality_scores_degenerate_documents(spark):
+    """Empty / whitespace-only / symbol-only documents must score, not
+    raise (r6: an empty doc's total=0 denominator hit the ANSI
+    DIVIDE_BY_ZERO and one such row killed the whole job — a 100 TB
+    corpus always contains some). Empty docs score 0.0 across the
+    board; the non-empty degenerates get their exact grid values."""
+    from mapreduceframework_cpp_spark.operators.text import quality_scores
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "!!! ???"), (4, "the")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_scores(df).collect()}
+    assert len(rows) == 4
+    empty = rows[1]
+    assert empty.n_chars == 0
+    for c in ("avg_token_len", "stopword_ratio", "alpha_ratio",
+              "quality_score"):
+        assert float(empty[c]) == 0.0, (c, empty[c])
+    # symbol-only: no alpha, no stopwords — only the token-count term
+    sym = rows[3]
+    assert float(sym.alpha_ratio) == 0.0
+    assert float(sym.stopword_ratio) == 0.0
+    assert 0.0 < float(sym.quality_score) <= 0.5
+    # all-stopword single token: stopword term saturates
+    the = rows[4]
+    assert float(the.stopword_ratio) == 1.0
+    assert float(the.alpha_ratio) == 1.0
+
+
 def test_lang_id_schema_and_coverage(docs):
     out = lang_id(docs.limit(50))
     rows = out.collect()
