@@ -23,8 +23,14 @@ from pyspark.sql import DataFrame
 
 
 def _pair_counts(docs: DataFrame) -> DataFrame:
-    """Adjacent-pair frequencies over the symbol arrays."""
-    pairs = docs.select(
+    """Adjacent-pair frequencies over the symbol arrays. Single-symbol
+    documents contribute no pairs and are filtered first — without the
+    guard ``sequence(0, size - 2)`` on size=1 becomes sequence(0, -1),
+    which Spark materializes DESCENDING as [0, -1] and the ANSI
+    ``syms[i + 1]`` lookup throws INVALID_ARRAY_INDEX (r6
+    degenerate-corpus sweep: one empty document killed the whole merge
+    round)."""
+    pairs = docs.filter(F.size("syms") >= 2).select(
         F.explode(
             F.expr(
                 "transform(sequence(0, size(syms) - 2), "

@@ -33,8 +33,20 @@ def _dot(a, b):
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the double-cast vector and its L2 norm, EXCLUDING
+    zero-norm rows: cosine similarity is undefined for the zero vector,
+    and a 100 TB embedding table always contains some (failed encoder
+    outputs, padding rows) — without the filter the ANSI cos division
+    raises DIVIDE_BY_ZERO and one such row kills the whole job (r6
+    degenerate-corpus sweep). Every similarity operator routes through
+    here, so the exclusion is uniform on both query and candidate
+    sides; the SQL oracles carry the same ``> 0`` norm guard."""
     v = _as_double(F.col(vec_col))
-    return emb.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    return (
+        emb.withColumn("_v", v)
+        .withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+        .filter(F.col("_norm") > 0)
+    )
 
 
 def cosine_topk(
@@ -203,14 +215,22 @@ def ivf_topk(
             for i, c in enumerate(centers)
         ]
     )
-    probed = withq.withColumn(
-        "cell",
-        F.explode(F.slice(F.array_sort(cell_d2), 1, n_probe).getField("cell")),
-    ).select(
-        "query_id",
-        "cell",
-        F.col("_v").alias("_qv"),
-        F.sqrt(_dot(F.col("_v"), F.col("_v"))).alias("_qn"),
+    probed = (
+        withq.withColumn(
+            "cell",
+            F.explode(
+                F.slice(F.array_sort(cell_d2), 1, n_probe).getField("cell")
+            ),
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.col("_v").alias("_qv"),
+            F.sqrt(_dot(F.col("_v"), F.col("_v"))).alias("_qn"),
+        )
+        # zero-norm queries are excluded like everywhere else (cosine
+        # undefined; see with_norm) — this side doesn't route through it
+        .filter(F.col("_qn") > 0)
     )
     c = with_norm(spread(cand_cells, "cand_id"), vec_col).select(
         "cand_id", "cell", F.col("_v").alias("_cv"), F.col("_norm").alias("_cn")

@@ -208,7 +208,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_embedding",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]) > 0),
     p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
                  {_COSINE_PAIR} AS cos
           FROM e a, e b WHERE a.vec_id < b.vec_id)
@@ -231,7 +233,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sim_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]) > 0),
     s AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
                  {_COSINE_PAIR} AS cos
           FROM e a, e b
@@ -468,8 +472,9 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
       SELECT d.* FROM documents d
       WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
-        AND length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
-            * 1.0 / length(d.text) >= 0.7
+        AND length(d.text) > 0
+        AND length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) * 10
+            >= 7 * length(d.text)
     )
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -496,7 +501,14 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = canonical_docs(docs, dedup_clusters(pairs))
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-    kept = kept.filter(alpha / F.length("text") >= 0.7)
+    # cleared-denominator form (r6): alpha/len >= 0.7 as exact integers
+    # (10*alpha >= 7*len) plus len > 0 — the division form raised ANSI
+    # DIVIDE_BY_ZERO on an empty document, and one such row killed the
+    # whole pipeline; empty docs fail the quality gate. Mirrored in the
+    # oracle.
+    kept = kept.filter(
+        (F.length("text") > 0) & (alpha * 10 >= 7 * F.length("text"))
+    )
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
@@ -517,7 +529,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_knn_blocked",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-               FROM embeddings),
+               FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]) > 0),
     s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                  {_COSINE_PAIR} AS cos
           FROM e a JOIN e b

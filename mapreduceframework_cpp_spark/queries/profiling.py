@@ -114,6 +114,7 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH u AS (
       SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
       FROM documents
+      WHERE n_chars > 0
     ),
     keyed AS (
       SELECT doc_id, lang, n_chars,
@@ -140,7 +141,12 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs), and the oracle can check it exactly. One scan + one per-lang
     top-k window over scalar keys."""
     docs = tbl(spark, sf_dir, "documents")
-    u = docs.select(
+    # zero-weight (empty) documents are excluded BY DEFINITION in A-ES
+    # (w=0 ⇒ key u^(1/0) undefined / never wins) — and without the
+    # filter the ANSI 1.0/n_chars raises DIVIDE_BY_ZERO on the one
+    # empty doc a 100 TB corpus always has (r6 degenerate sweep).
+    # Mirrored in the oracle.
+    u = docs.filter(F.col("n_chars") > 0).select(
         "doc_id", "lang", "n_chars",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )

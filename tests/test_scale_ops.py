@@ -329,3 +329,86 @@ def test_spread_noop_on_exchange_bearing_plans(spark, sf_dir):
     # is anywhere in the lineage, not just the root)
     mapped = joined.select("doc_id", F.length("lang").alias("n"))
     assert spread(mapped) is mapped
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-input robustness (r6): a 100 TB corpus always contains empty
+# documents and zero embeddings. Every one of these cases previously killed
+# its whole job with an ANSI error (DIVIDE_BY_ZERO / INVALID_ARRAY_INDEX).
+# ---------------------------------------------------------------------------
+
+
+def test_similarity_ops_tolerate_zero_vectors(spark):
+    """Cosine is undefined for the zero vector: all similarity operators
+    must exclude zero-norm rows (query AND candidate side) instead of
+    raising DIVIDE_BY_ZERO."""
+    from mapreduceframework_cpp_spark.operators.similarity import (
+        cosine_topk,
+        embedding_near_dups,
+        ivf_topk,
+        label_blocked_knn,
+    )
+
+    rows = [
+        (i, [float((i + j) % 5) / 4 + 0.1 for j in range(8)], i % 2)
+        for i in range(12)
+    ] + [(99, [0.0] * 8, 0)]  # the zero vector
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    top = cosine_topk(emb, emb, k=3).collect()
+    assert top and all(r.query_id != 99 and r.cand_id != 99 for r in top)
+
+    knn = label_blocked_knn(emb, k=2).collect()
+    assert knn and all(r.vec_id != 99 and r.neighbor_id != 99 for r in knn)
+
+    near = embedding_near_dups(emb, threshold=0.5).collect()
+    assert all(r.vec_id_a != 99 and r.vec_id_b != 99 for r in near)
+
+    ivf = ivf_topk(emb, emb, k=2, n_cells=2, n_probe=2).collect()
+    assert ivf and all(r.query_id != 99 and r.cand_id != 99 for r in ivf)
+
+
+def test_bpe_tolerates_single_and_empty_token_docs(spark):
+    """Single-symbol docs contribute no adjacent pairs; without the
+    size guard sequence(0, -1) materializes DESCENDING and the ANSI
+    syms[i+1] lookup throws INVALID_ARRAY_INDEX."""
+    from mapreduceframework_cpp_spark.operators.bpe import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, ""), (3, "solo"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe_merges(docs, n_merges=2).collect()
+    assert [tuple(r)[1:3] for r in merges][0] == ("a", "b")
+
+
+def test_queries_tolerate_empty_documents(spark, sf_dir, tmp_path):
+    """q_sample_weighted (1/weight), q_pipeline_e2e (alpha/len gate) and
+    q_text_quality (grid denominators) must run to completion on a
+    corpus holding empty / whitespace-only / symbol-only documents."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.registry import all_queries
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+
+    base = tbl(spark, sf_dir, "documents").limit(30)
+    extra = spark.createDataFrame(
+        [
+            (900001, "", "en", "web", 0),
+            (900002, "   ", "en", "web", 3),
+            (900003, "!!! ???", "de", "books", 7),
+        ],
+        base.schema,
+    )
+    edge_dir = str(tmp_path / "edge_sf")
+    base.unionByName(extra).write.parquet(edge_dir + "/documents.parquet")
+
+    Q = all_queries()
+    for name in ("q_sample_weighted", "q_pipeline_e2e", "q_text_quality"):
+        out = Q[name](spark, edge_dir)
+        assert out.count() > 0, name
+    # the empty doc must not be sampled (zero weight) nor pass the gate
+    sampled = {r.doc_id for r in Q["q_sample_weighted"](spark, edge_dir).collect()}
+    assert 900001 not in sampled
