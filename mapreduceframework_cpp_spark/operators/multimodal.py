@@ -110,7 +110,14 @@ def decode_media(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return spread(media).mapInPandas(decode, schema=DECODED_SCHEMA)
+    # a NULL payload (e.g. a media table row whose binary column was
+    # never backfilled) cannot be decoded — excluded before the Python
+    # stage, where bytes(None) would kill the task (r6 null sweep)
+    return (
+        spread(media)
+        .filter(F.col("content").isNotNull())
+        .mapInPandas(decode, schema=DECODED_SCHEMA)
+    )
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -126,7 +133,12 @@ def extract_features(media: DataFrame) -> DataFrame:
                 vecs.append([round(b / 255.0, 6) for b in d[:FEATURE_DIM]])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": vecs})
 
-    return spread(media).mapInPandas(feats, schema=FEATURE_SCHEMA)
+    # NULL payloads excluded like decode_media (r6 null sweep)
+    return (
+        spread(media)
+        .filter(F.col("content").isNotNull())
+        .mapInPandas(feats, schema=FEATURE_SCHEMA)
+    )
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 4) -> DataFrame:

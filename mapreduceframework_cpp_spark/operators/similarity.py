@@ -175,7 +175,9 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = candidates.select(
+    # NULL embeddings crash the ML fit (and can't be assigned a cell) —
+    # exclude them like the zero-norm rows in with_norm (r6 null sweep)
+    feats = candidates.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cvec"),
         array_to_vector(_as_double(F.col(vec_col))).alias("_fv"),
@@ -361,7 +363,8 @@ def kmeans_cluster_report(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = emb.select(
+    # NULL embeddings crash the ML fit — excluded (r6 null sweep)
+    feats = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("_v"),
     ).withColumn("_fv", array_to_vector(F.col("_v")))

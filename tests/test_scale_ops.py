@@ -412,3 +412,40 @@ def test_queries_tolerate_empty_documents(spark, sf_dir, tmp_path):
     # the empty doc must not be sampled (zero weight) nor pass the gate
     sampled = {r.doc_id for r in Q["q_sample_weighted"](spark, edge_dir).collect()}
     assert 900001 not in sampled
+
+
+def test_ops_tolerate_null_rows(spark):
+    """NULL payloads / embeddings must be excluded, not crash the task:
+    bytes(None) killed the media Python stages and Spark ML KMeans.fit
+    raises on a null feature vector (r6 null sweep)."""
+    from mapreduceframework_cpp_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        extract_features,
+    )
+    from mapreduceframework_cpp_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_cluster_report,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"payload-bytes", ("fake/v1", 13, "web")),
+            (2, "image", None, ("fake/v1", 0, "web")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    assert [r.doc_id for r in decode_media(media).collect()] == [1]
+    assert [r.doc_id for r in extract_features(media).collect()] == [1]
+
+    rows = [
+        (i, [float((i + j) % 5) / 4 + 0.1 for j in range(8)], i % 2)
+        for i in range(12)
+    ] + [(98, None, 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    rep = kmeans_cluster_report(emb, k=2)
+    assert rep.agg(F.sum("n_members")).first()[0] == 12  # null excluded
+    ivf = ivf_topk(emb, emb, k=2, n_cells=2, n_probe=2).collect()
+    assert ivf and all(r.query_id != 98 and r.cand_id != 98 for r in ivf)

@@ -5,8 +5,8 @@ rows a 100 TB corpus is guaranteed to contain and the driver's clean
 sf0.01 tables never exercise:
 
 - documents: an empty text, a whitespace-only text, a symbol-only
-  text, a single-stopword text
-- embeddings: an all-zero vector (zero L2 norm)
+  text, a single-stopword text, a NULL text, a NULL lang/source
+- embeddings: an all-zero vector (zero L2 norm) and a NULL vector
 
 A query FAILS the sweep only if it RAISES (ANSI DIVIDE_BY_ZERO,
 INVALID_ARRAY_INDEX, overflow, ...) — empty results are fine. The r6
@@ -50,7 +50,9 @@ def build_edge_corpus(dst: str) -> None:
             (900001, '', 'en', 'web', 0),
             (900002, '   ', 'en', 'web', 3),
             (900003, '!!! ??? ... ;;;', 'de', 'books', 15),
-            (900004, 'the', 'fr', 'web', 3)
+            (900004, 'the', 'fr', 'web', 3),
+            (900005, NULL, 'en', 'web', NULL),
+            (900006, 'normal text here', NULL, NULL, 16)
           ) t(doc_id, text, lang, source, n_chars)
         ) TO '{dst}/documents.parquet' (FORMAT parquet)
         """
@@ -66,6 +68,8 @@ def build_edge_corpus(dst: str) -> None:
           UNION ALL
           SELECT 900001 AS vec_id, CAST({zeros} AS FLOAT[]) AS embedding,
                  0 AS label
+          UNION ALL
+          SELECT 900002, NULL, 0
         ) TO '{dst}/embeddings.parquet' (FORMAT parquet)
         """
     )
