@@ -48,3 +48,29 @@ def test_emit_final_line_is_short_and_parseable(tmp_path, monkeypatch):
     assert detail["queries"] == timings
     assert detail["value"] == final["value"] == round(sum(timings.values()), 3)
     assert os.path.exists(tmp_path / "BENCH_DETAIL.json")
+
+
+def test_emit_sentinel_verdict(tmp_path, monkeypatch):
+    """The headline carries the two load-sensitive sentinel timings and
+    an in-band/out-of-band verdict, so a driver-run artifact from a
+    noisy host is self-identifying (r6)."""
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda _: str(tmp_path / "bench.py")
+    )
+
+    def run(groupby, scan):
+        timings = {"q_agg_groupby": groupby, "q_scan_parquet": scan,
+                   "q_other": 0.5}
+        with redirect_stdout(io.StringIO()):
+            return bench.emit(timings, sf=0.1)
+
+    quiet = run(1.05, 0.15)
+    assert quiet["sentinels"] == {"q_agg_groupby": 1.05,
+                                  "q_scan_parquet": 0.15}
+    assert quiet["sentinel_ok"] is True
+    assert run(1.6, 0.15)["sentinel_ok"] is False  # inflated groupby
+    assert run(1.05, 0.3)["sentinel_ok"] is False  # inflated scan
+    # at a non-0.1 sf the bands don't apply
+    with redirect_stdout(io.StringIO()):
+        other_sf = bench.emit({"q_agg_groupby": 9.9}, sf=0.01)
+    assert other_sf["sentinel_ok"] is None
