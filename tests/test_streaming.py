@@ -62,8 +62,12 @@ def test_stream_static_join_parity(spark, sf_dir):
     assert _rows(got) == _rows(batch)
 
 
-def test_watermark_append_smoke(spark, sf_dir):
-    """Watermarked tumbling agg in append mode emits finalized windows."""
+def test_watermark_append_finalized_windows_match_batch(spark, sf_dir):
+    """Watermarked tumbling agg in append mode: every FINALIZED window
+    it emits must carry exactly the batch-computed count (append may
+    withhold the tail windows still inside the watermark, but it must
+    never emit a partial count — the correctness property late-data
+    handling rests on; upgraded from a count()>0 smoke in r6)."""
     # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
     # the cast is value-preserving
     sdf = (
@@ -75,7 +79,29 @@ def test_watermark_append_smoke(spark, sf_dir):
         .select(F.col("window.start").alias("win_start"), "event_type", "n")
     )
     out = run_to_memory(sdf, "wm_smoke", output_mode="append")
-    assert out.count() > 0
+    emitted = {(r.win_start, r.event_type): r.n for r in out.collect()}
+    assert emitted
+
+    batch = {
+        (r.win_start, r.event_type): r.n
+        for r in (
+            tbl(spark, sf_dir, "events")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").alias("win_start"), "event_type", "n"
+            )
+            .collect()
+        )
+    }
+    for key, n in emitted.items():
+        assert batch.get(key) == n, (key, n, batch.get(key))
+    # the withheld tail is bounded: everything except the windows still
+    # inside the 10-minute watermark at end-of-stream must have emitted
+    assert len(emitted) >= len(batch) - 2 * out.select(
+        "event_type"
+    ).distinct().count()
 
 
 def test_foreach_batch_sink(spark, sf_dir):
