@@ -324,9 +324,12 @@ def emit(timings: dict[str, float], sf: float | None) -> dict:
         if n in timings
     }
     bands = {"q_agg_groupby": (0.95, 1.25), "q_scan_parquet": (0.11, 0.19)}
-    sentinel_ok = all(
-        lo <= sentinels.get(n, lo) <= hi for n, (lo, hi) in bands.items()
-    ) if sf == 0.1 else None
+    if sf != 0.1 or set(bands) - set(sentinels):
+        sentinel_ok = None  # unknown: wrong sf, or a sentinel left HEADLINE
+    else:
+        sentinel_ok = all(
+            lo <= sentinels[n] <= hi for n, (lo, hi) in bands.items()
+        )
     detail = {
         "metric": "headline_suite_wall_sec",
         "value": total,

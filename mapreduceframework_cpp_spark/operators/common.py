@@ -12,9 +12,14 @@ from pyspark.sql import DataFrame
 #: design: a false positive only means spread() no-ops, which is the
 #: safe direction at scale.
 _EXCHANGE_NODES = re.compile(
-    r"^[\s+:\-]*(Join|Aggregate|Distinct|Deduplicate|Repartition|"
-    r"RepartitionByExpression|RebalancePartitions|Window|Sort|"
-    r"GlobalLimit|Intersect|Except|CoGroup|FlatMapGroups|MapGroups)\b",
+    # the grouped-map family deliberately matches by PREFIX (\w*), not
+    # \b: PySpark renders FlatMapGroupsInPandas / FlatMapCoGroupsInPandas
+    # / MapInPandas-with-grouping etc., and a \b after the bare Scala
+    # name never matches those (code-review r6)
+    r"^[\s+:\-]*(Join\b|Aggregate\b|Distinct\b|Deduplicate\b|"
+    r"Repartition\w*|RebalancePartitions\b|Window\b|Sort\b|"
+    r"GlobalLimit\b|Intersect\b|Except\b|CoGroup\w*|FlatMapGroups\w*|"
+    r"FlatMapCoGroups\w*|MapGroups\w*)",
     re.MULTILINE,
 )
 

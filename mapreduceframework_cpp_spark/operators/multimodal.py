@@ -145,7 +145,13 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4) -> DataFrame:
     """Frame-sampling plumbing: one row per sampled offset (for video
     rows), JVM-side sequence+explode — the shape a real frame sampler
     (ffmpeg-backed) would produce."""
-    video = media.filter(F.col("media_type") == "video")
+    # zero-byte payloads have no frames to sample, and
+    # sequence(0, -1, step) with an explicit positive step raises
+    # 'Illegal sequence boundaries' at runtime — same defect class as
+    # the BPE sequence(0, -1) bug (code-review r6)
+    video = media.filter(
+        (F.col("media_type") == "video") & (F.col("meta.n_bytes") > 0)
+    )
     offsets = F.sequence(
         F.lit(0), F.col("meta.n_bytes") - 1, F.lit(every_n_bytes)
     )

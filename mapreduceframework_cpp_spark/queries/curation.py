@@ -391,7 +391,8 @@ def q_emb_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id,
              sqrt(list_dot_product(embedding::DOUBLE[],
                                    embedding::DOUBLE[])) AS nrm
-      FROM embeddings),
+      FROM embeddings
+      WHERE embedding IS NOT NULL),
     m AS (SELECT CAST(sum(CAST(round(nrm * 1000000000) AS BIGINT))
                       AS DOUBLE) / 1000000000 / count(*) AS mu
           FROM n),
@@ -416,10 +417,21 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     generally). Pass 1: 1e-9-grid mean. Pass 2: centered squares on a
     1e-15 grid (values ~1e-10 → exact, order-independent sums). Both
     1-row stats broadcast back onto the norms."""
-    from mapreduceframework_cpp_spark.operators.similarity import with_norm
+    from mapreduceframework_cpp_spark.operators.similarity import (
+        _as_double,
+        _dot,
+    )
 
-    emb = tbl(spark, sf_dir, "embeddings")
-    n = with_norm(emb).select("vec_id", F.col("_norm").alias("nrm"))
+    # norms computed INLINE, not via with_norm: with_norm excludes
+    # zero-norm vectors (cosine is undefined there, r6), but this
+    # screen exists precisely to REPORT degenerate vectors — a zero
+    # norm is the outlier of interest. NULL embeddings (no norm at
+    # all) stay excluded on both sides.
+    emb = tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = _as_double(F.col("embedding"))
+    n = emb.select("vec_id", F.sqrt(_dot(v, v)).alias("nrm"))
     q1 = F.round(F.col("nrm") * 1000000000).cast("long")
     m = n.agg(
         (F.sum(q1).cast("double") / 1000000000 / F.count("*")).alias("mu")

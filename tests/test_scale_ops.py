@@ -330,6 +330,15 @@ def test_spread_noop_on_exchange_bearing_plans(spark, sf_dir):
     mapped = joined.select("doc_id", F.length("lang").alias("n"))
     assert spread(mapped) is mapped
 
+    # the PySpark grouped-map nodes render as FlatMapGroupsInPandas /
+    # FlatMapCoGroupsInPandas — prefix-matched, since a \b after the
+    # bare Scala name never matches them (code-review r6)
+    grouped = docs.groupBy("lang").applyInPandas(
+        lambda pdf: pdf, schema="doc_id long, lang string"
+    )
+    assert _exchange_bearing(grouped)
+    assert spread(grouped) is grouped
+
 
 # ---------------------------------------------------------------------------
 # Degenerate-input robustness (r6): a 100 TB corpus always contains empty
