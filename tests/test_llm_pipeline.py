@@ -309,6 +309,28 @@ def test_quality_scores_degenerate_documents(spark):
     assert float(the.alpha_ratio) == 1.0
 
 
+def test_lang_id_golden_predictions(spark):
+    """Planted strong-signal documents must classify correctly — the
+    coverage test alone would pass a scorer that always answers 'en'
+    (r6 rows-only evidence tightening). Scores are deterministic
+    (profile lookup, no RNG), so exact values are pinned too."""
+    from mapreduceframework_cpp_spark.operators.text import lang_id
+
+    rows = [
+        (1, "the weather in the north here and there and then the other"),
+        (2, "die kinder gehen in die schule und lernen deutsche geschichte"),
+        (3, "les enfants de la classe ont une bonne lecon ensemble encore"),
+        (4, "los perros de la casa que estaban en el parque duermen"),
+        (5, "zhong guo shi jie xiao zhang jiang xiao ming shuo hua"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.lang_pred, r.lang_score) for r in lang_id(df).collect()}
+    assert {k: v[0] for k, v in got.items()} == {
+        1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh"
+    }
+    assert got[1][1] == 50.8772  # deterministic bigram-hit rate
+
+
 def test_lang_id_schema_and_coverage(docs):
     out = lang_id(docs.limit(50))
     rows = out.collect()
