@@ -131,7 +131,13 @@ def prefix_filter_candidates(
     assert the candidate-count bound on exactly the production path
     (tests/test_scale_ops.py — a vocabulary shift that blows up prefix
     collisions must fail a test, not the bench)."""
-    toks = docs.select(
+    from mapreduceframework_cpp_spark.operators.common import spread
+
+    # the shingle explode is compute-bound on the byte-narrow doc scan
+    # (r5/r6 width lesson) — spread first so the distinct's map side
+    # runs full-parallel (r6 interleaved A/B at sf0.1, sentinel-stable:
+    # 4.30 s narrow → 2.95/3.07 s spread, best-of-2 per sitting)
+    toks = spread(docs).select(
         "doc_id", F.split(F.lower("text"), " ").alias("t")
     ).filter(F.size("t") >= 3)
     sh = toks.select(
