@@ -475,6 +475,49 @@ def test_kmeans_report_invariants(spark, sf_dir):
     )
 
 
+def test_kmeans_recovers_planted_blobs(spark):
+    """Ground truth for the rows-only q_emb_kmeans: on k well-separated
+    planted blobs any correct Lloyd's fit must recover exactly the
+    planted partition, so the report's per-cluster aggregates are fully
+    predictable — sizes match the blobs, each cluster's mean_norm
+    identifies which blob it is (blobs sit at distinct radii from the
+    origin), and WSSSE equals numpy's within-blob sum of squares about
+    the blob mean. Turns the invariants-only coverage into a
+    value-correctness check."""
+    import numpy as np
+
+    from mapreduceframework_cpp_spark.operators.similarity import (
+        kmeans_cluster_report,
+    )
+
+    dims, per_blob = 8, 12
+    rows, blobs = [], []
+    for b, radius in enumerate((10.0, 20.0, 30.0, 40.0)):
+        pts = []
+        for i in range(per_blob):
+            v = [0.0] * dims
+            v[b] = radius  # blob center direction: axis b
+            # deterministic jitter << blob separation, off-axis so the
+            # radius ordering of mean_norm is never perturbed
+            v[(b + 1) % dims] += ((i % 5) - 2) * 0.1
+            v[(b + 2) % dims] += ((i % 3) - 1) * 0.1
+            pts.append(v)
+            rows.append((b * per_blob + i, v))
+        blobs.append(np.array(pts))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    rep = sorted(kmeans_cluster_report(emb, k=4).collect(),
+                 key=lambda r: r.mean_norm)
+    assert [r.n_members for r in rep] == [per_blob] * 4
+    for r, pts in zip(rep, blobs):
+        mean = pts.mean(axis=0)
+        # report rounds per-point d2/norm to 6 dp before summing
+        expect_wssse = float(((pts - mean) ** 2).sum())
+        expect_norm = float(np.sqrt((pts**2).sum(axis=1)).mean())
+        assert abs(r.wssse - expect_wssse) < 1e-4, (r.cluster, r.wssse)
+        assert abs(r.mean_norm - expect_norm) < 1e-4, (r.cluster, r.mean_norm)
+
+
 def test_stratified_sample_rates(spark, sf_dir):
     """q_sample_stratified is rows-only (Bernoulli sampleBy has no SQL
     oracle); pin its non-oracle guarantees instead: seeded determinism
