@@ -85,6 +85,51 @@ def test_simhash_pairs_identical_docs(spark):
     assert [(p.doc_id_a, p.doc_id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
 
 
+def test_simhash_matches_reference_arithmetic(spark):
+    """Value correctness for the rows-only q_dedup_simhash: re-derive
+    each 64-bit fingerprint in pure Python with the SAME frequency-
+    weighted vote + bit-assembly arithmetic, sharing only the primitive
+    token hash (one tiny Spark query for xxhash64 — not replicable in
+    stdlib). Covers repeated-token weighting, single-token docs, and
+    the signed-long bit-63 assembly."""
+    from mapreduceframework_cpp_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha alpha alpha beta",  # frequency-weighted votes
+        3: "solo",  # fingerprint == its one token's hash bits
+        4: "the quick brown fox jumps over the lazy dog the end",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+
+    toks = {d: t.lower().split(" ") for d, t in texts.items()}
+    vocab = sorted({t for ts in toks.values() for t in ts})
+    h = {
+        r.tok: r.h
+        for r in spark.createDataFrame([(t,) for t in vocab], "tok string")
+        .select("tok", F.xxhash64("tok").alias("h"))
+        .collect()
+    }
+    for d, ts in toks.items():
+        # python's arithmetic >> on signed ints matches the JVM's for
+        # bits 0..63 of a 64-bit value
+        expect = 0
+        for i in range(64):
+            vote = sum(1 if (h[t] >> i) & 1 else -1 for t in ts)
+            if vote > 0:
+                expect |= 1 << i
+        if expect >= 1 << 63:  # reassemble as signed long
+            expect -= 1 << 64
+        assert got[d] == expect, d
+    # single-token doc: votes are the token's own bits
+    assert got[3] == h["solo"]
+
+
 def test_lsh_topk_subset_of_true_scores(emb):
     """Approximate top-k may miss neighbors but must never mis-score:
     every (query, cand, cos) it returns appears in the exact scoring."""
