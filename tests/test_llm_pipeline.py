@@ -392,6 +392,45 @@ def test_fingerprint_bottom_k(docs):
         assert r.fingerprint == sorted(r.fingerprint)
 
 
+def test_fingerprint_matches_reference_arithmetic(spark):
+    """Value correctness for the rows-only q_text_fingerprint:
+    re-derive each bottom-k sketch in pure Python — rolling lowercase
+    8-gram enumeration, distinct, signed-ascending sort, first k —
+    sharing only the primitive xxhash64 (one tiny Spark query). Edge
+    cases: repeated grams (set semantics), text shorter than one gram
+    (whole-string fallback), exactly gram-length text, and uppercase
+    folding."""
+    k, gram = 8, 8
+    texts = {
+        1: "abcabcabcabcabcabc",  # heavy gram repetition
+        2: "short",  # < gram chars: single whole-string gram
+        3: "exactly8",  # == gram chars
+        4: "The Quick Brown Fox Jumps Over The Lazy Dog",  # case folding
+        5: "a little longer document with plenty of distinct grams",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.fingerprint for r in fingerprints(docs, k=k).collect()}
+
+    def grams(t: str) -> set[str]:
+        t = t.lower()
+        if len(t) < gram:
+            return {t}
+        return {t[i : i + gram] for i in range(len(t) - gram + 1)}
+
+    vocab = sorted(set().union(*[grams(t) for t in texts.values()]))
+    h = {
+        r.g: r.h
+        for r in spark.createDataFrame([(g,) for g in vocab], "g string")
+        .select("g", F.xxhash64("g").alias("h"))
+        .collect()
+    }
+    for d, t in texts.items():
+        expect = sorted(h[g] for g in grams(t))[:k]
+        assert got[d] == expect, d
+
+
 def test_multimodal_decode_deterministic(docs):
     media = attach_fake_media(docs.limit(30))
     a = sorted(map(tuple, decode_media(media).collect()))
