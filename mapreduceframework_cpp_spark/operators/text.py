@@ -107,7 +107,14 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + 40 * F.least(5 * F.col("_nstop"), F.col("_ntoks")).cast("decimal(38,0)")
         * F.col("_total").cast("decimal(38,0)"),
     ).withColumn("_qden", 200 * tot * ntk)
-    r6 = "((({n}) * 2000000 + ({d})) div (2 * ({d}))) / 1000000.0"
+    # /1e6 (a DOUBLE literal in both dialects), NOT /1000000.0: Spark
+    # parses 1000000.0 as DECIMAL(8,1), so BIGINT / it yields a DECIMAL
+    # column — which the driver hashes through pandas as object-of-
+    # Decimal against the oracle's float64 and ALWAYS hash-fails even
+    # on equal values (round-6 reds; same lens as round-2's HUGEINT).
+    # The div result is an exact integer ≤ ~2e15 < 2^53, so the single
+    # double division is correctly rounded identically in both engines.
+    r6 = "((({n}) * 2000000 + ({d})) div (2 * ({d}))) / 1e6"
     return g.select(
         "doc_id",
         F.col("_total").alias("n_chars"),

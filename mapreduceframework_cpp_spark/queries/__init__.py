@@ -80,17 +80,11 @@ ROUND5_ROTATION = [
         "q_feat_churn_labels", "q_emb_zscore_outliers", "q_feat_impute",
 ]
 
-#: round-6 verification window (LIVE — the verifier reads the first ~50
-#: registered queries). Round 5 came back 50/50 green, so this list
-#: ships verbatim as committed in round 4: exactly the 51 queries left
-#: unproven — warehouse.py time-series ops, sparse_text.py lexical
-#: stats, SQL gateway scripting, profiling graph ops, mining.py,
-#: retrieval.py, robust_stats.py, geospatial.py. 51 > 50 slots: the
-#: final name, q_geo_grid_clusters, spills to a round-7 re-confirm
-#: window. tests/test_driver_contract.py pins ROUND5_ROTATION +
-#: ROUND6_ROTATION == the full unproven-after-r4 backlog, no overlap,
-#: and that the live window holds only queries with no green row in
-#: CORRECTNESS_r0{1..5}.json.
+#: round-6 verification window (historical — CORRECTNESS_r06 landed:
+#: 46/50 hash-green; the 4 reds all emitted a DECIMAL output column,
+#: the one type the driver's pandas value-hash can never match, and
+#: are re-queued at the head of ROUND7_ROTATION re-shaped to exact
+#: BIGINT cents. q_geo_grid_clusters spilled as planned).
 ROUND6_ROTATION = [
         "q_mix_raking", "q_ts_holt", "q_zorder_profile",
         "q_ts_rolling_corr", "q_incr_join_view", "q_ts_acf",
@@ -111,17 +105,27 @@ ROUND6_ROTATION = [
         "q_geo_radius_join", "q_geo_grid_clusters",
 ]
 
-#: round-7 window, committed now so round 7 is mechanical (same pattern
-#: that made round 6 mechanical): slot 1 is q_geo_grid_clusters — the
-#: single query the 50-slot round-6 window could not hold — and the
-#: other 49 re-confirm the queries whose driver evidence is OLDEST
-#: (green since round 1, in the order the round-1 driver verified them,
-#: topped up with the first round-2 greens), so the re-verification
-#: budget goes where green rows have had the most rounds to rot. If any
-#: round-6 slot comes back red, its query is re-queued at the head of
-#: this list per the standing policy. Registration keeps following
-#: ROUND6_ROTATION until the round-6 CORRECTNESS artifact lands.
+#: round-7 window (LIVE). CORRECTNESS_r06 came back 46/50 green with
+#: FOUR hash-reds — q_incr_join_view, q_incr_agg_retract,
+#: q_sql_recursive, q_geo_cell_density — all the same root cause: a
+#: DECIMAL output column, which the driver's pandas value-hash can
+#: never match (Spark collects Decimal objects, the DuckDB oracle's
+#: .df() gives float64). Per the standing red-requeue policy they lead
+#: this window, re-shaped to exact BIGINT cents (tests/_compare.py now
+#: rejects any DECIMAL output column so the class is dead). Slot 5 is
+#: q_geo_grid_clusters — the round-6 spill, still the only query with
+#: no driver row ever. The remaining 45 re-confirm the queries whose
+#: driver evidence is OLDEST (round-1 greens in their r01 verification
+#: order; q_text_quality matters most — its score grid silently went
+#: DECIMAL in a round-5 refactor and is double again as of this round).
+#: The four oldest-evidence names the red-requeue displaced
+#: (q_project_expr, q_filter_pred, q_case_expr, q_sort_multi) move to
+#: the round-8 plan.
 ROUND7_ROTATION = [
+        # -- round-6 reds, re-queued at the head (standing policy) -------
+        "q_incr_join_view", "q_incr_agg_retract",
+        "q_sql_recursive", "q_geo_cell_density",
+        # -- the round-6 spill: the one never-driver-tested query --------
         "q_geo_grid_clusters",
         # -- oldest driver evidence first (CORRECTNESS_r01 order) --------
         "q_agg_groupby", "q_agg_global", "q_agg_distinct",
@@ -139,13 +143,10 @@ ROUND7_ROTATION = [
         "q_text_quality", "q_text_langid", "q_mm_decode",
         "q_sim_ivf_topk", "q_dedup_clusters", "q_pipeline_e2e",
         "q_sample_stratified", "q_scan_parquet", "q_scan_select_cols",
-        "q_project_expr", "q_filter_pred",
-        # -- top-up from the first round-2 greens ------------------------
-        "q_case_expr", "q_sort_multi",
 ]
 
 #: Alias kept so callers/tests address "the live window" uniformly
 #: across rounds.
-VERIFY_ROTATION = ROUND6_ROTATION
+VERIFY_ROTATION = ROUND7_ROTATION
 
-registry.reorder(ROUND6_ROTATION)
+registry.reorder(ROUND7_ROTATION)

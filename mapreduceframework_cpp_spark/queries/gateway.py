@@ -113,8 +113,9 @@ _RECURSIVE_SQL = """
     SELECT ch.custkey,
            CAST(max(ch.depth) AS BIGINT) AS depth,
            CAST(count(*) AS BIGINT) AS n_nodes,
-           CAST(sum(CAST(cu.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS chain_balance
+           CAST(sum(CAST(CAST(cu.c_acctbal AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT)
+             AS chain_balance_cents
     FROM chain ch JOIN customer cu ON cu.c_custkey = ch.anc
     GROUP BY 1
 """
@@ -125,7 +126,9 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 ``WITH RECURSIVE``, SPARK-24497): walk
     every customer's ancestor chain up the implicit 10-ary key tree
     (parent = key div 10) and roll up chain depth, node count and
-    DECIMAL-exact chain balance — the org-hierarchy / BOM-explosion
+    exact BIGINT-cents chain balance (a DECIMAL output column would
+    hash-fail under the driver's pandas lens — round-6 red: Spark
+    Decimal objects vs DuckDB float64) — the org-hierarchy / BOM-explosion
     shape that previously forced a driver-side loop (the iterative
     join of ``operators/dedup.dedup_clusters``) into hand-written
     Python. Here the ENGINE owns the fixpoint: each recursion level is

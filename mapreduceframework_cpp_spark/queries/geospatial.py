@@ -100,8 +100,9 @@ def _hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((lat_u - (lat_u % 5000000)) / 5000000 AS BIGINT) AS cell_lat,
            CAST((lon_u - (lon_u % 5000000)) / 5000000 AS BIGINT) AS cell_lon,
            CAST(count(*) AS BIGINT) AS n_points,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS total_balance
+           CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT)
+             AS balance_cents
     FROM pt
     GROUP BY 1, 2
     """,
@@ -113,7 +114,10 @@ def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     36×72 = 2,592 keys; the cell id is a pure projection so the scan
     stays whole-stage-codegen. Cell ids use subtract-mod division so
     the arithmetic is exact int64 in both engines (operands are
-    non-negative by construction)."""
+    non-negative by construction); the balance aggregate is exact
+    BIGINT cents — a DECIMAL output column hash-fails under the
+    driver's pandas lens (round-6 red: Spark Decimal objects vs the
+    oracle's float64)."""
     pt = _points(spark, sf_dir)
     cell = F.lit(5_000_000)
     return (
@@ -127,9 +131,9 @@ def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_points"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total_balance"),
+            F.sum((F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("balance_cents"),
         )
     )
 

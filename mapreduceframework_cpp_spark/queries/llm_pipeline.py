@@ -325,19 +325,19 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(total AS BIGINT) AS n_chars,
            CAST(n_toks AS BIGINT) AS n_tokens,
            (((total - n_toks + 1) * 2000000 + n_toks) // (2 * n_toks))
-             / 1000000.0 AS avg_token_len,
+             / 1e6 AS avg_token_len,
            ((n_stop * 2000000 + n_toks) // (2 * n_toks))
-             / 1000000.0 AS stopword_ratio,
+             / 1e6 AS stopword_ratio,
            ((alpha * 2000000 + greatest(total, 1))
              // (2 * greatest(total, 1)))
-             / 1000000.0 AS alpha_ratio,
+             / 1e6 AS alpha_ratio,
            (((least(n_toks, 100) * CAST(total AS HUGEINT) * n_toks
               + 60 * CAST(alpha AS HUGEINT) * n_toks
               + 40 * least(5 * n_stop, n_toks) * CAST(total AS HUGEINT))
                * 2000000
              + 200 * CAST(greatest(total, 1) AS HUGEINT) * n_toks)
             // (2 * 200 * CAST(greatest(total, 1) AS HUGEINT) * n_toks))
-             / 1000000.0 AS quality_score
+             / 1e6 AS quality_score
     FROM c
     """,
 )

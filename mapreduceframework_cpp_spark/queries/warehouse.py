@@ -736,7 +736,8 @@ def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_incr_join_view",
     oracle="""
     SELECT o.o_orderkey, c.c_custkey, c.c_nationkey,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS price_cents
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     """,
 )
@@ -750,10 +751,18 @@ def q_incr_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra. At 100 TB the payoff is the A_old ⋈ ΔB term — the huge
     fact side is only re-joined against the (broadcastable) dimension
     delta, never rescanned against all of B; ΔA⋈B is delta-sized. Both
-    delta joins here broadcast their small side."""
+    delta joins here broadcast their small side.
+
+    Money rides as exact BIGINT cents, never as a DECIMAL output
+    column: the driver hashes results through pandas, where a Spark
+    DECIMAL lands as object-of-Decimal but the DuckDB oracle's DECIMAL
+    lands as float64 — guaranteed hash-fail on equal values (round-6
+    red; the same pandas-dtype lens as round-2's HUGEINT sums)."""
     a = tbl(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
     )
     b = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     a_old = a.filter(F.col("o_orderkey") % 9 != 0)
@@ -763,7 +772,7 @@ def q_incr_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def view(fact: DataFrame, dim: DataFrame) -> DataFrame:
         return fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey).select(
-            "o_orderkey", "c_custkey", "c_nationkey", "price"
+            "o_orderkey", "c_custkey", "c_nationkey", "price_cents"
         )
 
     v_old = view(a_old, b_old)
@@ -1091,8 +1100,9 @@ def q_ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes AS (SELECT * FROM base WHERE o_orderkey % 7 = 3)
     SELECT o_custkey,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS total
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM (SELECT o_custkey, o_totalprice FROM base
           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
           UNION ALL
@@ -1112,11 +1122,17 @@ def q_incr_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     three partial states union (3 tiny frames) and re-reduce. Empty
     groups (all rows retracted) drop via the HAVING-style count
     filter. The oracle is the full recompute over the surviving rows —
-    hash-equality proves the retraction algebra."""
+    hash-equality proves the retraction algebra. Money is exact BIGINT
+    cents end-to-end: signed-integer state is the textbook retraction
+    form, and a DECIMAL output column would hash-fail under the
+    driver's pandas lens (round-6 red — Spark Decimal objects vs the
+    oracle's float64)."""
     o = tbl(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
     )
     base = o.filter(F.col("o_orderkey") % 5 != 0)
     inserts = o.filter(F.col("o_orderkey") % 5 == 0)
@@ -1125,7 +1141,7 @@ def q_incr_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def state(df: DataFrame, sign: int) -> DataFrame:
         return df.groupBy("o_custkey").agg(
             (F.count(F.lit(1)) * sign).alias("cnt"),
-            (F.sum("price") * sign).alias("tot"),
+            (F.sum("price_cents") * sign).alias("tot"),
         )
 
     merged = (
@@ -1139,7 +1155,7 @@ def q_incr_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_custkey",
         F.col("n").cast("long").alias("n_orders"),
-        F.col("total").cast("decimal(18,2)").alias("total"),
+        F.col("total").cast("long").alias("total_cents"),
     )
 
 

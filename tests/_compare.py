@@ -30,14 +30,40 @@ import pandas as pd
 _NUMERIC_KIND = {"i": "int", "u": "int", "f": "float"}
 
 
+def _col_kind(series: pd.Series):
+    """Coarse hash-visible kind, incl. the object-of-Decimal trap: a
+    Spark DECIMAL column collects as Python Decimal objects, while the
+    DuckDB oracle's DECIMAL comes back from .df() as float64 — the
+    driver's pandas value-hash always distinguishes them, even on
+    equal values (round-6 reds: q_incr_join_view & co.; same lens as
+    round-2's HUGEINT sums)."""
+    k = _NUMERIC_KIND.get(series.dtype.kind)
+    if k is None and series.dtype.kind == "O":
+        for v in series:
+            if v is None:
+                continue
+            if isinstance(v, Decimal):
+                return "decimal"
+            break
+    return k
+
+
 def _assert_dtype_kinds_match(
     name: str, spark_cols, spark_rows, duck_con, oracle: str
 ) -> None:
     spark_pdf = pd.DataFrame(spark_rows or None, columns=spark_cols)
     duck_pdf = duck_con.execute(oracle).df()
     for c in spark_cols:
-        sk = _NUMERIC_KIND.get(spark_pdf[c].dtype.kind)
-        dk = _NUMERIC_KIND.get(duck_pdf[c].dtype.kind) if c in duck_pdf else None
+        sk = _col_kind(spark_pdf[c])
+        dk = _col_kind(duck_pdf[c]) if c in duck_pdf else None
+        assert sk != "decimal", (
+            f"{name}: column {c!r} is DECIMAL on the Spark side — it "
+            "collects as object-of-Decimal while the oracle's DECIMAL "
+            "lands as float64, so the driver's value-hash ALWAYS fails; "
+            "emit BIGINT cents or CAST(... AS DOUBLE) in the final "
+            "projection (and watch /1000000.0-style literals: Spark "
+            "parses them as DECIMAL — use /1e6)"
+        )
         assert sk is None or dk is None or sk == dk, (
             f"{name}: dtype drift on column {c!r}: spark={sk} "
             f"({spark_pdf[c].dtype}) vs oracle={dk} ({duck_pdf[c].dtype}) — "

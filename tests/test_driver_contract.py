@@ -15,7 +15,7 @@ seconds and catches offenders at registration time, not verify time.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql.types import ArrayType, MapType, StructType
+from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
 from mapreduceframework_cpp_spark.registry import all_queries
 
@@ -35,22 +35,41 @@ def test_output_columns_are_atomic(name, spark, sf_dir):
         "verifier's canonicalizer — serialize them (concat_ws/to_json) in the "
         "final projection and mirror in the oracle"
     )
+    # Second standing contract (round-6 reds): no DECIMAL output
+    # columns. The verifier hashes through pandas, where a Spark
+    # DECIMAL collects as object-of-Decimal but the DuckDB oracle's
+    # DECIMAL lands as float64 — a guaranteed hash-fail on equal
+    # values. DECIMAL is fine (and encouraged) INSIDE a query for
+    # exact money math; the final projection must emit BIGINT cents
+    # or a DOUBLE. Watch /1000000.0-style literals: Spark parses them
+    # as DECIMAL(8,1), silently infecting the division (use /1e6).
+    dec_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)
+    ]
+    assert not dec_cols, (
+        f"{name}: DECIMAL output columns {dec_cols} always hash-fail under "
+        "the driver's pandas lens — emit BIGINT cents or CAST(... AS DOUBLE)"
+    )
 
 
 def test_registration_follows_verify_rotation():
     """The verifier checks the first ~50 registered queries per round;
     queries/__init__.py declares the rotation explicitly. Guard that
-    registration actually honors it, that the live round-6 window leads
-    with the driver's 50 slots, and that every slot is spent on a query
-    with NO green driver row in any prior round (r01-r05). The green
-    fold is imported from tools/next_rotation.py::green_set (ADVICE r4:
-    a local copy of the fold silently diverged from the CLI's policy)."""
+    registration actually honors it and that the live round-7 window
+    spends its slots per the standing policy: round-6 reds re-queued at
+    the head (derived HERE from the frozen CORRECTNESS_r06.json, so the
+    pinned list can't drift from the evidence), then the round-6 spill
+    (the one query with no driver row ever), then oldest-evidence
+    re-confirmations. The green fold is imported from
+    tools/next_rotation.py::green_set (ADVICE r4: a local copy of the
+    fold silently diverged from the CLI's policy)."""
+    import json
     import os
     import sys
 
     from mapreduceframework_cpp_spark.queries import (
-        ROUND5_ROTATION,
         ROUND6_ROTATION,
+        ROUND7_ROTATION,
         VERIFY_ROTATION,
     )
     from mapreduceframework_cpp_spark.registry import all_oracles
@@ -61,58 +80,61 @@ def test_registration_follows_verify_rotation():
     from tools.next_rotation import green_set
 
     registered = list(_QUERIES)
-    assert VERIFY_ROTATION is ROUND6_ROTATION  # the live window alias
-    assert registered[: len(ROUND6_ROTATION)] == ROUND6_ROTATION
-    # 51 committed names; the driver's 50-slot window takes the first
-    # 50 and the last (q_geo_grid_clusters) spills to round 7.
-    assert len(ROUND6_ROTATION) == 51
-    assert ROUND6_ROTATION[-1] == "q_geo_grid_clusters"
-    # window entries are unique
-    assert len(set(ROUND6_ROTATION)) == len(ROUND6_ROTATION)
+    assert VERIFY_ROTATION is ROUND7_ROTATION  # the live window alias
+    assert registered[: len(ROUND7_ROTATION)] == ROUND7_ROTATION
+    assert len(ROUND7_ROTATION) == 50
+    assert len(set(ROUND7_ROTATION)) == 50
 
     oracles = set(all_oracles())
-    # frozen artifacts, never change after their round lands
+    # the round-6 reds, derived from the frozen artifact: SQL-oracle
+    # rows that ran clean but hash-failed (the DECIMAL-output class)
+    r06 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r06.json")))
+    reds = [
+        n
+        for n in ROUND6_ROTATION
+        if n in r06
+        and n in oracles
+        and not r06[n].get("err")
+        and not r06[n].get("hash_match")
+    ]
+    assert reds, "artifact drift: no round-6 reds found"
+    assert ROUND7_ROTATION[: len(reds)] == reds
+    # next slot: the round-6 spill — the only registered query with no
+    # driver row in ANY round's artifact
+    assert ROUND7_ROTATION[len(reds)] == "q_geo_grid_clusters"
+    never_rowed = [
+        q
+        for q in registered
+        if not any(
+            q
+            in json.load(
+                open(os.path.join(repo_root, f"CORRECTNESS_{r}.json"))
+            )
+            for r in ("r01", "r02", "r03", "r04", "r05", "r06")
+        )
+    ]
+    assert never_rowed == ["q_geo_grid_clusters"]
+
+    # cumulative evidence: every registered query is driver-green
+    # except exactly the reds + the spill, and all of those lead the
+    # live window (the drain invariant, round-7 form)
     green = green_set(
         [
             os.path.join(repo_root, f"CORRECTNESS_{r}.json")
-            for r in ("r01", "r02", "r03", "r04", "r05")
+            for r in ("r01", "r02", "r03", "r04", "r05", "r06")
         ],
         oracles,
     )
-    assert not green & set(ROUND6_ROTATION), (
-        "round-6 window must only hold previously-unproven queries; "
-        f"already green: {sorted(green & set(ROUND6_ROTATION))}"
-    )
-    # round 5 came back 50/50 green, so the committed two-window drain
-    # plan held: the r6 window is EXACTLY the remaining backlog — every
-    # registered query is either driver-green already or in this window.
-    assert not set(ROUND5_ROTATION) & set(ROUND6_ROTATION)
-    assert set(ROUND5_ROTATION) <= green
     unproven = [q for q in registered if q not in green]
-    assert sorted(unproven) == sorted(ROUND6_ROTATION)
+    assert sorted(unproven) == sorted(reds + ["q_geo_grid_clusters"])
+    assert set(unproven) <= set(ROUND7_ROTATION[: len(reds) + 1])
 
-    # the committed round-7 plan: the round-6 spill first, then 49
-    # re-confirmations of the OLDEST driver evidence (round-1 greens in
-    # their r01 verification order, topped up from round 2) — a full
-    # unique 50-slot window with no unproven query left out.
-    from mapreduceframework_cpp_spark.queries import ROUND7_ROTATION
-
-    assert len(ROUND7_ROTATION) == 50
-    assert len(set(ROUND7_ROTATION)) == 50
-    assert ROUND7_ROTATION[0] == "q_geo_grid_clusters"
+    # re-confirm slots: all carry round-1 evidence (oldest-first
+    # policy; the four r1/r2 names displaced by the red-requeue move
+    # to round 8)
     g1 = green_set([os.path.join(repo_root, "CORRECTNESS_r01.json")], oracles)
-    g12 = green_set(
-        [
-            os.path.join(repo_root, f"CORRECTNESS_{r}.json")
-            for r in ("r01", "r02")
-        ],
-        oracles,
-    )
-    rest = ROUND7_ROTATION[1:]
-    # every re-confirm slot carries round-1 or round-2 evidence, and all
-    # 47 round-1 greens are included (oldest-first policy, no gaps)
-    assert set(rest) <= g12
-    assert g1 <= set(rest)
+    rest = ROUND7_ROTATION[len(reds) + 1 :]
+    assert set(rest) <= g1
 
 
 def test_readme_counts_match_registry():
