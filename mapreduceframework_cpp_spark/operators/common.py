@@ -19,18 +19,38 @@ _EXCHANGE_NODES = re.compile(
     r"^[\s+:\-]*(Join\b|Aggregate\b|Distinct\b|Deduplicate\b|"
     r"Repartition\w*|RebalancePartitions\b|Window\b|Sort\b|"
     r"GlobalLimit\b|Intersect\b|Except\b|CoGroup\w*|FlatMapGroups\w*|"
-    r"FlatMapCoGroups\w*|MapGroups\w*)",
+    # hints can carry an exchange too (df.hint('repartition'/'rebalance')
+    # analyzes to ResolvedHint / UnresolvedHint — ADVICE r6)
+    r"FlatMapCoGroups\w*|MapGroups\w*|ResolvedHint\b|UnresolvedHint\b)",
     re.MULTILINE,
 )
 
 
 def _exchange_bearing(df: DataFrame) -> bool:
-    """True if the ANALYZED logical plan contains an exchange-introducing
-    node. Pure plan inspection — analysis never runs a job (unlike
-    ``df.rdd``, which under AQE materializes every upstream query stage
-    the moment the plan holds an exchange)."""
-    plan = df._jdf.queryExecution().analyzed().treeString()
-    return bool(_EXCHANGE_NODES.search(plan))
+    """True if the plan contains (or compiles to) an exchange.
+
+    Two layers (ADVICE r6 — the allowlist alone is falsifiable by any
+    node it doesn't name, and a false NEGATIVE re-exposes the
+    df.rdd/AQE eager-materialization hazard the guard exists for):
+
+    1. The ANALYZED logical plan against the node allowlist — cheapest,
+       no physical planning.
+    2. If that says clean, the COMPILED physical plan
+       (``executedPlan`` — the AQE wrapper BEFORE any stage runs; NOT
+       ``sparkPlan``, which predates EnsureRequirements and so never
+       contains an Exchange) is searched for ``Exchange``. Plan
+       compilation only, the same work ``.explain()`` does — verified
+       job-free via statusTracker, including for broadcast joins
+       (BroadcastExchange builds lazily). Exhaustive by construction:
+       whatever logical node introduced the shuffle must surface as an
+       Exchange operator here.
+
+    Only a plan both layers call exchange-free reaches the ``df.rdd``
+    width probe in :func:`spread`, where probing is genuinely free."""
+    qe = df._jdf.queryExecution()
+    if _EXCHANGE_NODES.search(qe.analyzed().treeString()):
+        return True
+    return "Exchange" in qe.executedPlan().treeString()
 
 
 def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:

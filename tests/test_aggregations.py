@@ -3,17 +3,21 @@ from __future__ import annotations
 from mapreduceframework_cpp_spark.registry import all_queries
 
 
-def test_approx_distinct_within_2_5pct(spark, oracle_sf_dir, duck):
-    """approx_count_distinct (HLL++) vs exact — tightened from 5% in
-    r6: measured relative error at sf0.01 is 0.95%, and the operator's
-    configured rsd is 0.02, so 2.5% keeps honest statistical margin
-    without hiding a mis-configured sketch."""
+def test_approx_distinct_within_4pct(spark, oracle_sf_dir, duck):
+    """approx_count_distinct (HLL++) vs exact. The sketch is configured
+    with rsd=0.02, so the bound is 4% = 2 sigma (ADVICE r6: the earlier
+    2.5% bound left only ~1.25 sigma of headroom — deterministic for
+    the frozen dataset, but a testdata regeneration or a Spark HLL++
+    change could legitimately exceed it with no real bug). Measured
+    relative error at sf0.01 is 0.95%; 2 sigma still fails loudly on a
+    mis-configured sketch (rsd 0.05 would sit at ~2.5 sigma of ITS
+    noise inside 4% only by luck)."""
     approx = (
         all_queries()["q_agg_approx_distinct"](spark, oracle_sf_dir)
         .collect()[0]["approx_parts"]
     )
     exact = duck.execute("SELECT count(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
-    assert abs(approx - exact) / exact <= 0.025, (approx, exact)
+    assert abs(approx - exact) / exact <= 0.04, (approx, exact)
 
 
 def test_approx_quantile_within_1pct(spark, oracle_sf_dir, duck):

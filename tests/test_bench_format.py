@@ -53,10 +53,14 @@ def test_emit_final_line_is_short_and_parseable(tmp_path, monkeypatch):
 def test_emit_sentinel_verdict(tmp_path, monkeypatch):
     """The headline carries the two load-sensitive sentinel timings and
     an in-band/out-of-band verdict, so a driver-run artifact from a
-    noisy host is self-identifying (r6)."""
+    noisy host is self-identifying (r6). The bands are calibration DATA
+    loaded from bench_sentinels.json / $BENCH_SENTINEL_FILE (ADVICE r6:
+    hard-coded bands made every other host's clean run self-describe as
+    noisy); with no calibration file the verdict is None, never false."""
     monkeypatch.setattr(
         bench.os.path, "abspath", lambda _: str(tmp_path / "bench.py")
     )
+    monkeypatch.delenv("BENCH_SENTINEL_FILE", raising=False)
 
     def run(groupby, scan):
         timings = {"q_agg_groupby": groupby, "q_scan_parquet": scan,
@@ -64,6 +68,12 @@ def test_emit_sentinel_verdict(tmp_path, monkeypatch):
         with redirect_stdout(io.StringIO()):
             return bench.emit(timings, sf=0.1)
 
+    # no calibration file next to the script → verdict unknown
+    assert run(1.05, 0.15)["sentinel_ok"] is None
+
+    (tmp_path / "bench_sentinels.json").write_text(
+        '{"q_agg_groupby": [0.95, 1.25], "q_scan_parquet": [0.11, 0.19]}'
+    )
     quiet = run(1.05, 0.15)
     assert quiet["sentinels"] == {"q_agg_groupby": 1.05,
                                   "q_scan_parquet": 0.15}
@@ -74,3 +84,11 @@ def test_emit_sentinel_verdict(tmp_path, monkeypatch):
     with redirect_stdout(io.StringIO()):
         other_sf = bench.emit({"q_agg_groupby": 9.9}, sf=0.01)
     assert other_sf["sentinel_ok"] is None
+    # a malformed calibration file degrades to unknown, not a crash
+    (tmp_path / "bench_sentinels.json").write_text("{nope")
+    assert run(1.05, 0.15)["sentinel_ok"] is None
+    # env-var override wins over the script-adjacent file
+    alt = tmp_path / "alt.json"
+    alt.write_text('{"q_agg_groupby": [9.0, 9.5], "q_scan_parquet": [9.0, 9.5]}')
+    monkeypatch.setenv("BENCH_SENTINEL_FILE", str(alt))
+    assert run(1.05, 0.15)["sentinel_ok"] is False

@@ -339,6 +339,28 @@ def test_spread_noop_on_exchange_bearing_plans(spark, sf_dir):
     assert _exchange_bearing(grouped)
     assert spread(grouped) is grouped
 
+    # exchange-bearing HINTS analyze to ResolvedHint, not a node the
+    # r5 allowlist named — they must no-op too (ADVICE r6), via either
+    # the widened allowlist or the physical-plan Exchange backstop
+    for hint in ("repartition", "rebalance"):
+        hinted = docs.hint(hint)
+        assert _exchange_bearing(hinted), hint
+        assert spread(hinted) is hinted
+
+    # the physical backstop is exhaustive by construction: strip the
+    # allowlist entirely and an aggregate must STILL read as
+    # exchange-bearing through its compiled Exchange operator
+    import re as _re
+
+    from mapreduceframework_cpp_spark.operators import common as _c
+
+    orig = _c._EXCHANGE_NODES
+    _c._EXCHANGE_NODES = _re.compile(r"(?!x)x")  # matches nothing
+    try:
+        assert _exchange_bearing(agged)
+    finally:
+        _c._EXCHANGE_NODES = orig
+
 
 # ---------------------------------------------------------------------------
 # Degenerate-input robustness (r6): a 100 TB corpus always contains empty
