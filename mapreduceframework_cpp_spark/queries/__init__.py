@@ -145,6 +145,35 @@ ROUND7_ROTATION = [
         "q_sample_stratified", "q_scan_parquet", "q_scan_select_cols",
 ]
 
+#: round-8 window, committed in advance so round 8 is mechanical
+#: (standing pattern). Assumes round 7 comes back green; any red
+#: re-queues at the head per the standing policy, displacing the tail.
+#: Slots: the four oldest-evidence names the round-7 red-requeue
+#: displaced, then the round-2 greens in their CORRECTNESS_r02
+#: verification order (two of the displaced — q_case_expr,
+#: q_sort_multi — are themselves the first r2 greens), topped up from
+#: the first CORRECTNESS_r03 greens; 51 candidates, the last
+#: (q_emb_norm_stats's successor in r03 order) spills to round 9.
+ROUND8_ROTATION = [
+        "q_project_expr", "q_filter_pred", "q_case_expr",
+        "q_sort_multi", "q_sort_limit", "q_union_all",
+        "q_union_distinct", "q_intersect", "q_except",
+        "q_pivot", "q_unpivot", "q_str_funcs",
+        "q_str_regexp", "q_str_split_explode", "q_date_funcs",
+        "q_math_funcs", "q_json_funcs", "q_array_funcs",
+        "q_str_distance", "q_win_rank", "q_win_topk_group",
+        "q_win_lag_lead", "q_win_running", "q_win_range_frame",
+        "q_win_ntile_pct", "q_stream_tumbling", "q_stream_sliding",
+        "q_stream_session", "q_ts_gapfill", "q_udf_scalar",
+        "q_udaf_grouped", "q_udtf_flatmap", "q_agg_collect",
+        "q_text_repetition", "q_text_contamination", "q_text_length_hist",
+        "q_sample_hash_per_group", "q_mm_frames", "q_dedup_incremental",
+        "q_agg_stats", "q_agg_minmax_by", "q_udtf_native",
+        "q_win_dedup", "q_events_sessionize", "q_events_funnel",
+        "q_events_retention", "q_corpus_mixture", "q_tok_pack_shards",
+        "q_text_tfidf", "q_emb_centroid",
+]
+
 #: Alias kept so callers/tests address "the live window" uniformly
 #: across rounds.
 VERIFY_ROTATION = ROUND7_ROTATION

@@ -136,6 +136,26 @@ def test_registration_follows_verify_rotation():
     rest = ROUND7_ROTATION[len(reds) + 1 :]
     assert set(rest) <= g1
 
+    # the committed round-8 plan: a unique 50-slot window, disjoint
+    # from round 7, leading with the four displaced oldest-evidence
+    # names, every slot carrying r1/r2/r3 driver evidence
+    from mapreduceframework_cpp_spark.queries import ROUND8_ROTATION
+
+    assert len(ROUND8_ROTATION) == 50
+    assert len(set(ROUND8_ROTATION)) == 50
+    assert not set(ROUND8_ROTATION) & set(ROUND7_ROTATION)
+    assert ROUND8_ROTATION[:4] == [
+        "q_project_expr", "q_filter_pred", "q_case_expr", "q_sort_multi"
+    ]
+    g123 = green_set(
+        [
+            os.path.join(repo_root, f"CORRECTNESS_{r}.json")
+            for r in ("r01", "r02", "r03")
+        ],
+        oracles,
+    )
+    assert set(ROUND8_ROTATION) <= g123
+
 
 def test_readme_counts_match_registry():
     """README's 'N of M registered queries are hash-verified' sentence
