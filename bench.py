@@ -316,6 +316,8 @@ def _load_sentinel_bands() -> dict[str, tuple[float, float]] | None:
     try:
         with open(path) as f:
             raw = json.load(f)
+        if not isinstance(raw, dict) or not raw:
+            return None  # top-level non-object (or empty) calibration
         return {n: (float(lo), float(hi)) for n, (lo, hi) in raw.items()}
     except (OSError, ValueError, TypeError):
         return None
@@ -346,9 +348,13 @@ def emit(timings: dict[str, float], sf: float | None) -> dict:
         if n in timings
     }
     bands = _load_sentinel_bands()
-    if bands is None or sf != 0.1 or set(bands) - set(sentinels):
-        sentinel_ok = None  # unknown: no calibration, wrong sf, or a
-        # sentinel left HEADLINE
+    # a verdict requires FULL two-way coverage: every calibrated band
+    # has a timing AND every sentinel has a band (code-review r7: a
+    # partial/empty calibration file must degrade to unknown, not
+    # vacuously certify an inflated run as clean)
+    if bands is None or sf != 0.1 or set(bands) != set(sentinels):
+        sentinel_ok = None  # unknown: no/partial calibration, wrong sf,
+        # or a sentinel left HEADLINE
     else:
         sentinel_ok = all(
             lo <= sentinels[n] <= hi for n, (lo, hi) in bands.items()

@@ -19,9 +19,17 @@ _EXCHANGE_NODES = re.compile(
     r"^[\s+:\-]*(Join\b|Aggregate\b|Distinct\b|Deduplicate\b|"
     r"Repartition\w*|RebalancePartitions\b|Window\b|Sort\b|"
     r"GlobalLimit\b|Intersect\b|Except\b|CoGroup\w*|FlatMapGroups\w*|"
-    # hints can carry an exchange too (df.hint('repartition'/'rebalance')
-    # analyzes to ResolvedHint / UnresolvedHint — ADVICE r6)
-    r"FlatMapCoGroups\w*|MapGroups\w*|ResolvedHint\b|UnresolvedHint\b)",
+    # NOTE deliberately NOT ResolvedHint: exchange-carrying hints never
+    # reach the analyzed plan as hints — ResolveCoalesceHints rewrites
+    # df.hint('repartition'/'rebalance') into RepartitionByExpression /
+    # RebalancePartitions during analysis (matched above; verified
+    # empirically). The ResolvedHint that DOES survive analysis is the
+    # join-STRATEGY family (F.broadcast / df.hint('broadcast')), whose
+    # bare plan is exchange-free — listing it would wrongly no-op
+    # spread() on a broadcast-tagged narrow scan, the exact pathology
+    # spread() exists to fix (code-review r7). Any hint that really
+    # compiles to a shuffle is caught by the executedPlan backstop.
+    r"FlatMapCoGroups\w*|MapGroups\w*)",
     re.MULTILINE,
 )
 

@@ -87,6 +87,19 @@ def test_emit_sentinel_verdict(tmp_path, monkeypatch):
     # a malformed calibration file degrades to unknown, not a crash
     (tmp_path / "bench_sentinels.json").write_text("{nope")
     assert run(1.05, 0.15)["sentinel_ok"] is None
+    # top-level non-object JSON must not crash emit() either — a raise
+    # here would discard the whole finished run's timings before the
+    # first stdout line (code-review r7)
+    (tmp_path / "bench_sentinels.json").write_text("[1, 2, 3]")
+    assert run(1.05, 0.15)["sentinel_ok"] is None
+    # empty or PARTIAL calibration degrades to unknown — it must never
+    # vacuously certify an inflated run as clean (code-review r7)
+    (tmp_path / "bench_sentinels.json").write_text("{}")
+    assert run(99.0, 99.0)["sentinel_ok"] is None
+    (tmp_path / "bench_sentinels.json").write_text(
+        '{"q_agg_groupby": [0.95, 1.25]}'
+    )
+    assert run(1.05, 99.0)["sentinel_ok"] is None
     # env-var override wins over the script-adjacent file
     alt = tmp_path / "alt.json"
     alt.write_text('{"q_agg_groupby": [9.0, 9.5], "q_scan_parquet": [9.0, 9.5]}')

@@ -100,19 +100,14 @@ def test_registration_follows_verify_rotation():
     assert reds, "artifact drift: no round-6 reds found"
     assert ROUND7_ROTATION[: len(reds)] == reds
     # next slot: the round-6 spill — the only registered query with no
-    # driver row in ANY round's artifact
+    # driver row in ANY round's artifact (artifacts loaded once, not
+    # re-parsed per query — code-review r7)
     assert ROUND7_ROTATION[len(reds)] == "q_geo_grid_clusters"
-    never_rowed = [
-        q
-        for q in registered
-        if not any(
-            q
-            in json.load(
-                open(os.path.join(repo_root, f"CORRECTNESS_{r}.json"))
-            )
-            for r in ("r01", "r02", "r03", "r04", "r05", "r06")
-        )
-    ]
+    ever_rowed: set[str] = set()
+    for r in ("r01", "r02", "r03", "r04", "r05", "r06"):
+        with open(os.path.join(repo_root, f"CORRECTNESS_{r}.json")) as f:
+            ever_rowed.update(json.load(f))
+    never_rowed = [q for q in registered if q not in ever_rowed]
     assert never_rowed == ["q_geo_grid_clusters"]
 
     # cumulative evidence: every registered query is driver-green

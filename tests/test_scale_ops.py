@@ -339,13 +339,24 @@ def test_spread_noop_on_exchange_bearing_plans(spark, sf_dir):
     assert _exchange_bearing(grouped)
     assert spread(grouped) is grouped
 
-    # exchange-bearing HINTS analyze to ResolvedHint, not a node the
-    # r5 allowlist named — they must no-op too (ADVICE r6), via either
-    # the widened allowlist or the physical-plan Exchange backstop
+    # exchange-bearing HINTS are rewritten during analysis into
+    # RepartitionByExpression / RebalancePartitions (ResolveCoalesceHints)
+    # — covered by the allowlist, no ResolvedHint entry needed
     for hint in ("repartition", "rebalance"):
         hinted = docs.hint(hint)
         assert _exchange_bearing(hinted), hint
         assert spread(hinted) is hinted
+
+    # a broadcast-STRATEGY hint is the ResolvedHint that survives
+    # analysis, and its bare plan is exchange-free: spread() must still
+    # fan the narrow scan out (code-review r7 — listing ResolvedHint in
+    # the allowlist silently serialized exactly this shape)
+    import pyspark.sql.functions as _F
+
+    tagged = _F.broadcast(docs)
+    assert not _exchange_bearing(tagged)
+    par = spark.sparkContext.defaultParallelism
+    assert spread(tagged).rdd.getNumPartitions() == par
 
     # the physical backstop is exhaustive by construction: strip the
     # allowlist entirely and an aggregate must STILL read as
