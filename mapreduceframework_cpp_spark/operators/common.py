@@ -33,6 +33,19 @@ _EXCHANGE_NODES = re.compile(
     re.MULTILINE,
 )
 
+#: nodes that are narrow by construction (no exchange can originate
+#: from them). When EVERY line of the analyzed plan is one of these,
+#: the plan is provably exchange-free and the physical-plan backstop
+#: can be skipped — this keeps the common spread() input (a scan
+#: projection, possibly filtered/exploded) at analyzed-plan-only cost
+#: (~0.1-0.2 s of executedPlan compilation per call measured at sf0.1
+#: on the 3-spread incremental-dedup query, interleaved A/B).
+_NARROW_NODES = re.compile(
+    r"^[\s+:\-]*(Project\b|Filter\b|Relation\b|LogicalRelation\b|"
+    r"SubqueryAlias\b|View\b|LocalRelation\b|Generate\b|"
+    r"UnresolvedRelation\b)"
+)
+
 
 def _exchange_bearing(df: DataFrame) -> bool:
     """True if the plan contains (or compiles to) an exchange.
@@ -53,11 +66,19 @@ def _exchange_bearing(df: DataFrame) -> bool:
        whatever logical node introduced the shuffle must surface as an
        Exchange operator here.
 
-    Only a plan both layers call exchange-free reaches the ``df.rdd``
+    Fast exit between the layers: when every analyzed-plan line is a
+    provably-narrow node (scan/project/filter/explode — the normal
+    spread() input), the plan cannot compile to an exchange and layer
+    2's physical compilation is skipped.
+
+    Only a plan these layers call exchange-free reaches the ``df.rdd``
     width probe in :func:`spread`, where probing is genuinely free."""
     qe = df._jdf.queryExecution()
-    if _EXCHANGE_NODES.search(qe.analyzed().treeString()):
+    tree = qe.analyzed().treeString()
+    if _EXCHANGE_NODES.search(tree):
         return True
+    if all(_NARROW_NODES.match(ln) for ln in tree.splitlines() if ln.strip()):
+        return False
     return "Exchange" in qe.executedPlan().treeString()
 
 
