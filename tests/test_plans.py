@@ -499,3 +499,28 @@ def test_knn_edge_build_spreads_on_group_key(spark, sf_dir):
     p = plan(_Q["q_graph_triangles"](spark, sf_dir))
     assert "REPARTITION_BY_NUM" in p, p
     assert "hashpartitioning(l_partkey" in p, p
+
+
+def test_geo_cell_density_partial_aggregates(spark, sf_dir):
+    """Cell density is one scan + one shuffle on <=2,592 cell keys, and
+    the count/sum must partial-aggregate map-side so the exchange moves
+    pre-reduced cells, not raw points (the round-7 cents reshape must
+    not have cost the combine)."""
+    import re as _re
+
+    p = plan(_Q["q_geo_cell_density"](spark, sf_dir), "simple")
+    assert "partial_count" in p, p
+    assert "partial_sum" in p, p
+    n = len(_re.findall(r"Exchange (?:hash|range|Single)", p))
+    assert n == 1, p
+
+
+def test_incr_agg_retract_single_final_exchange(spark, sf_dir):
+    """Retractable aggregate maintenance: each of the three signed
+    partial-state legs pre-aggregates on its own side, the union
+    re-reduces, and the plan carries NO sort-merge join — the
+    delete-set membership check must stay a broadcast/hash shape so the
+    orders fact never shuffles on o_orderkey for it."""
+    p = plan(_Q["q_incr_agg_retract"](spark, sf_dir), "simple")
+    assert "partial_count" in p or "partial_sum" in p, p
+    assert "SortMergeJoin" not in p, p
