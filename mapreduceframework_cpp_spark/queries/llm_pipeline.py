@@ -49,6 +49,7 @@ from mapreduceframework_cpp_spark.operators.similarity import (
     lsh_topk,
 )
 from mapreduceframework_cpp_spark.operators.text import (
+    _LANG_PROFILES,
     fingerprints,
     lang_id,
     quality_scores,
@@ -352,9 +353,58 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(tbl(spark, sf_dir, "documents"))
 
 
-@query("q_text_langid")  # rows-only: data-driven Python (mapInPandas)
+#: (lang, bigram) profile rows for the lang-id oracle, generated from
+#: the SAME constant the engine scores with — one source of truth.
+_LANG_PROFILE_VALUES = ", ".join(
+    f"('{lang}', '{bg}')"
+    for lang in sorted(_LANG_PROFILES)
+    for bg in _LANG_PROFILES[lang]
+)
+
+_LANGID_ORACLE = f"""
+    WITH langs(lang) AS (
+      VALUES {", ".join(f"('{lg}')" for lg in sorted(_LANG_PROFILES))}),
+    prof(lang, bg) AS (VALUES {_LANG_PROFILE_VALUES}),
+    d AS (SELECT doc_id,
+                 translate(coalesce(text, ''),
+                           'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                           'abcdefghijklmnopqrstuvwxyz') AS t
+          FROM documents),
+    g AS (
+      SELECT d.doc_id, substr(d.t, CAST(u.i AS INTEGER), 2) AS bg
+      FROM d, unnest(range(1, greatest(length(d.t) - 1, 0) + 1)) AS u(i)),
+    hits AS (
+      SELECT g.doc_id, p.lang, count(*) AS h
+      FROM g JOIN prof p ON p.bg = g.bg GROUP BY 1, 2),
+    scored AS (
+      SELECT d.doc_id, l.lang,
+             CAST(coalesce(h.h, 0) AS BIGINT) AS h,
+             CAST(greatest(length(d.t) - 1, 1) AS BIGINT) AS grams
+      FROM d CROSS JOIN langs l
+      LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = l.lang),
+    best AS (
+      SELECT doc_id, lang, h, grams,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY h DESC, lang ASC) AS rn
+      FROM scored)
+    SELECT doc_id, lang AS lang_pred,
+           CAST((h * 2000000 + grams) // (2 * grams) AS DOUBLE) / 1e4
+             AS lang_score
+    FROM best WHERE rn = 1
+"""
+
+
+@query("q_text_langid", oracle=_LANGID_ORACLE)
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-bigram language ID, Arrow-batched mapInPandas."""
+    """Character-bigram language ID, Arrow-batched mapInPandas (the
+    engine path stays a data-driven Python UDF — that surface is the
+    operator's point). Upgraded from rows-only to hash-gradeable in r7:
+    the per-doc denominator is constant, so the Python argmax over
+    float scores ≡ an integer argmax over hit counts, which the oracle
+    restates relationally (bigram enumeration → profile join → count →
+    row_number with the same (hits DESC, lang ASC) tie-break), and the
+    4dp score is the repo's exact half-up integer grid in both
+    engines — Python round()'s half-even ties would diverge."""
     return lang_id(tbl(spark, sf_dir, "documents"))
 
 

