@@ -114,13 +114,15 @@ ROUND6_ROTATION = [
 #: this window, re-shaped to exact BIGINT cents (tests/_compare.py now
 #: rejects any DECIMAL output column so the class is dead). Slot 5 is
 #: q_geo_grid_clusters — the round-6 spill, still the only query with
-#: no driver row ever. The remaining 45 re-confirm the queries whose
-#: driver evidence is OLDEST (round-1 greens in their r01 verification
-#: order; q_text_quality matters most — its score grid silently went
-#: DECIMAL in a round-5 refactor and is double again as of this round).
-#: The four oldest-evidence names the red-requeue displaced
-#: (q_project_expr, q_filter_pred, q_case_expr, q_sort_multi) move to
-#: the round-8 plan.
+#: no driver row ever. The rest re-confirm the queries whose driver
+#: evidence is OLDEST (round-1 greens in their r01 verification order;
+#: q_text_quality matters most — its score grid silently went DECIMAL
+#: in a round-5 refactor and is double again as of this round), except
+#: the final slot: q_graph_pagerank, this round's second rows-only →
+#: SQL-oracle upgrade (with q_text_langid, already in the window),
+#: which needs its first hash row. Displaced to the round-8 plan:
+#: q_project_expr, q_filter_pred, q_case_expr, q_sort_multi (by the
+#: red-requeue) and q_scan_select_cols (by the pagerank slot).
 ROUND7_ROTATION = [
         # -- round-6 reds, re-queued at the head (standing policy) -------
         "q_incr_join_view", "q_incr_agg_retract",
@@ -142,7 +144,9 @@ ROUND7_ROTATION = [
         "q_sim_lsh_topk", "q_text_stats", "q_text_tokens",
         "q_text_quality", "q_text_langid", "q_mm_decode",
         "q_sim_ivf_topk", "q_dedup_clusters", "q_pipeline_e2e",
-        "q_sample_stratified", "q_scan_parquet", "q_scan_select_cols",
+        "q_sample_stratified", "q_scan_parquet",
+        # -- r7 rows-only → SQL-oracle upgrade: first hash row needed --
+        "q_graph_pagerank",
 ]
 
 #: round-8 window, committed in advance so round 8 is mechanical
@@ -156,7 +160,11 @@ ROUND7_ROTATION = [
 #: (q_emb_norm_stats's successor in r03 order) spills to round 9.
 ROUND8_ROTATION = [
         "q_project_expr", "q_filter_pred", "q_case_expr",
-        "q_sort_multi", "q_sort_limit", "q_union_all",
+        "q_sort_multi",
+        # displaced from the round-7 window by the q_graph_pagerank
+        # oracle upgrade (r1 evidence, so it re-confirms here instead)
+        "q_scan_select_cols",
+        "q_sort_limit", "q_union_all",
         "q_union_distinct", "q_intersect", "q_except",
         "q_pivot", "q_unpivot", "q_str_funcs",
         "q_str_regexp", "q_str_split_explode", "q_date_funcs",
@@ -171,7 +179,7 @@ ROUND8_ROTATION = [
         "q_agg_stats", "q_agg_minmax_by", "q_udtf_native",
         "q_win_dedup", "q_events_sessionize", "q_events_funnel",
         "q_events_retention", "q_corpus_mixture", "q_tok_pack_shards",
-        "q_text_tfidf", "q_emb_centroid",
+        "q_text_tfidf",
 ]
 
 #: Alias kept so callers/tests address "the live window" uniformly

@@ -166,16 +166,57 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_graph_pagerank")  # rows-only: iterative + xxhash-derived graph
+def _pagerank_round(i: int) -> str:
+    """One chained-CTE power-iteration round of the pagerank oracle.
+    MATERIALIZED per round: without it DuckDB inlines the whole chain
+    into one expression tree (the q_graph_labelprop 70 GB-spill
+    lesson). Arithmetic mirrors operators/graph.py bit-for-bit:
+    `rank_q // deg` ≡ Spark's `div` on positive longs, and
+    `floor(0.85e0 * in_q)` is the SAME IEEE double multiply+floor the
+    engine runs (0.85e0 and Spark's 0.85 literal are the identical
+    nearest-double; in_q < 2^53 so the cast is exact)."""
+    return f"""
+    r{i + 1} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(150000000 + floor(0.85e0 * coalesce(s.in_q, 0))
+                  AS BIGINT) AS rank_q
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank_q // e.deg) AS in_q
+        FROM e JOIN r{i} r ON r.node = e.src GROUP BY 1) s
+      ON s.node = n.node)"""
+
+
+_PAGERANK_ORACLE = f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= 0.7),
+    ed AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+    e AS MATERIALIZED (
+      SELECT ed.src, ed.dst, deg.deg FROM ed JOIN deg USING (src)),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_q FROM nodes),
+    {",".join(_pagerank_round(i) for i in range(8))}
+    SELECT node, rank_q FROM r8
+"""
+
+
+@query("q_graph_pagerank", oracle=_PAGERANK_ORACLE)
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup graph (operators/graph.py): rank
     documents inside duplicate neighborhoods — the hub copy others
     derive from is a better canonical than min-id when provenance
     matters. Integer nano-rank power iteration: bit-identical on any
-    partitioning (tests/test_graph.py). Rows-only: iterative + the
-    LSH-derived edge set has no DuckDB equivalent; invariants
-    (determinism, mass conservation, hand-checked fixtures) are
-    pytest-bound instead."""
+    partitioning (tests/test_graph.py).
+
+    Upgraded from rows-only to hash-gradeable in r7: the LSH candidate
+    pass loses nothing at b=32/r=2 (miss probability ~4e-10 at s=0.7 —
+    q_dedup_near hash-matches the exact-Jaccard oracle at both sf0.01
+    and sf0.1), so the edge set IS the exact-Jaccard pair set and the
+    oracle restates it relationally; the 8 integer power-iteration
+    rounds are chained MATERIALIZED CTEs, and the query returns the
+    exact integer nano-rank (``raw_units=True`` — the hashable form
+    the operator was designed around) instead of a rounded double."""
     from mapreduceframework_cpp_spark.operators.dedup import minhash_lsh_near_dups
     from mapreduceframework_cpp_spark.operators.graph import pagerank
 
@@ -188,7 +229,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(
         pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
     )
-    return pagerank(edges, max_iter=8)
+    return pagerank(edges, max_iter=8, raw_units=True)
 
 
 @query(

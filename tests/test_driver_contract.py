@@ -125,7 +125,7 @@ def test_registration_follows_verify_rotation():
         oracles,
     )
     unproven = [q for q in registered if q not in green]
-    upgrades = ["q_text_langid"]
+    upgrades = ["q_text_langid", "q_graph_pagerank"]
     assert sorted(unproven) == sorted(
         reds + ["q_geo_grid_clusters"] + upgrades
     )
