@@ -105,7 +105,10 @@ ROUND6_ROTATION = [
         "q_geo_radius_join", "q_geo_grid_clusters",
 ]
 
-#: round-7 window (LIVE). CORRECTNESS_r06 came back 46/50 green with
+#: round-7 window (historical — CORRECTNESS_r07 landed clean: 44/44
+#: hash-green + 6 rows-only clean, zero reds; the four round-6
+#: DECIMAL reds all re-proved green after the BIGINT-cents reshape).
+#: Original plan: CORRECTNESS_r06 came back 46/50 green with
 #: FOUR hash-reds — q_incr_join_view, q_incr_agg_retract,
 #: q_sql_recursive, q_geo_cell_density — all the same root cause: a
 #: DECIMAL output column, which the driver's pandas value-hash can
@@ -149,9 +152,8 @@ ROUND7_ROTATION = [
         "q_graph_pagerank",
 ]
 
-#: round-8 window, committed in advance so round 8 is mechanical
-#: (standing pattern). Assumes round 7 comes back green; any red
-#: re-queues at the head per the standing policy, displacing the tail.
+#: round-8 window (LIVE). Round 7 came back all-green, so this runs
+#: exactly as pre-committed — no red re-queue needed.
 #: Slots: the four oldest-evidence names the round-7 red-requeue
 #: displaced, then the round-2 greens in their CORRECTNESS_r02
 #: verification order (two of the displaced — q_case_expr,
@@ -182,8 +184,42 @@ ROUND8_ROTATION = [
         "q_text_tfidf",
 ]
 
-#: Alias kept so callers/tests address "the live window" uniformly
-#: across rounds.
-VERIFY_ROTATION = ROUND7_ROTATION
+#: round-9 window, committed in advance so round 9 is mechanical
+#: (standing pattern). Derived from the seven CORRECTNESS artifacts:
+#: the remaining queries whose latest driver evidence is OLDEST, in
+#: that artifact's own verification order — the two round-8 spills
+#: (q_emb_centroid, q_emb_norm_stats — the last round-2 greens) first,
+#: then the CORRECTNESS_r03 greens in r03 order. Any round-8 red
+#: re-queues at the head per the standing policy, displacing the tail.
+#: After this window every query's evidence is round 4+ — the
+#: comparator-hardening era.
+ROUND9_ROTATION = [
+        # -- round-8 spill: the last two round-2 greens -------------------
+        "q_emb_centroid", "q_emb_norm_stats",
+        # -- CORRECTNESS_r03 greens in their r03 verification order -------
+        "q_text_pii_scrub", "q_text_quality_gates", "q_dataset_split",
+        "q_source_blocklist", "q_source_python", "q_json_variant",
+        "q_udaf_arrow", "q_join_asof_tol", "q_join_asof_fwd",
+        "q_join_interval_binned", "q_skew_keys", "q_ts_rollup_multi",
+        "q_agg_hll_rollup", "q_agg_approx_quantile", "q_agg_mode",
+        "q_sketch_countmin", "q_win_first_last", "q_win_distinct_count",
+        "q_text_fingerprint", "q_mm_features", "q_map_funcs",
+        "q_merge_upsert", "q_scd2_intervals", "q_ts_interpolate",
+        "q_text_bigram_lm", "q_tfidf_cosine", "q_dedup_cluster_sizes",
+        "q_sql_gateway", "q_stream_enrich", "q_events_p99_outliers",
+        "q_orders_rfm", "q_sample_weighted", "q_dup_rate_by_source",
+        "q_stream_stream_join", "q_emb_quantize_int8", "q_dq_audit",
+        "q_dedup_containment", "q_table_profile", "q_events_paths",
+        "q_events_cooccurrence", "q_events_value_hist",
+        "q_tpch_q7_shape", "q_tpch_q10_shape", "q_ts_ewma",
+        "q_graph_triangles", "q_dedup_editdist", "q_dedup_bow",
+        "q_text_ngram_topk",
+]
 
-registry.reorder(ROUND7_ROTATION)
+#: Alias kept so callers/tests address "the live window" uniformly
+#: across rounds. Round 8 is LIVE: CORRECTNESS_r07 came back clean
+#: (44/44 hash-green + 6 rows-only clean — zero reds), so the
+#: pre-committed round-8 window runs unmodified.
+VERIFY_ROTATION = ROUND8_ROTATION
+
+registry.reorder(ROUND8_ROTATION)

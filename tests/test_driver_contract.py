@@ -55,21 +55,23 @@ def test_output_columns_are_atomic(name, spark, sf_dir):
 def test_registration_follows_verify_rotation():
     """The verifier checks the first ~50 registered queries per round;
     queries/__init__.py declares the rotation explicitly. Guard that
-    registration actually honors it and that the live round-7 window
-    spends its slots per the standing policy: round-6 reds re-queued at
-    the head (derived HERE from the frozen CORRECTNESS_r06.json, so the
-    pinned list can't drift from the evidence), then the round-6 spill
-    (the one query with no driver row ever), then oldest-evidence
-    re-confirmations. The green fold is imported from
-    tools/next_rotation.py::green_set (ADVICE r4: a local copy of the
-    fold silently diverged from the CLI's policy)."""
+    registration actually honors it and that the live round-8 window
+    spends its slots per the standing policy. Round 7 landed with ZERO
+    reds (derived HERE from the frozen CORRECTNESS_r07.json, so the
+    claim can't drift from the evidence), so the pre-committed round-8
+    window runs unmodified: the four oldest-evidence names the round-7
+    red-requeue displaced, then round-2/3 greens oldest-first. The
+    green fold is imported from tools/next_rotation.py::green_set
+    (ADVICE r4: a local copy of the fold silently diverged from the
+    CLI's policy)."""
     import json
     import os
     import sys
 
     from mapreduceframework_cpp_spark.queries import (
-        ROUND6_ROTATION,
         ROUND7_ROTATION,
+        ROUND8_ROTATION,
+        ROUND9_ROTATION,
         VERIFY_ROTATION,
     )
     from mapreduceframework_cpp_spark.registry import all_oracles
@@ -80,76 +82,45 @@ def test_registration_follows_verify_rotation():
     from tools.next_rotation import green_set
 
     registered = list(_QUERIES)
-    assert VERIFY_ROTATION is ROUND7_ROTATION  # the live window alias
-    assert registered[: len(ROUND7_ROTATION)] == ROUND7_ROTATION
-    assert len(ROUND7_ROTATION) == 50
-    assert len(set(ROUND7_ROTATION)) == 50
+    assert VERIFY_ROTATION is ROUND8_ROTATION  # the live window alias
+    assert registered[: len(ROUND8_ROTATION)] == ROUND8_ROTATION
+    assert len(ROUND8_ROTATION) == 50
+    assert len(set(ROUND8_ROTATION)) == 50
+    assert not set(ROUND8_ROTATION) & set(ROUND7_ROTATION)
+    assert ROUND8_ROTATION[:5] == [
+        "q_project_expr", "q_filter_pred", "q_case_expr", "q_sort_multi",
+        "q_scan_select_cols",  # displaced by the r7 pagerank upgrade slot
+    ]
 
     oracles = set(all_oracles())
-    # the round-6 reds, derived from the frozen artifact: SQL-oracle
-    # rows that ran clean but hash-failed (the DECIMAL-output class)
-    r06 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r06.json")))
+    # round 7 landed clean: no SQL-oracle row in the live window ran
+    # without error yet hash-failed, so there is nothing to re-queue
+    r07 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r07.json")))
     reds = [
         n
-        for n in ROUND6_ROTATION
-        if n in r06
+        for n in ROUND7_ROTATION
+        if n in r07
         and n in oracles
-        and not r06[n].get("err")
-        and not r06[n].get("hash_match")
+        and not r07[n].get("err")
+        and not r07[n].get("hash_match")
     ]
-    assert reds, "artifact drift: no round-6 reds found"
-    assert ROUND7_ROTATION[: len(reds)] == reds
-    # next slot: the round-6 spill — the only registered query with no
-    # driver row in ANY round's artifact (artifacts loaded once, not
-    # re-parsed per query — code-review r7)
-    assert ROUND7_ROTATION[len(reds)] == "q_geo_grid_clusters"
-    ever_rowed: set[str] = set()
-    for r in ("r01", "r02", "r03", "r04", "r05", "r06"):
-        with open(os.path.join(repo_root, f"CORRECTNESS_{r}.json")) as f:
-            ever_rowed.update(json.load(f))
-    never_rowed = [q for q in registered if q not in ever_rowed]
-    assert never_rowed == ["q_geo_grid_clusters"]
+    assert reds == [], f"round-7 reds exist — re-queue them: {reds}"
 
-    # cumulative evidence: every registered query is driver-green
-    # except exactly the reds + the spill + the round-7 rows-only →
-    # SQL-oracle upgrade (q_text_langid gained an oracle in r7, so its
-    # historical rows-only-clean rows no longer satisfy the stricter
-    # hash policy — by design, it awaits its first hash row), and ALL
-    # of those sit inside the live window (the drain invariant,
-    # round-7 form)
+    # cumulative evidence through round 7: every registered query is
+    # driver-green (the drain invariant reached its fixed point in r7 —
+    # 280 hash-green + 16 rows-only clean, VERDICT r7)
     green = green_set(
         [
             os.path.join(repo_root, f"CORRECTNESS_{r}.json")
-            for r in ("r01", "r02", "r03", "r04", "r05", "r06")
+            for r in ("r01", "r02", "r03", "r04", "r05", "r06", "r07")
         ],
         oracles,
     )
     unproven = [q for q in registered if q not in green]
-    upgrades = ["q_text_langid", "q_graph_pagerank"]
-    assert sorted(unproven) == sorted(
-        reds + ["q_geo_grid_clusters"] + upgrades
-    )
-    assert set(unproven) <= set(ROUND7_ROTATION)
+    assert unproven == [], f"ungreen queries outside the window: {unproven}"
 
-    # re-confirm slots: all carry round-1 evidence (oldest-first
-    # policy; the four r1/r2 names displaced by the red-requeue move
-    # to round 8). The upgrade slot's r1 evidence was rows-only-grade,
-    # so it is exempted from the hash-green requirement here.
-    g1 = green_set([os.path.join(repo_root, "CORRECTNESS_r01.json")], oracles)
-    rest = ROUND7_ROTATION[len(reds) + 1 :]
-    assert set(rest) - set(upgrades) <= g1
-
-    # the committed round-8 plan: a unique 50-slot window, disjoint
-    # from round 7, leading with the four displaced oldest-evidence
-    # names, every slot carrying r1/r2/r3 driver evidence
-    from mapreduceframework_cpp_spark.queries import ROUND8_ROTATION
-
-    assert len(ROUND8_ROTATION) == 50
-    assert len(set(ROUND8_ROTATION)) == 50
-    assert not set(ROUND8_ROTATION) & set(ROUND7_ROTATION)
-    assert ROUND8_ROTATION[:4] == [
-        "q_project_expr", "q_filter_pred", "q_case_expr", "q_sort_multi"
-    ]
+    # round-8 slots are re-confirmations of the OLDEST evidence rows:
+    # every slot carries r1/r2/r3 driver evidence
     g123 = green_set(
         [
             os.path.join(repo_root, f"CORRECTNESS_{r}.json")
@@ -158,6 +129,40 @@ def test_registration_follows_verify_rotation():
         oracles,
     )
     assert set(ROUND8_ROTATION) <= g123
+
+    # the committed round-9 plan: a unique 50-slot window, disjoint
+    # from rounds 7 and 8, leading with the two round-8 spills (the
+    # last round-2 greens), every slot carrying r2/r3 driver evidence
+    assert len(ROUND9_ROTATION) == 50
+    assert len(set(ROUND9_ROTATION)) == 50
+    assert not set(ROUND9_ROTATION) & set(ROUND8_ROTATION)
+    assert not set(ROUND9_ROTATION) & set(ROUND7_ROTATION)
+    assert ROUND9_ROTATION[:2] == ["q_emb_centroid", "q_emb_norm_stats"]
+    g23 = green_set(
+        [
+            os.path.join(repo_root, f"CORRECTNESS_{r}.json")
+            for r in ("r02", "r03")
+        ],
+        oracles,
+    )
+    assert set(ROUND9_ROTATION) <= g23
+    # and the round-9 window drains the remaining oldest rows: nothing
+    # OUTSIDE rounds 8+9 still has pre-r4 latest evidence, except what
+    # provably cannot fit (the pool is ordered, so overflow is empty
+    # when the two windows cover all ≤r3-latest rows)
+    latest: dict[str, int] = {}
+    for i, r in enumerate(("r01", "r02", "r03", "r04", "r05", "r06", "r07")):
+        rows = json.load(open(os.path.join(repo_root, f"CORRECTNESS_{r}.json")))
+        for name in rows:
+            latest[name] = i + 1
+    stale = {
+        q for q, rnd in latest.items() if rnd <= 3 and q in registered
+    }
+    uncovered = stale - set(ROUND8_ROTATION) - set(ROUND9_ROTATION)
+    assert len(uncovered) <= max(0, len(stale) - 100), (
+        "oldest-evidence rows left out of the next two windows",
+        sorted(uncovered)[:10],
+    )
 
 
 def test_readme_counts_match_registry():
