@@ -160,7 +160,12 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in it:
             preds, scores = [], []
             for text in pdf["text"]:
-                t = (text or "").translate(ascii_lower)
+                # isinstance, not truthiness (ADVICE r7): a non-None
+                # non-string null representation (float NaN in a pandas
+                # batch) is truthy and would AttributeError inside the
+                # UDF; the oracle's coalesce(text, '') treats every null
+                # form as empty, so match that for ANY non-string.
+                t = text.translate(ascii_lower) if isinstance(text, str) else ""
                 grams = [t[i : i + 2] for i in range(len(t) - 1)]
                 best_lang, best_hits = langs[0], -1
                 for lang in langs:

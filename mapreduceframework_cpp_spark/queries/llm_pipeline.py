@@ -355,15 +355,22 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: (lang, bigram) profile rows for the lang-id oracle, generated from
 #: the SAME constant the engine scores with — one source of truth.
+#: Single quotes are SQL-escaped by doubling (ADVICE r7): the current
+#: profiles are pure ASCII letters, but a future entry containing a
+#: quote must not silently break the oracle with a syntax error.
+def _sql_str(s: str) -> str:
+    return s.replace("'", "''")
+
+
 _LANG_PROFILE_VALUES = ", ".join(
-    f"('{lang}', '{bg}')"
+    f"('{_sql_str(lang)}', '{_sql_str(bg)}')"
     for lang in sorted(_LANG_PROFILES)
     for bg in _LANG_PROFILES[lang]
 )
 
 _LANGID_ORACLE = f"""
     WITH langs(lang) AS (
-      VALUES {", ".join(f"('{lg}')" for lg in sorted(_LANG_PROFILES))}),
+      VALUES {", ".join(f"('{_sql_str(lg)}')" for lg in sorted(_LANG_PROFILES))}),
     prof(lang, bg) AS (VALUES {_LANG_PROFILE_VALUES}),
     d AS (SELECT doc_id,
                  translate(coalesce(text, ''),

@@ -189,7 +189,12 @@ def _pagerank_round(i: int) -> str:
 _PAGERANK_ORACLE = f"""
     WITH {_SHINGLE_CTE},
     pairs AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= 0.7),
-    ed AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    -- MATERIALIZED (ADVICE r7): ed is referenced by deg, e AND nodes;
+    -- left inline, DuckDB may re-run the whole shingle/Jaccard pipeline
+    -- once per reference — the exact CTE-inlining blowup the
+    -- _pagerank_round docstring warns about (perf only, values equal).
+    ed AS MATERIALIZED (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
            UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
     deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
     e AS MATERIALIZED (

@@ -29,28 +29,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     import bench
-    from pyspark.sql import SparkSession
+    from mapreduceframework_cpp_spark.operators.common import release_persisted
+    from mapreduceframework_cpp_spark.session import get_spark
 
     bands = bench._load_sentinel_bands()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .appName("bench-probe")
-        .getOrCreate()
-    )
+    # measure under EXACTLY the engine bench.py runs (ADVICE r7: a bare
+    # builder misses RUNTIME_CONFS — AQE/Arrow/UTC — plus the broadcast
+    # threshold and driver memory, so probe timings sat under different
+    # configs than the calibration bands they gate)
+    spark = get_spark("bench-probe")
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as e
 
     qs = e.queries()
+    # same JVM/codegen warm-up as bench.py so the first timed run isn't
+    # paying session startup
+    bench._force(qs["q_scan_select_cols"](spark, sf_dir))
+
     vals: dict[str, float] = {}
     for name in ("q_agg_groupby", "q_scan_parquet"):
         best = float("inf")
         for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            t0 = time.perf_counter()
+            bench._force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            release_persisted()
         vals[name] = round(best, 3)
     if bands is None or set(bands) != set(vals):
         print(f"probe {vals} verdict=unknown (no/partial calibration)")
