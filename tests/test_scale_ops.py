@@ -373,6 +373,54 @@ def test_spread_noop_on_exchange_bearing_plans(spark, sf_dir):
         _c._EXCHANGE_NODES = orig
 
 
+def test_exchange_backstop_memoizes_by_plan(spark, sf_dir):
+    """The layer-2 physical-compilation verdict is cached by
+    (applicationId, analyzed-plan text) — composed pipelines call
+    spread() repeatedly on identical plans and each executedPlan
+    compile costs ~0.1-0.2 s (VERDICT r7 item 7). Prove the cache is
+    (a) consulted: a seeded verdict short-circuits the compile;
+    (b) written: a backstop-reaching plan leaves exactly its key behind;
+    (c) bounded: inserts at capacity evict FIFO."""
+    import re as _re
+
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.operators import common as _c
+    from mapreduceframework_cpp_spark.operators.common import _exchange_bearing
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    agged = docs.groupBy("lang").agg(F.count("*").alias("n"))
+
+    # force the aggregate past layer 1 so it must reach the backstop
+    orig = _c._EXCHANGE_NODES
+    _c._EXCHANGE_NODES = _re.compile(r"(?!x)x")
+    saved = dict(_c._BACKSTOP_CACHE)
+    try:
+        _c._BACKSTOP_CACHE.clear()
+        assert _exchange_bearing(agged)  # live compile
+        app = spark.sparkContext.applicationId
+        tree = agged._jdf.queryExecution().analyzed().treeString()
+        assert _c._BACKSTOP_CACHE == {(app, tree): True}  # (b) written
+
+        # (a) consulted: a poisoned entry is believed without recompiling
+        _c._BACKSTOP_CACHE[(app, tree)] = False
+        assert not _exchange_bearing(agged)
+
+        # (c) bounded: fill to capacity, insert once more, oldest falls out
+        _c._BACKSTOP_CACHE.clear()
+        for i in range(_c._BACKSTOP_CACHE_MAX):
+            _c._BACKSTOP_CACHE[("app", str(i))] = True
+        assert _exchange_bearing(agged)
+        assert len(_c._BACKSTOP_CACHE) == _c._BACKSTOP_CACHE_MAX
+        assert ("app", "0") not in _c._BACKSTOP_CACHE
+        assert _c._BACKSTOP_CACHE[(app, tree)] is True
+    finally:
+        _c._EXCHANGE_NODES = orig
+        _c._BACKSTOP_CACHE.clear()
+        _c._BACKSTOP_CACHE.update(saved)
+
+
 # ---------------------------------------------------------------------------
 # Degenerate-input robustness (r6): a 100 TB corpus always contains empty
 # documents and zero embeddings. Every one of these cases previously killed
