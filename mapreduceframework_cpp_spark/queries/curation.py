@@ -266,7 +266,43 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sketch_countmin")  # rows-only: xxhash64 has no DuckDB equivalent
+@query(
+    "q_sketch_countmin",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    rws(row) AS (SELECT unnest(range(0, 4))),
+    b AS (
+      SELECT CAST('0x' || substr(md5(token), 1 + 8 * CAST(row AS INTEGER), 8)
+                  AS BIGINT) % 1024 AS bucket,
+             row
+      FROM tok CROSS JOIN rws
+    ),
+    counters AS (
+      SELECT row, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT token,
+             CAST('0x' || substr(md5(token), 1 + 8 * CAST(row AS INTEGER), 8)
+                  AS BIGINT) % 1024 AS bucket,
+             row
+      FROM (SELECT DISTINCT token FROM tok) CROSS JOIN rws
+    ),
+    est AS (
+      SELECT pb.token, min(coalesce(c.cnt, 0)) AS est
+      FROM pb LEFT JOIN counters c USING (row, bucket)
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT token, CAST(est AS BIGINT) AS est,
+             row_number() OVER (ORDER BY est DESC, token) AS rk
+      FROM est
+    )
+    SELECT token, est, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20
+    """,
+)
 def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (operators/sketch.py): token frequencies of the
     corpus estimated from a 4×1024 counter matrix instead of an exact
@@ -274,7 +310,16 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     would not fit aggregate state. Returns the top-20 tokens by
     estimate (deterministic tie-break). Tests assert the sketch
     guarantee (estimate ≥ truth, bounded overestimate) vs exact
-    counts."""
+    counts.
+
+    Upgraded from rows-only to hash-gradeable in r8 (the VERDICT r7
+    item-6 playbook): the sketch's hash family is now the md5-word
+    construction (operators/sketch.py — one digest per occurrence, its
+    four 32-bit hex words are the four row hashes), which DuckDB
+    reproduces bit-for-bit via ``CAST('0x' || substr(md5(t), 1+8i, 8)
+    AS BIGINT)`` (parity probed across unicode/empty/long tokens), so
+    the whole counter matrix, every estimate, and the top-20 ranking
+    hash-match a full relational restatement."""
     from mapreduceframework_cpp_spark.operators.sketch import (
         count_min_counters,
         count_min_estimate,
