@@ -9,19 +9,23 @@ overestimate of the true count (collisions only add), within eps·N
 (eps = e/w) with probability 1 - delta (delta = e^-d) [Cormode &
 Muthukrishnan 2005].
 
-Hash family (r8, portable by design): row i's hash is the i-th 32-bit
-word of an md5 digest of the key — ``conv(substr(md5(k), 1+8i, 8), 16,
-10)`` — i.e. ONE digest per occurrence yields four row hashes (the
-standard split-one-digest construction, cf. Kirsch & Mitzenmacher's
-double hashing for Bloom filters). Rows beyond 4 chain salted digests
-``md5(k || ':' || block)``. This replaced seeded xxhash64 so the sketch
-is reproducible OUTSIDE Spark: any engine with md5 + base conversion
-(DuckDB, Trino, Postgres) derives bit-identical counters, which is what
-lets q_sketch_countmin carry a full SQL value oracle instead of a
-rows-only check. Cost at scale: one md5 per occurrence (~a few hundred
-ns on short tokens) amortized over all d rows, versus d seeded
-xxhash64 calls before — a wash for d=4, and the counters themselves
-still bound shuffle and state at d·w rows.
+Hash family (r8, portable by design): one base value per key — the
+top 60 bits of its md5 digest, ``conv(substr(md5(k), 1, 15), 16, 10)``
+— then row i's hash is the Carter–Wegman universal family
+``(a_i·x + b_i) mod P`` over ``x = base mod P`` with the Mersenne
+prime P = 2^31 − 1 and per-row constants derived arithmetically from
+``i`` (so any depth works, no salted-digest chaining). This replaced
+seeded xxhash64 so the sketch is reproducible OUTSIDE Spark: any
+engine with md5 + base conversion (DuckDB, Trino, Postgres) derives
+bit-identical counters, which is what lets q_sketch_countmin carry a
+full SQL value oracle instead of a rows-only check. Cost at scale:
+ONE md5 + ONE hex parse per occurrence amortized over all d rows plus
+d integer multiply-mods (profiled 0.34 s vs 0.13 s for d seeded
+xxhash64 calls over 270k occurrences — hex parsing d times instead
+was 0.58 s, which is why the words-of-one-digest construction was
+rejected); the counters themselves still bound shuffle and state at
+d·w rows. Every multiply stays under 2^62 (P² < 2^62), so ANSI-mode
+overflow checking never fires.
 
 Everything is shuffle-lean DataFrame algebra:
 - building = one explode(d) + one group-by over (row, bucket): at most
@@ -39,27 +43,32 @@ to then JOIN them against queries (SURVEY.md §2.1).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 
 
-def _digests(key: Column, depth: int) -> Column:
-    """Array of the ceil(depth/4) hex digests the row hashes are cut
-    from: ``md5(k)`` then salted ``md5(k || ':' || block)``. For the
-    common depth ≤ 4 this is a single-element array — one md5 per
-    input row total."""
-    blocks = (depth + 3) // 4
-    return F.array(
-        F.md5(key),
-        *[F.md5(F.concat(key, F.lit(f":{b}"))) for b in range(1, blocks)],
-    )
+#: Mersenne prime for the Carter–Wegman row hashes; (P-1)² < 2^62 so
+#: every intermediate product fits BIGINT with ANSI headroom.
+CMS_P = 2_147_483_647
+#: multiplier/offset seeds the per-row constants derive from
+CMS_A = 1_103_515_245
+CMS_B1, CMS_B2 = 12_345, 104_729
 
-
-#: row hash from the exploded (``_digs``, ``row``) frame: the row-th
-#: 32-bit word of the row's block digest, as a non-negative BIGINT.
-_WORD = (
-    "CAST(conv(substring(element_at(_digs, 1 + CAST(row / 4 AS INT)), "
-    "1 + 8 * pmod(row, 4), 8), 16, 10) AS BIGINT)"
+#: row hash from an exploded frame carrying ``_base`` (computed ONCE
+#: per input row, below the generate) and ``row``:
+#: bucket = ((a_row · (base mod P) + b_row) mod P) mod width, with
+#: a_row = (A·(row+1)) mod P and b_row = B1 + B2·row. All-BIGINT
+#: arithmetic, identical text and semantics in DuckDB (non-negative
+#: operands, so pmod ≡ %). The CAST(... AS BIGINT) wrappers keep
+#: ANSI int32 literal arithmetic from overflowing (A·4 > 2^31).
+_ROW_HASH = (
+    f"pmod(pmod(pmod(CAST({CMS_A} AS BIGINT) * (row + 1), {CMS_P})"
+    f" * pmod(_base, {CMS_P}) + {CMS_B1} + CAST({CMS_B2} AS BIGINT) * row,"
+    f" {CMS_P}), {{width}})"
 )
+
+#: the base-value projection: top 60 bits of the key's md5, hex-parsed
+#: once per key (hex parsing is the expensive step — see module doc)
+_BASE = "CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
 
 
 def count_min_counters(
@@ -71,9 +80,9 @@ def count_min_counters(
     carries counters, not occurrences."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     return (
-        df.select(_digests(F.col(col), depth).alias("_digs"))
-        .select("_digs", rows)
-        .select("row", F.pmod(F.expr(_WORD), F.lit(width)).alias("bucket"))
+        df.select(F.expr(_BASE.format(col=col)).alias("_base"))
+        .select("_base", rows)
+        .select("row", F.expr(_ROW_HASH.format(width=width)).alias("bucket"))
         .groupBy("row", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -90,13 +99,13 @@ def count_min_estimate(
         .distinct()
         .select(
             "key",
-            _digests(F.col("key"), depth).alias("_digs"),
+            F.expr(_BASE.format(col="key")).alias("_base"),
             F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
         )
         .select(
             "key",
             "row",
-            F.pmod(F.expr(_WORD), F.lit(width)).alias("bucket"),
+            F.expr(_ROW_HASH.format(width=width)).alias("bucket"),
         )
     )
     return (

@@ -274,21 +274,35 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     rws(row) AS (SELECT unnest(range(0, 4))),
+    bs AS (
+      SELECT token,
+             CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+               % 2147483647 AS x
+      FROM tok
+    ),
     b AS (
-      SELECT CAST('0x' || substr(md5(token), 1 + 8 * CAST(row AS INTEGER), 8)
-                  AS BIGINT) % 1024 AS bucket,
+      SELECT ((CAST(1103515245 AS BIGINT) * (row + 1) % 2147483647) * x
+              + 12345 + CAST(104729 AS BIGINT) * row)
+             % 2147483647 % 1024 AS bucket,
              row
-      FROM tok CROSS JOIN rws
+      FROM bs CROSS JOIN rws
     ),
     counters AS (
       SELECT row, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
     ),
+    pbs AS (
+      SELECT token,
+             CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+               % 2147483647 AS x
+      FROM (SELECT DISTINCT token FROM tok)
+    ),
     pb AS (
       SELECT token,
-             CAST('0x' || substr(md5(token), 1 + 8 * CAST(row AS INTEGER), 8)
-                  AS BIGINT) % 1024 AS bucket,
+             ((CAST(1103515245 AS BIGINT) * (row + 1) % 2147483647) * x
+              + 12345 + CAST(104729 AS BIGINT) * row)
+             % 2147483647 % 1024 AS bucket,
              row
-      FROM (SELECT DISTINCT token FROM tok) CROSS JOIN rws
+      FROM pbs CROSS JOIN rws
     ),
     est AS (
       SELECT pb.token, min(coalesce(c.cnt, 0)) AS est
@@ -313,13 +327,14 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts.
 
     Upgraded from rows-only to hash-gradeable in r8 (the VERDICT r7
-    item-6 playbook): the sketch's hash family is now the md5-word
-    construction (operators/sketch.py — one digest per occurrence, its
-    four 32-bit hex words are the four row hashes), which DuckDB
-    reproduces bit-for-bit via ``CAST('0x' || substr(md5(t), 1+8i, 8)
-    AS BIGINT)`` (parity probed across unicode/empty/long tokens), so
-    the whole counter matrix, every estimate, and the top-20 ranking
-    hash-match a full relational restatement."""
+    item-6 playbook): the sketch's hash family is now portable — one
+    60-bit md5 base per key (DuckDB parses the same hex via
+    ``CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)``; parity probed
+    across unicode/empty/long tokens) fed through Carter–Wegman
+    ``(a_i·x + b_i) mod P`` row hashes in plain BIGINT arithmetic both
+    engines evaluate identically — so the whole counter matrix, every
+    estimate, and the top-20 ranking hash-match a full relational
+    restatement."""
     from mapreduceframework_cpp_spark.operators.sketch import (
         count_min_counters,
         count_min_estimate,
