@@ -2,9 +2,35 @@
 
 from __future__ import annotations
 
+import hashlib
 import re
 
-from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def portable_hash60(col: str) -> Column:
+    """60-bit deterministic hash of a string column — the top 15 hex
+    chars of its md5 digest, parsed base-16. Always non-negative
+    (< 2^60). Reproducible OUTSIDE Spark in any engine with md5 + hex
+    parsing (DuckDB: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``;
+    stdlib Python: :func:`portable_hash60_py`) — the hash to reach for
+    whenever hash values land in OUTPUT columns, because it lets the
+    query carry a full cross-engine value oracle where seeded xxhash64
+    (no public equivalent elsewhere) forces rows-only grading. Cost:
+    one md5 + one hex parse per row — a few times an xxhash64 call;
+    keep xxhash64 for shuffle-internal hashing (banding, salting,
+    bucketing) where values never surface.
+
+    ``col`` is a SQL expression string, interpolated verbatim."""
+    return F.expr(f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)")
+
+
+def portable_hash60_py(s: str) -> int:
+    """stdlib twin of :func:`portable_hash60` (UTF-8, like both
+    engines) — lets parity tests re-derive engine outputs with no
+    Spark round-trip for the hash primitive."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 #: logical-plan nodes that compile to (or are fed by) an exchange. Used
 #: to keep spread()'s width probe off plans whose upstream stages AQE

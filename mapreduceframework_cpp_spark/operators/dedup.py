@@ -428,23 +428,36 @@ def incremental_near_dups(
     return jaccard_verify(cands, corpus_arrays.union(batch_arrays), threshold=threshold)
 
 
+#: SimHash width. 60 (not 64) since r8: the bit source is
+#: portable_hash60 — md5-derived, reproducible in DuckDB/stdlib — which
+#: upgraded q_dedup_simhash from rows-only to a full value oracle. A
+#: 60-bit frequency-weighted simhash has the same near-dup behavior
+#: (hamming thresholds scale with width), fingerprints are always
+#: non-negative (no signed bit-63 reassembly), and 60 splits evenly
+#: into 4 pigeonhole blocks of 15 bits.
+SIMHASH_BITS = 60
+
+
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document over word tokens (frequency-weighted:
-    repeated tokens vote repeatedly). Pure JVM: token explode + 64
-    conditional sums + bit reassembly."""
+    """60-bit SimHash per document over word tokens (frequency-weighted:
+    repeated tokens vote repeatedly). Pure JVM: token explode + 60
+    conditional sums + bit reassembly; bit source = portable_hash60
+    (see SIMHASH_BITS)."""
+    from mapreduceframework_cpp_spark.operators.common import portable_hash60
+
     toks = spread(docs).select(
         "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", portable_hash60("tok"))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(SIMHASH_BITS)
         ]
     )
     fingerprint = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
@@ -454,12 +467,14 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Candidate pairs whose SimHash hamming distance ≤ ``max_hamming``,
-    found by exact-matching one of 4 16-bit blocks (pigeonhole: any pair
+    found by exact-matching one of 4 15-bit blocks (pigeonhole: any pair
     within hamming 6 shares at least one intact block... within hamming 3
-    guaranteed; 4 blocks is the standard 64-bit recipe)."""
-    # the 64-sum fingerprint aggregate feeds both self-join sides —
+    guaranteed; 4 blocks is the standard recipe, 15 bits each at
+    SIMHASH_BITS=60)."""
+    # the 60-sum fingerprint aggregate feeds both self-join sides —
     # persist so it computes once
     fp = persist_tracked(simhash_fingerprints(docs))
+    block_bits = SIMHASH_BITS // 4
     blocks = fp.select(
         "doc_id",
         "simhash",
@@ -468,8 +483,8 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(blk).alias("blk"),
-                        F.shiftright(F.col("simhash"), blk * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), blk * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
                         .alias("key"),
                     )
                     for blk in range(4)

@@ -189,14 +189,22 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8, gram: int = 8) -> DataFrame:
     """Bottom-k sketch of rolling character 8-gram hashes (winnowing-style
     content fingerprint): near-duplicate documents share most sketch
-    elements. JVM-side: substring enumeration via transform + xxhash64."""
+    elements. JVM-side: substring enumeration via transform; the gram
+    hash is :func:`~mapreduceframework_cpp_spark.operators.common.
+    portable_hash60` (r8 — md5-based, reproducible in DuckDB/stdlib,
+    which upgraded q_text_fingerprint from rows-only to a full value
+    oracle; this one-shot sketch is not in the hot dedup path — minhash
+    banding keeps xxhash64 — so the md5-per-gram cost buys evidence,
+    not a bottleneck)."""
+    from mapreduceframework_cpp_spark.operators.common import portable_hash60
+
     grams = F.expr(
         f"transform(sequence(1, greatest(length(lower({text_col})) - {gram - 1}, 1)), "
         f"i -> substring(lower({text_col}), i, {gram}))"
     )
     return (
         spread(docs).select("doc_id", F.explode(grams).alias("g"))
-        .withColumn("h", F.xxhash64("g"))
+        .withColumn("h", portable_hash60("g"))
         .groupBy("doc_id")
         .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("fingerprint"))
     )

@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreduceframework_cpp_spark.operators.dedup import (
+    SIMHASH_BITS as _SIMHASH_BITS,
     containment_pairs,
     exact_dedup_groups,
     minhash_lsh_near_dups,
@@ -94,12 +95,42 @@ _COSINE_PAIR = (
 # --------------------------------------------------------------------------
 
 
-@query("q_text_fingerprint")  # rows-only: xxhash64 has no DuckDB equivalent
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT d.doc_id, substr(d.t, CAST(u.i AS INTEGER), 8) AS g
+      FROM d, unnest(range(1, greatest(length(d.t) - 7, 1) + 1)) AS u(i)
+    ),
+    h AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+      FROM g
+    ),
+    r AS (
+      SELECT doc_id, h,
+             row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT doc_id, string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS fingerprint
+    FROM r WHERE rn <= 8 GROUP BY doc_id
+    """,
+)
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k rolling-8-gram-hash sketch per document (winnowing-style
     content fingerprint). The sketch is serialized to a CSV string in the
     final projection — the verifier's canonicalizer sorts on column
-    values, so outputs must be scalar."""
+    values, so outputs must be scalar.
+
+    Upgraded from rows-only to hash-gradeable in r8: the gram hash is
+    now portable_hash60 (md5-based — operators/common.py), so DuckDB
+    re-derives every sketch element bit-for-bit: rolling-gram
+    enumeration via range+substr, distinct, bottom-8 by rank, CSV in
+    ascending hash order (all values non-negative, so numeric and
+    serialized orders agree)."""
     return fingerprints(tbl(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat_ws(",", F.col("fingerprint").cast("array<string>")).alias(
@@ -198,11 +229,52 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash")  # rows-only: xxhash64 has no DuckDB equivalent
+#: the 60 per-bit vote sums and the fingerprint reassembly for the
+#: simhash oracle, generated from the same SIMHASH_BITS constant the
+#: engine uses (one source of truth)
+_SIMHASH_VOTES = ",\n      ".join(
+    f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_ASSEMBLE = "\n       + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+    for i in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id,
+      {_SIMHASH_VOTES}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash
+    FROM votes
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document (frequency-weighted bit
+    """60-bit SimHash fingerprint per document (frequency-weighted bit
     votes, all-JVM); hamming-block pairing lives in
-    operators/dedup.simhash_near_dups (unit-tested)."""
+    operators/dedup.simhash_near_dups (unit-tested).
+
+    Upgraded from rows-only to hash-gradeable in r8: the bit source is
+    now portable_hash60 (md5-based — operators/common.py) at
+    SIMHASH_BITS=60, so the oracle re-derives every fingerprint
+    bit-for-bit — per-token hash, 60 frequency-weighted vote sums, and
+    the positive-bit reassembly — all generated from the same constants
+    the engine uses."""
     return simhash_fingerprints(tbl(spark, sf_dir, "documents"))
 
 

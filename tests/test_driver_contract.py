@@ -86,7 +86,11 @@ def test_registration_follows_verify_rotation():
     assert registered[: len(ROUND8_ROTATION)] == ROUND8_ROTATION
     assert len(ROUND8_ROTATION) == 50
     assert len(set(ROUND8_ROTATION)) == 50
-    assert not set(ROUND8_ROTATION) & set(ROUND7_ROTATION)
+    # windows are disjoint EXCEPT a query may legitimately re-enter
+    # when its grading got stricter mid-stream: q_dedup_simhash had a
+    # rows-only slot in r7 and re-enters r8 as a SQL-oracle upgrade
+    # needing its first hash row
+    assert set(ROUND8_ROTATION) & set(ROUND7_ROTATION) == {"q_dedup_simhash"}
     assert ROUND8_ROTATION[:5] == [
         "q_project_expr", "q_filter_pred", "q_case_expr", "q_sort_multi",
         "q_scan_select_cols",  # displaced by the r7 pagerank upgrade slot
@@ -108,7 +112,11 @@ def test_registration_follows_verify_rotation():
 
     # cumulative evidence through round 7: every registered query is
     # driver-green (the drain invariant reached its fixed point in r7 —
-    # 280 hash-green + 16 rows-only clean, VERDICT r7)
+    # 280 hash-green + 16 rows-only clean, VERDICT r7) EXCEPT the
+    # round-8 rows-only → SQL-oracle upgrades, whose historical
+    # rows-only-clean rows no longer satisfy the stricter hash policy
+    # (the r7 langid/pagerank precedent) — and those sit inside the
+    # live window awaiting their first hash row
     green = green_set(
         [
             os.path.join(repo_root, f"CORRECTNESS_{r}.json")
@@ -117,10 +125,14 @@ def test_registration_follows_verify_rotation():
         oracles,
     )
     unproven = [q for q in registered if q not in green]
-    assert unproven == [], f"ungreen queries outside the window: {unproven}"
+    upgrades = ["q_sketch_countmin", "q_text_fingerprint", "q_dedup_simhash"]
+    assert sorted(unproven) == sorted(upgrades), unproven
+    assert set(unproven) <= set(ROUND8_ROTATION)
 
     # round-8 slots are re-confirmations of the OLDEST evidence rows:
-    # every slot carries r1/r2/r3 driver evidence
+    # every slot carries r1/r2/r3 driver evidence (the upgrades'
+    # historical evidence was rows-only-grade, so they are exempt from
+    # the hash-green requirement here)
     g123 = green_set(
         [
             os.path.join(repo_root, f"CORRECTNESS_{r}.json")
@@ -128,7 +140,7 @@ def test_registration_follows_verify_rotation():
         ],
         oracles,
     )
-    assert set(ROUND8_ROTATION) <= g123
+    assert set(ROUND8_ROTATION) - set(upgrades) <= g123
 
     # the committed round-9 plan: a unique 50-slot window, disjoint
     # from rounds 7 and 8, leading with the two round-8 spills (the
@@ -159,7 +171,11 @@ def test_registration_follows_verify_rotation():
         q for q, rnd in latest.items() if rnd <= 3 and q in registered
     }
     uncovered = stale - set(ROUND8_ROTATION) - set(ROUND9_ROTATION)
-    assert len(uncovered) <= max(0, len(stale) - 100), (
+    # one slot of the 100 is spent on q_dedup_simhash (r7-latest, in
+    # the window as an oracle upgrade, not a staleness re-confirm), so
+    # exactly one stale name spills to round 10 — the newest of them
+    # in r03 order, q_text_ngram_topk
+    assert uncovered == {"q_text_ngram_topk"}, (
         "oldest-evidence rows left out of the next two windows",
         sorted(uncovered)[:10],
     )

@@ -86,13 +86,18 @@ def test_simhash_pairs_identical_docs(spark):
 
 
 def test_simhash_matches_reference_arithmetic(spark):
-    """Value correctness for the rows-only q_dedup_simhash: re-derive
-    each 64-bit fingerprint in pure Python with the SAME frequency-
-    weighted vote + bit-assembly arithmetic, sharing only the primitive
-    token hash (one tiny Spark query for xxhash64 — not replicable in
-    stdlib). Covers repeated-token weighting, single-token docs, and
-    the signed-long bit-63 assembly."""
+    """Value correctness for q_dedup_simhash: re-derive each
+    fingerprint FULLY in pure Python with the SAME frequency-weighted
+    vote + bit-assembly arithmetic, including the token hash itself
+    (portable_hash60_py, stdlib md5 — since r8 no Spark round-trip is
+    needed for the primitive). Covers repeated-token weighting and
+    single-token docs; at SIMHASH_BITS=60 every fingerprint is
+    non-negative (no signed-long reassembly)."""
+    from mapreduceframework_cpp_spark.operators.common import (
+        portable_hash60_py,
+    )
     from mapreduceframework_cpp_spark.operators.dedup import (
+        SIMHASH_BITS,
         simhash_fingerprints,
     )
 
@@ -108,26 +113,18 @@ def test_simhash_matches_reference_arithmetic(spark):
     got = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
 
     toks = {d: t.lower().split(" ") for d, t in texts.items()}
-    vocab = sorted({t for ts in toks.values() for t in ts})
-    h = {
-        r.tok: r.h
-        for r in spark.createDataFrame([(t,) for t in vocab], "tok string")
-        .select("tok", F.xxhash64("tok").alias("h"))
-        .collect()
-    }
     for d, ts in toks.items():
-        # python's arithmetic >> on signed ints matches the JVM's for
-        # bits 0..63 of a 64-bit value
         expect = 0
-        for i in range(64):
-            vote = sum(1 if (h[t] >> i) & 1 else -1 for t in ts)
+        for i in range(SIMHASH_BITS):
+            vote = sum(
+                1 if (portable_hash60_py(t) >> i) & 1 else -1 for t in ts
+            )
             if vote > 0:
                 expect |= 1 << i
-        if expect >= 1 << 63:  # reassemble as signed long
-            expect -= 1 << 64
         assert got[d] == expect, d
+        assert 0 <= got[d] < 1 << SIMHASH_BITS
     # single-token doc: votes are the token's own bits
-    assert got[3] == h["solo"]
+    assert got[3] == portable_hash60_py("solo")
 
 
 def test_lsh_topk_subset_of_true_scores(emb):
@@ -441,13 +438,18 @@ def test_fingerprint_bottom_k(docs):
 
 
 def test_fingerprint_matches_reference_arithmetic(spark):
-    """Value correctness for the rows-only q_text_fingerprint:
-    re-derive each bottom-k sketch in pure Python — rolling lowercase
-    8-gram enumeration, distinct, signed-ascending sort, first k —
-    sharing only the primitive xxhash64 (one tiny Spark query). Edge
-    cases: repeated grams (set semantics), text shorter than one gram
-    (whole-string fallback), exactly gram-length text, and uppercase
-    folding."""
+    """Value correctness for q_text_fingerprint: re-derive each
+    bottom-k sketch FULLY in pure Python — rolling lowercase 8-gram
+    enumeration, distinct, ascending sort, first k — including the
+    hash itself (portable_hash60_py, stdlib md5; since r8 no Spark
+    round-trip is needed for the primitive, which is the point of the
+    portable family). Edge cases: repeated grams (set semantics), text
+    shorter than one gram (whole-string fallback), exactly gram-length
+    text, and uppercase folding."""
+    from mapreduceframework_cpp_spark.operators.common import (
+        portable_hash60_py,
+    )
+
     k, gram = 8, 8
     texts = {
         1: "abcabcabcabcabcabc",  # heavy gram repetition
@@ -467,16 +469,10 @@ def test_fingerprint_matches_reference_arithmetic(spark):
             return {t}
         return {t[i : i + gram] for i in range(len(t) - gram + 1)}
 
-    vocab = sorted(set().union(*[grams(t) for t in texts.values()]))
-    h = {
-        r.g: r.h
-        for r in spark.createDataFrame([(g,) for g in vocab], "g string")
-        .select("g", F.xxhash64("g").alias("h"))
-        .collect()
-    }
     for d, t in texts.items():
-        expect = sorted(h[g] for g in grams(t))[:k]
+        expect = sorted(portable_hash60_py(g) for g in grams(t))[:k]
         assert got[d] == expect, d
+        assert all(0 <= x < 1 << 60 for x in expect)
 
 
 def test_multimodal_decode_deterministic(docs):
