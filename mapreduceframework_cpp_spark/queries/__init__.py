@@ -180,14 +180,14 @@ ROUND8_ROTATION = [
         "q_sample_hash_per_group", "q_mm_frames", "q_dedup_incremental",
         "q_agg_stats", "q_agg_minmax_by", "q_udtf_native",
         "q_win_dedup", "q_events_sessionize", "q_events_funnel",
-        "q_events_retention",
         # -- r8 rows-only → SQL-oracle upgrades: first hash row needed
         # (the r7 langid/pagerank precedent: an upgrade's historical
         # rows-only-clean rows no longer satisfy the stricter hash
-        # policy, so it enters the live window; the three displaced
-        # re-confirm slots — q_corpus_mixture, q_tok_pack_shards,
-        # q_text_tfidf — move to the round-9 window)
+        # policy, so it enters the live window; the four displaced
+        # re-confirm slots — q_events_retention, q_corpus_mixture,
+        # q_tok_pack_shards, q_text_tfidf — move to the round-9 window)
         "q_sketch_countmin", "q_text_fingerprint", "q_dedup_simhash",
+        "q_sim_lsh_topk",
 ]
 
 #: round-9 window, committed in advance so round 9 is mechanical
@@ -198,16 +198,17 @@ ROUND8_ROTATION = [
 #: the three re-confirm slots the r8 oracle upgrades displaced first,
 #: then the CORRECTNESS_r03 greens in r03 order (q_sketch_countmin,
 #: q_text_fingerprint drop out — they run in the r8 window as
-#: upgrades, so their evidence will be r8-fresh; the newest-evidence
-#: tail name q_text_ngram_topk spills to round 10). Any round-8 red
-#: re-queues at the head per the standing
+#: upgrades, so their evidence will be r8-fresh; the two
+#: newest-evidence tail names q_dedup_bow, q_text_ngram_topk spill to
+#: round 10). Any round-8 red re-queues at the head per the standing
 #: policy, displacing the tail. After this window every query's
 #: evidence is round 4+ — the comparator-hardening era.
 ROUND9_ROTATION = [
         # -- round-8 spills: the last two round-2 greens ------------------
         "q_emb_centroid", "q_emb_norm_stats",
-        # -- displaced from round 8 by the three r8 oracle upgrades -------
-        "q_corpus_mixture", "q_tok_pack_shards", "q_text_tfidf",
+        # -- displaced from round 8 by the four r8 oracle upgrades --------
+        "q_events_retention", "q_corpus_mixture", "q_tok_pack_shards",
+        "q_text_tfidf",
         # -- CORRECTNESS_r03 greens in their r03 verification order -------
         "q_text_pii_scrub", "q_text_quality_gates", "q_dataset_split",
         "q_source_blocklist", "q_source_python", "q_json_variant",
@@ -224,7 +225,7 @@ ROUND9_ROTATION = [
         "q_dedup_containment", "q_table_profile", "q_events_paths",
         "q_events_cooccurrence", "q_events_value_hist",
         "q_tpch_q7_shape", "q_tpch_q10_shape", "q_ts_ewma",
-        "q_graph_triangles", "q_dedup_editdist", "q_dedup_bow",
+        "q_graph_triangles", "q_dedup_editdist",
 ]
 
 #: Alias kept so callers/tests address "the live window" uniformly

@@ -330,11 +330,68 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5)
 
 
-@query("q_sim_lsh_topk")  # rows-only: approximate by design
+def _lsh_plane_sql() -> str:
+    """The sign-LSH bucket expression over a DOUBLE[] column ``v``,
+    built from the SAME seeded hyperplanes the engine bakes into its
+    plan as literals (operators/similarity._hyperplanes — one source
+    of truth). The planes are Python floats; their shortest repr
+    round-trips to the identical IEEE double in DuckDB's parser and in
+    Spark's F.lit, and q_sim_topk/q_dedup_embedding already prove
+    list_dot_product ≡ the engine's zip_with/aggregate fold
+    bit-for-bit, so the bucket SIGNS agree exactly."""
+    from mapreduceframework_cpp_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(EMB_DIM, 8, seed=7)
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + "\n         + ".join(terms) + ")"
+
+
+@query(
+    "q_sim_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]) > 0),
+    b AS (SELECT vec_id, v, {{bucket}} AS bucket FROM e),
+    q AS (SELECT vec_id, v, bucket FROM b WHERE vec_id % 50 = 0),
+    probes AS (
+      SELECT q.vec_id, q.v, xor(q.bucket, CAST(u.m AS INTEGER)) AS bucket
+      FROM q, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS u(m)
+    ),
+    pairs AS (
+      SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS cand_id,
+             list_dot_product(p.v, c.v)
+               / (sqrt(list_dot_product(p.v, p.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM probes p JOIN b c ON c.bucket = p.bucket
+      WHERE c.vec_id <> p.vec_id
+    ),
+    r AS (SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, cand_id) AS rank
+          FROM pairs)
+    SELECT query_id, cand_id, round(cos, 6) AS cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """.replace("{bucket}", _lsh_plane_sql()),
+)
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH (random hyperplane) bucketed top-k with hamming-1
-    multiprobe — the sublinear scale path; recall vs exact is asserted
-    in tests, not against the oracle."""
+    multiprobe — the sublinear scale path.
+
+    Upgraded from rows-only to hash-gradeable in r8 (the last upgrade
+    candidate the rows-only audit left open): the hyperplanes were
+    ALREADY deterministic literals in the engine's plan, so the oracle
+    interpolates the very same plane constants and re-derives bucket
+    signs, hamming-1 probe masks, candidate joins, and the raw-double
+    ranking relationally. Recall vs exact remains asserted in tests —
+    the oracle proves the approximate answer is THE approximate answer,
+    not that it equals the exact one."""
     emb = tbl(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb.filter(F.col("vec_id") % 50 == 0), emb, dim=EMB_DIM, k=5, n_planes=8

@@ -87,10 +87,13 @@ def test_registration_follows_verify_rotation():
     assert len(ROUND8_ROTATION) == 50
     assert len(set(ROUND8_ROTATION)) == 50
     # windows are disjoint EXCEPT a query may legitimately re-enter
-    # when its grading got stricter mid-stream: q_dedup_simhash had a
-    # rows-only slot in r7 and re-enters r8 as a SQL-oracle upgrade
-    # needing its first hash row
-    assert set(ROUND8_ROTATION) & set(ROUND7_ROTATION) == {"q_dedup_simhash"}
+    # when its grading got stricter mid-stream: q_dedup_simhash and
+    # q_sim_lsh_topk had rows-only slots in r7 and re-enter r8 as
+    # SQL-oracle upgrades needing their first hash rows
+    assert set(ROUND8_ROTATION) & set(ROUND7_ROTATION) == {
+        "q_dedup_simhash",
+        "q_sim_lsh_topk",
+    }
     assert ROUND8_ROTATION[:5] == [
         "q_project_expr", "q_filter_pred", "q_case_expr", "q_sort_multi",
         "q_scan_select_cols",  # displaced by the r7 pagerank upgrade slot
@@ -125,7 +128,12 @@ def test_registration_follows_verify_rotation():
         oracles,
     )
     unproven = [q for q in registered if q not in green]
-    upgrades = ["q_sketch_countmin", "q_text_fingerprint", "q_dedup_simhash"]
+    upgrades = [
+        "q_sketch_countmin",
+        "q_text_fingerprint",
+        "q_dedup_simhash",
+        "q_sim_lsh_topk",
+    ]
     assert sorted(unproven) == sorted(upgrades), unproven
     assert set(unproven) <= set(ROUND8_ROTATION)
 
@@ -171,11 +179,11 @@ def test_registration_follows_verify_rotation():
         q for q, rnd in latest.items() if rnd <= 3 and q in registered
     }
     uncovered = stale - set(ROUND8_ROTATION) - set(ROUND9_ROTATION)
-    # one slot of the 100 is spent on q_dedup_simhash (r7-latest, in
-    # the window as an oracle upgrade, not a staleness re-confirm), so
-    # exactly one stale name spills to round 10 — the newest of them
-    # in r03 order, q_text_ngram_topk
-    assert uncovered == {"q_text_ngram_topk"}, (
+    # two slots of the 100 are spent on q_dedup_simhash and
+    # q_sim_lsh_topk (r7-latest, in the window as oracle upgrades, not
+    # staleness re-confirms), so exactly two stale names spill to
+    # round 10 — the newest of them in r03 order
+    assert uncovered == {"q_dedup_bow", "q_text_ngram_topk"}, (
         "oldest-evidence rows left out of the next two windows",
         sorted(uncovered)[:10],
     )
