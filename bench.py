@@ -302,6 +302,65 @@ def main() -> None:
     spark.stop()
 
 
+#: how many of the reference's slowest queries the heavy-mover check
+#: samples, and the median inflation ratio above which a run is flagged
+_HEAVY_N = 12
+_HEAVY_MAX_MEDIAN_RATIO = 1.25
+
+
+def _load_quiet_reference() -> dict[str, float] | None:
+    """Per-query quiet-box reference timings from
+    bench_quiet_reference.json (or $BENCH_QUIET_REFERENCE_FILE).
+    Returns None — heavy verdict unknown — when missing/malformed,
+    for the same reason sentinel bands do (ADVICE r6)."""
+    path = os.environ.get(
+        "BENCH_QUIET_REFERENCE_FILE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_quiet_reference.json"),
+    )
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+        q = raw.get("queries")
+        if not isinstance(q, dict) or not q:
+            return None
+        return {n: float(v) for n, v in q.items()}
+    except (OSError, ValueError, TypeError):
+        return None
+
+
+def _heavy_check(
+    timings: dict[str, float], sf: float | None
+) -> tuple[float | None, bool | None]:
+    """The round-8 lesson: the two LIGHT sentinels can sit in-band
+    while host noise inflates the CPU-heavy tail 1.5-2x (observed:
+    141.2 s and 135.2 s runs with sentinel_ok=true whose heavies ran
+    10-80% over their quiet values). Sample the reference's N slowest
+    queries and report the MEDIAN inflation ratio — median, not max,
+    so one genuinely-regressed (or genuinely-improved) query cannot
+    flip the host-noise verdict by itself; a real code regression in a
+    single query shows up in the per-query diff, not here. Returns
+    (median_ratio, ok) or (None, None) when no reference applies."""
+    ref = _load_quiet_reference()
+    if ref is None or sf != 0.1:
+        return None, None
+    heavies = [n for n, _ in sorted(ref.items(), key=lambda kv: -kv[1])][
+        :_HEAVY_N
+    ]
+    if any(n not in timings for n in heavies):
+        # reference/HEADLINE drifted apart — no verdict rather than a
+        # silently-shifted sample
+        return None, None
+    ratios = sorted(timings[n] / ref[n] for n in heavies)
+    mid = len(ratios) // 2
+    median = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return round(median, 3), median <= _HEAVY_MAX_MEDIAN_RATIO
+
+
 def _load_sentinel_bands() -> dict[str, tuple[float, float]] | None:
     """Quiet-box sentinel bands from bench_sentinels.json (or
     $BENCH_SENTINEL_FILE). Returns None — verdict unknown — when the
@@ -370,6 +429,10 @@ def emit(timings: dict[str, float], sf: float | None) -> dict:
     # detail-file write fails (read-only checkout, full disk)
     print(json.dumps(detail))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    # heavy-tail noise check (r8): light sentinels alone certified two
+    # visibly-inflated runs, so the headline also carries the median
+    # inflation of the reference's 12 slowest queries
+    heavy_ratio, heavy_ok = _heavy_check(timings, sf)
     headline = {
         "metric": "headline_suite_wall_sec",
         "value": total,
@@ -379,6 +442,8 @@ def emit(timings: dict[str, float], sf: float | None) -> dict:
         "slowest": slowest,
         "sentinels": sentinels,
         "sentinel_ok": sentinel_ok,
+        "heavy_median_ratio": heavy_ratio,
+        "heavy_ok": heavy_ok,
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(headline))

@@ -105,3 +105,70 @@ def test_emit_sentinel_verdict(tmp_path, monkeypatch):
     alt.write_text('{"q_agg_groupby": [9.0, 9.5], "q_scan_parquet": [9.0, 9.5]}')
     monkeypatch.setenv("BENCH_SENTINEL_FILE", str(alt))
     assert run(1.05, 0.15)["sentinel_ok"] is False
+
+
+def test_emit_heavy_mover_verdict(tmp_path, monkeypatch):
+    """The round-8 lesson: two LIGHT in-band sentinels certified runs
+    whose CPU-heavy tail was 10-80% inflated. The headline now also
+    carries the median inflation ratio of the quiet reference's 12
+    slowest queries (bench_quiet_reference.json /
+    $BENCH_QUIET_REFERENCE_FILE) and a verdict at <= 1.25x. Median,
+    not max: one genuinely regressed query must not flip the
+    host-noise verdict."""
+    import io
+    from contextlib import redirect_stdout
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda _: str(tmp_path / "bench.py")
+    )
+    monkeypatch.delenv("BENCH_SENTINEL_FILE", raising=False)
+    monkeypatch.delenv("BENCH_QUIET_REFERENCE_FILE", raising=False)
+
+    ref = {f"q_heavy_{i:02d}": 2.0 + i / 10 for i in range(12)}
+    ref.update({f"q_light_{i:02d}": 0.2 for i in range(20)})
+
+    def run(factor, extra=None, sf=0.1):
+        timings = {n: round(v * factor, 3) for n, v in ref.items()}
+        if extra:
+            timings.update(extra)
+        with redirect_stdout(io.StringIO()):
+            return bench.emit(timings, sf=sf)
+
+    # no reference file → verdict unknown
+    out = run(1.0)
+    assert out["heavy_ok"] is None and out["heavy_median_ratio"] is None
+
+    (tmp_path / "bench_quiet_reference.json").write_text(
+        json.dumps({"queries": ref})
+    )
+    quiet = run(1.0)
+    assert quiet["heavy_ok"] is True
+    assert quiet["heavy_median_ratio"] == 1.0
+
+    # uniformly inflated tail → flagged, even though no sentinel exists
+    assert run(1.5)["heavy_ok"] is False
+
+    # ONE regressed heavy query must not flip the verdict (median)
+    one_bad = run(1.0, extra={"q_heavy_11": 99.0})
+    assert one_bad["heavy_ok"] is True
+
+    # a run missing some reference heavies → no verdict, never a crash
+    partial = {n: v for n, v in ref.items() if n != "q_heavy_00"}
+    with redirect_stdout(io.StringIO()):
+        out = bench.emit(partial, sf=0.1)
+    assert out["heavy_ok"] is None
+
+    # wrong sf → no verdict
+    assert run(1.0, sf=0.01)["heavy_ok"] is None
+
+    # malformed reference degrades to unknown, not a crash
+    (tmp_path / "bench_quiet_reference.json").write_text("{nope")
+    assert run(1.0)["heavy_ok"] is None
+    (tmp_path / "bench_quiet_reference.json").write_text('{"queries": {}}')
+    assert run(1.0)["heavy_ok"] is None
+
+    # env override wins
+    alt = tmp_path / "alt_ref.json"
+    alt.write_text(json.dumps({"queries": {n: v / 2 for n, v in ref.items()}}))
+    monkeypatch.setenv("BENCH_QUIET_REFERENCE_FILE", str(alt))
+    assert run(1.0)["heavy_ok"] is False  # everything reads 2x the alt ref
