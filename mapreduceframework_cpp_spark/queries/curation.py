@@ -25,6 +25,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from mapreduceframework_cpp_spark.operators.sketch import (
+    CMS_A,
+    CMS_B1,
+    CMS_B2,
+    CMS_P,
+)
 from mapreduceframework_cpp_spark.registry import query
 from mapreduceframework_cpp_spark.sources.tables import tbl
 
@@ -266,9 +272,20 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the Carter–Wegman bucket expression for the CMS oracle, generated
+#: from the SAME constants operators/sketch.py hashes with (one source
+#: of truth — a constant change there breaks CI here, not a driver
+#: round): ((A·(row+1) mod P)·x + B1 + B2·row) mod P mod width.
+_CMS_BUCKET = (
+    f"((CAST({CMS_A} AS BIGINT) * (row + 1) % {CMS_P}) * x\n"
+    f"              + {CMS_B1} + CAST({CMS_B2} AS BIGINT) * row)\n"
+    f"             % {CMS_P} % 1024 AS bucket"
+)
+
+
 @query(
     "q_sketch_countmin",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT unnest(string_split(lower(text), ' ')) AS token
       FROM documents
@@ -277,13 +294,11 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bs AS (
       SELECT token,
              CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
-               % 2147483647 AS x
+               % {CMS_P} AS x
       FROM tok
     ),
     b AS (
-      SELECT ((CAST(1103515245 AS BIGINT) * (row + 1) % 2147483647) * x
-              + 12345 + CAST(104729 AS BIGINT) * row)
-             % 2147483647 % 1024 AS bucket,
+      SELECT {_CMS_BUCKET},
              row
       FROM bs CROSS JOIN rws
     ),
@@ -293,14 +308,12 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pbs AS (
       SELECT token,
              CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
-               % 2147483647 AS x
+               % {CMS_P} AS x
       FROM (SELECT DISTINCT token FROM tok)
     ),
     pb AS (
       SELECT token,
-             ((CAST(1103515245 AS BIGINT) * (row + 1) % 2147483647) * x
-              + 12345 + CAST(104729 AS BIGINT) * row)
-             % 2147483647 % 1024 AS bucket,
+             {_CMS_BUCKET},
              row
       FROM pbs CROSS JOIN rws
     ),
