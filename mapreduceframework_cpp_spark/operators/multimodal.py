@@ -70,6 +70,15 @@ def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #: band too, so the two real paths agree.
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: ceiling on the unfiltered pixel buffer the vendored decoder will
+#: materialize (64 MB ≈ a 16-megapixel RGBA frame). Larger claims —
+#: and decompression bombs pretending to be larger images — fall
+#: through to the digest fallback instead of inflating inside the
+#: task; the PIL tier (when present) owns big real-world images, and
+#: the pure-Python unfilter loop would be CPU-unreasonable there
+#: anyway.
+_PNG_MAX_RAW_BYTES = 64 << 20
+
 
 def _png_decode(data: bytes) -> tuple[int, int, int] | None:
     """Minimal REAL decoder for baseline PNGs (8-bit, non-interlaced),
@@ -101,6 +110,15 @@ def _png_decode(data: bytes) -> tuple[int, int, int] | None:
         if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
             return None
         nch = _PNG_CHANNELS[color_type]
+        stride = w * nch
+        expected = h * (1 + stride)
+        # decompression-bomb guard (r8 self-review — same hazard class
+        # as the LSH bucket collect): a tiny IDAT can inflate to GBs,
+        # and this tier runs inside an executor task on corpus bytes.
+        # Bound BOTH the claimed pixel budget and the actual inflation
+        # before trusting either.
+        if expected > _PNG_MAX_RAW_BYTES:
+            return None
         # walk chunks, CRC-checking and collecting IDAT
         idat = bytearray()
         pos = 33
@@ -118,9 +136,11 @@ def _png_decode(data: bytes) -> tuple[int, int, int] | None:
             elif ctype == b"IEND":
                 break
             pos += 12 + length
-        raw = zlib.decompress(bytes(idat))
-        stride = w * nch
-        if len(raw) != h * (1 + stride):
+        # bounded inflate: ask for at most expected+1 bytes — a stream
+        # that would inflate past the header's claim yields a length
+        # mismatch below with memory still capped at expected+1
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+        if len(raw) != expected:
             return None
         # unfilter every scanline — the actual pixel reconstruction
         prev = bytearray(stride)

@@ -564,6 +564,52 @@ def test_decode_image_bytes_real_path_vendored_png():
     assert _png_decode(b"definitely not an image") is None
 
 
+def test_vendored_png_rejects_decompression_bombs():
+    """The vendored decoder runs inside executor tasks on corpus
+    bytes, so it must bound memory BEFORE trusting either the header's
+    pixel claim or the zlib stream's actual inflation (same hazard
+    class as the unbounded LSH bucket collect this round closed)."""
+    import struct
+    import zlib
+
+    from mapreduceframework_cpp_spark.operators.multimodal import (
+        _PNG_MAX_RAW_BYTES,
+        _png_decode,
+    )
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    # header claims a buffer past the cap → rejected before any inflate
+    huge_ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    huge = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", huge_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+    assert 100_000 * (1 + 300_000) > _PNG_MAX_RAW_BYTES  # premise
+    assert _png_decode(huge) is None
+
+    # bomb: header claims 2x3 (21 raw bytes) but the stream inflates to
+    # 10 MB — the bounded inflate stops at expected+1 bytes and the
+    # length check rejects, with memory capped regardless of the bomb
+    ihdr = struct.pack(">IIBBBBB", 2, 3, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (10 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 64 * 1024  # the bomb itself is tiny on the wire
+    assert _png_decode(bomb) is None
+
+
 def test_vendored_png_unfilters_all_filter_types():
     """Each PNG filter type (Sub/Up/Average/Paeth) must reconstruct to
     the same pixels as filter None — exercising every unfilter branch
