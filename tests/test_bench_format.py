@@ -172,3 +172,23 @@ def test_emit_heavy_mover_verdict(tmp_path, monkeypatch):
     alt.write_text(json.dumps({"queries": {n: v / 2 for n, v in ref.items()}}))
     monkeypatch.setenv("BENCH_QUIET_REFERENCE_FILE", str(alt))
     assert run(1.0)["heavy_ok"] is False  # everything reads 2x the alt ref
+
+
+def test_quiet_reference_matches_headline():
+    """bench_quiet_reference.json is calibration DATA for the
+    heavy-mover check: its queries must all still exist in HEADLINE
+    (else the check silently degrades to unknown after a rename), and
+    its 12 slowest — the sampled heavies — must be exactly coverable
+    by a real run. Regenerate the file from a fresh sentinel-clean
+    BENCH_DETAIL when HEADLINE changes."""
+    ref_path = os.path.join(os.path.dirname(bench.__file__),
+                            "bench_quiet_reference.json")
+    ref = json.load(open(ref_path))["queries"]
+    missing = [q for q in ref if q not in bench.HEADLINE]
+    assert not missing, f"reference queries no longer in HEADLINE: {missing}"
+    assert len(ref) >= bench._HEAVY_N
+    # the loader + checker accept the committed file end-to-end
+    loaded = bench._load_quiet_reference()
+    assert loaded == {n: float(v) for n, v in ref.items()}
+    ratio, ok = bench._heavy_check(loaded, sf=0.1)
+    assert ratio == 1.0 and ok is True

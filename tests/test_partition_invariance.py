@@ -219,3 +219,26 @@ def test_holt_smoothing_partition_invariant(spark, sf_dir):
             )
         )
         assert got == ref, f"{n} partitions changed Holt smoothing"
+
+
+def test_pairs_from_banded_partition_invariant(spark):
+    """The r8 bounded-buffer rewrite (window annotation + regime split)
+    must emit the identical pair set on any input partitioning — both
+    regimes at once: a planted hot bucket (star pairs) and ordinary
+    small buckets (full enumeration)."""
+    from mapreduceframework_cpp_spark.operators.dedup import (
+        _pairs_from_banded,
+    )
+
+    rows = (
+        [(0, 7, i) for i in range(40)]          # hot at cap 10 → star
+        + [(1, 3, j) for j in (100, 101, 102)]  # small → all pairs
+        + [(2, 9, j) for j in (200, 201)]       # pair
+        + [(3, 1, 300)]                         # singleton → nothing
+    )
+    banded = spark.createDataFrame(rows, "band int, bucket long, doc_id long")
+    ref = _rows(_pairs_from_banded(banded, max_bucket=10))
+    assert ref  # non-trivial fixture
+    for n in PARTS:
+        got = _rows(_pairs_from_banded(banded.repartition(n), max_bucket=10))
+        assert got == ref, f"{n} partitions changed the candidate pair set"
