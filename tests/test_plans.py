@@ -524,3 +524,26 @@ def test_incr_agg_retract_single_final_exchange(spark, sf_dir):
     p = plan(_Q["q_incr_agg_retract"](spark, sf_dir), "simple")
     assert "partial_count" in p or "partial_sum" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_fingerprint_single_exchange_partial_collect(spark, sf_dir):
+    """q_text_fingerprint (r8 portable-hash rewrite): one exchange on
+    doc_id for the per-doc sketch aggregate, hashing inside the scan
+    projection (no Python, no extra shuffles), and the bottom-k slice
+    on the aggregated set — the shape that scales to a full corpus."""
+    p = plan(_Q["q_text_fingerprint"](spark, sf_dir))
+    assert p.count("Exchange") - p.count("ReusedExchange") <= 2, p  # spread + agg
+    assert "BatchEvalPython" not in p and "SortMergeJoin" not in p
+    assert "partial_collect_set" in p or "objHashAggregate" in p.lower() or "collect_set" in p
+
+
+def test_simhash_single_aggregate_no_joins(spark, sf_dir):
+    """q_dedup_simhash (r8, 60-bit portable): the 60 vote sums are ONE
+    partial-aggregated group-by over the token explode — no join, no
+    Python, no second exchange for the bit reassembly (a pure
+    projection over the aggregate)."""
+    p = plan(_Q["q_dedup_simhash"](spark, sf_dir))
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert p.count("Exchange") - p.count("ReusedExchange") <= 2  # spread + agg
