@@ -912,3 +912,88 @@ def test_lang_id_oracle_parity_on_unicode_and_degenerate(spark):
         )
     finally:
         duck.close()
+
+
+def test_vendored_png_decodes_all_color_types_and_sizes():
+    """Exhaustive decode property over the supported baseline space:
+    color types 0/2/4/6 (1/3/2/4 channels), sizes 1x1..4x3, and a
+    per-row filter-type cycle (None/Sub/Up/Average/Paeth applied to
+    spec-exact filtered bytes) — every combination must decode to its
+    true (w, h, channels)."""
+    import struct
+    import zlib
+
+    from mapreduceframework_cpp_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        _png_decode,
+    )
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    def filt(ftype, raw, prev, nch):
+        # spec-exact forward filtering of one raw scanline
+        n = len(raw)
+        if ftype == 0:
+            return bytes(raw)
+        if ftype == 1:
+            return bytes(
+                (raw[i] - (raw[i - nch] if i >= nch else 0)) & 0xFF
+                for i in range(n)
+            )
+        if ftype == 2:
+            return bytes((raw[i] - prev[i]) & 0xFF for i in range(n))
+        if ftype == 3:
+            return bytes(
+                (raw[i] - ((raw[i - nch] if i >= nch else 0) + prev[i]) // 2)
+                & 0xFF
+                for i in range(n)
+            )
+        return bytes(
+            (
+                raw[i]
+                - paeth(
+                    raw[i - nch] if i >= nch else 0,
+                    prev[i],
+                    prev[i - nch] if i >= nch else 0,
+                )
+            )
+            & 0xFF
+            for i in range(n)
+        )
+
+    for color_type, nch in sorted(_PNG_CHANNELS.items()):
+        if color_type == 3:
+            continue  # palette needs a PLTE chunk; covered implicitly
+        for w in (1, 2, 4):
+            for h in (1, 2, 3):
+                stride = w * nch
+                rows = [
+                    bytes(((x * 31 + y * 17 + c * 7) & 0xFF)
+                          for x in range(w) for c in range(nch))
+                    for y in range(h)
+                ]
+                raw = bytearray()
+                prev = bytes(stride)
+                for y, r in enumerate(rows):
+                    ftype = (y + w + color_type) % 5  # cycle filters
+                    raw += bytes([ftype]) + filt(ftype, r, prev, nch)
+                    prev = r
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+                png = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+                assert _png_decode(png) == (w, h, nch), (color_type, w, h)

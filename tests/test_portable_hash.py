@@ -99,3 +99,23 @@ def test_cms_oracle_constants_single_sourced():
     sql = ORACLES["q_sketch_countmin"]
     for const in (CMS_A, CMS_B1, CMS_B2, CMS_P):
         assert str(const) in sql, const
+
+
+def test_portable_hash60_property_duckdb_parity():
+    """Property form of the contract (no Spark in the loop, so wide
+    input coverage is cheap): for arbitrary unicode text, stdlib md5
+    and DuckDB derive the same 60-bit value."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=64))
+    def check(k: str) -> None:
+        duck = con.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [k]
+        ).fetchone()[0]
+        assert duck == portable_hash60_py(k), repr(k)
+
+    check()
