@@ -73,10 +73,23 @@ _NARROW_NODES = re.compile(
 )
 
 
-#: (applicationId, analyzed-plan text) → layer-2 backstop verdict.
-#: Insertion-ordered dict used as a FIFO cache.
-_BACKSTOP_CACHE: dict[tuple[str, str], bool] = {}
+#: (applicationId, planner confs, analyzed-plan text) → layer-2
+#: backstop verdict. Insertion-ordered dict used as a FIFO cache.
+_BACKSTOP_CACHE: dict[tuple[str, str, str], bool] = {}
 _BACKSTOP_CACHE_MAX = 512
+
+#: session confs the physical planner reads that could plausibly change
+#: whether a compiled plan carries an Exchange — folded into the cache
+#: key (ADVICE r8: applicationId alone is shared by newSession()
+#: siblings and survives runtime conf.set, so it cannot carry the
+#: per-session-conf isolation the verdict depends on).
+_BACKSTOP_CONF_KEYS = (
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.join.preferSortMergeJoin",
+    "spark.sql.shuffle.partitions",
+)
 
 
 def _exchange_bearing(df: DataFrame) -> bool:
@@ -106,22 +119,32 @@ def _exchange_bearing(df: DataFrame) -> bool:
     Only a plan these layers call exchange-free reaches the ``df.rdd``
     width probe in :func:`spread`, where probing is genuinely free.
 
-    The layer-2 verdict is MEMOIZED by (application, analyzed-plan
-    text): composed pipelines call spread() repeatedly on identical
-    plans (the 3-spread incremental-dedup chain), and each physical
-    compilation costs ~0.1-0.2 s (VERDICT r7 item 7). The verdict is
-    deterministic given the plan and the session's planner confs, so
-    the cache is keyed by applicationId — a new session (tests spin
-    several, possibly with different broadcast thresholds) never reads
-    another session's verdict. Bounded FIFO so an unbounded variety of
-    plans (a long-lived service) can't grow the cache without limit."""
+    The layer-2 verdict is MEMOIZED by (applicationId, the planner
+    confs in _BACKSTOP_CONF_KEYS, analyzed-plan text): composed
+    pipelines call spread() repeatedly on identical plans (the
+    3-spread incremental-dedup chain), and each physical compilation
+    costs ~0.1-0.2 s (VERDICT r7 item 7). The verdict is deterministic
+    given the plan and the planner confs, and the confs are IN the
+    key (ADVICE r8) because applicationId alone is too coarse:
+    newSession() siblings share it with possibly different confs, and
+    runtime conf.set (the dynamic-partition-overwrite context in
+    sources/tables.py) can mutate the planner mid-session. A conf
+    outside the list could in principle still leak a stale verdict —
+    the blast radius is only spread()'s probe eagerness, never output
+    values. Bounded FIFO so an unbounded variety of plans (a
+    long-lived service) can't grow the cache without limit."""
     qe = df._jdf.queryExecution()
     tree = qe.analyzed().treeString()
     if _EXCHANGE_NODES.search(tree):
         return True
     if all(_NARROW_NODES.match(ln) for ln in tree.splitlines() if ln.strip()):
         return False
-    key = (df.sparkSession.sparkContext.applicationId, tree)
+    # no fallback arg: every listed key is a registered SQL conf with a
+    # default, and RuntimeConfig TYPE-CHECKS an explicit fallback (a ''
+    # default on a boolean conf raises INVALID_CONF_VALUE)
+    conf = df.sparkSession.conf
+    confs = ";".join(f"{k}={conf.get(k)}" for k in _BACKSTOP_CONF_KEYS)
+    key = (df.sparkSession.sparkContext.applicationId, confs, tree)
     hit = _BACKSTOP_CACHE.get(key)
     if hit is None:
         hit = "Exchange" in qe.executedPlan().treeString()

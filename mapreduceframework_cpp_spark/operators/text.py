@@ -195,7 +195,14 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8, gram: int 
     which upgraded q_text_fingerprint from rows-only to a full value
     oracle; this one-shot sketch is not in the hot dedup path — minhash
     banding keeps xxhash64 — so the md5-per-gram cost buys evidence,
-    not a bottleneck)."""
+    not a bottleneck).
+
+    NULL-text docs emit NO row (r9, ADVICE r8): a NULL text has no
+    grams — without the filter, greatest() collapses the sequence to
+    [1], substring(NULL) yields a NULL gram, md5(NULL) a NULL hash,
+    collect_set drops it, and the doc surfaced with an EMPTY sketch
+    while the oracle's ``WHERE text IS NOT NULL`` dropped it — a
+    hash-red on any null-bearing corpus (the edge-sweep doc 900005)."""
     from mapreduceframework_cpp_spark.operators.common import portable_hash60
 
     grams = F.expr(
@@ -203,7 +210,8 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8, gram: int 
         f"i -> substring(lower({text_col}), i, {gram}))"
     )
     return (
-        spread(docs).select("doc_id", F.explode(grams).alias("g"))
+        spread(docs.filter(F.col(text_col).isNotNull()))
+        .select("doc_id", F.explode(grams).alias("g"))
         .withColumn("h", portable_hash60("g"))
         .groupBy("doc_id")
         .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("fingerprint"))

@@ -190,8 +190,9 @@ ROUND8_ROTATION = [
         "q_sim_lsh_topk",
 ]
 
-#: round-9 window, committed in advance so round 9 is mechanical
-#: (standing pattern). Derived from the eight CORRECTNESS artifacts:
+#: round-9 window (LIVE — round 8 came back 50/50 hash-green, so it
+#: runs exactly as pre-committed). Derived from the eight CORRECTNESS
+#: artifacts:
 #: the remaining queries whose latest driver evidence is OLDEST, in
 #: that artifact's own verification order — the two round-8 spills
 #: (q_emb_centroid, q_emb_norm_stats — the last round-2 greens) and
@@ -228,10 +229,43 @@ ROUND9_ROTATION = [
         "q_graph_triangles", "q_dedup_editdist",
 ]
 
-#: Alias kept so callers/tests address "the live window" uniformly
-#: across rounds. Round 8 is LIVE: CORRECTNESS_r07 came back clean
-#: (44/44 hash-green + 6 rows-only clean — zero reds), so the
-#: pre-committed round-8 window runs unmodified.
-VERIFY_ROTATION = ROUND8_ROTATION
+#: round-10 window, committed in advance so round 10 is mechanical
+#: (standing pattern). Derived from the nine CORRECTNESS artifacts:
+#: the two r03-latest spills the r8/r9 windows could not fit lead,
+#: then EVERY remaining name whose latest driver evidence is
+#: CORRECTNESS_r04, in that artifact's own verification order (the
+#: TPC-H shape block and the r4 decision-support/eval adds). After
+#: this window the oldest evidence anywhere is round 4's tail
+#: (q_dq_audit onward in r04 order), i.e. the whole registry is
+#: within a six-round freshness horizon. Any round-9 red re-queues at
+#: the head per the standing policy, displacing the tail.
+ROUND10_ROTATION = [
+        # -- the two r03-latest spills (newest r03 evidence) --------------
+        "q_dedup_bow", "q_text_ngram_topk",
+        # -- CORRECTNESS_r04 greens in their r04 verification order -------
+        "q_tpch_q1_shape", "q_tpch_q8_shape", "q_tpch_q9_shape",
+        "q_tpch_q13_shape", "q_tpch_q16_shape", "q_tpch_q19_shape",
+        "q_tpch_q20_shape", "q_tpch_q11_shape", "q_tpch_q12_shape",
+        "q_tpch_q14_shape", "q_tpch_q18_shape", "q_tpch_q22_shape",
+        "q_tpch_q21_shape", "q_tpch_q2_shape", "q_tpch_q4_shape",
+        "q_tpch_q6_shape", "q_tpch_q15_shape", "q_orders_cohort",
+        "q_orders_abc", "q_brand_yoy", "q_supplier_hhi",
+        "q_orders_reorder_gap", "q_order_size_dist", "q_cohort_ltv",
+        "q_ols_discount_slope", "q_revenue_bridge", "q_mix_shift",
+        "q_null_semantics", "q_win_median", "q_release_pipeline",
+        "q_date_spine", "q_incr_agg", "q_scd2_pit_lookup",
+        "q_dataset_diff", "q_emb_kmeans", "q_tok_bpe_merges",
+        "q_emb_pca_top", "q_sketch_theta", "q_sketch_kll",
+        "q_score_auc", "q_score_decile_lift", "q_score_confusion",
+        "q_ab_ztest", "q_rank_fusion", "q_annotator_kappa",
+        "q_score_calibration", "q_k_anonymity", "q_dp_counts",
+]
 
-registry.reorder(ROUND8_ROTATION)
+#: Alias kept so callers/tests address "the live window" uniformly
+#: across rounds. Round 9 is LIVE: CORRECTNESS_r08 came back clean
+#: (50/50 hash-green — zero reds, zero errs; the four r8 oracle
+#: upgrades got their first hash rows), so the pre-committed round-9
+#: window runs unmodified.
+VERIFY_ROTATION = ROUND9_ROTATION
+
+registry.reorder(ROUND9_ROTATION)

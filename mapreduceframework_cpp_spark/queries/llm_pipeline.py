@@ -336,9 +336,13 @@ def _lsh_plane_sql() -> str:
     plan as literals (operators/similarity._hyperplanes — one source
     of truth). The planes are Python floats; their shortest repr
     round-trips to the identical IEEE double in DuckDB's parser and in
-    Spark's F.lit, and q_sim_topk/q_dedup_embedding already prove
-    list_dot_product ≡ the engine's zip_with/aggregate fold
-    bit-for-bit, so the bucket SIGNS agree exactly."""
+    Spark's F.lit, and tests/test_llm_pipeline.py::
+    test_lsh_plane_dot_product_cross_engine_exact proves DuckDB's
+    list_dot_product equals the engine's zip_with/aggregate fold
+    BIT-FOR-BIT on these very plane literals over the oracle-scale
+    embeddings (ADVICE r8: the q_sim_topk hash only certifies 6dp,
+    too weak for a sign that can flip within one ulp of zero), so the
+    bucket SIGNS agree exactly."""
     from mapreduceframework_cpp_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(EMB_DIM, 8, seed=7)

@@ -55,23 +55,23 @@ def test_output_columns_are_atomic(name, spark, sf_dir):
 def test_registration_follows_verify_rotation():
     """The verifier checks the first ~50 registered queries per round;
     queries/__init__.py declares the rotation explicitly. Guard that
-    registration actually honors it and that the live round-8 window
-    spends its slots per the standing policy. Round 7 landed with ZERO
-    reds (derived HERE from the frozen CORRECTNESS_r07.json, so the
-    claim can't drift from the evidence), so the pre-committed round-8
-    window runs unmodified: the four oldest-evidence names the round-7
-    red-requeue displaced, then round-2/3 greens oldest-first. The
-    green fold is imported from tools/next_rotation.py::green_set
-    (ADVICE r4: a local copy of the fold silently diverged from the
-    CLI's policy)."""
+    registration actually honors it and that the live round-9 window
+    spends its slots per the standing policy. Round 8 landed with ZERO
+    reds (derived HERE from the frozen CORRECTNESS_r08.json, so the
+    claim can't drift from the evidence), so the pre-committed round-9
+    window runs unmodified: the two round-8 spills (the last round-2
+    greens), the four re-confirm slots the r8 oracle upgrades
+    displaced, then round-3 greens oldest-first. The green fold is
+    imported from tools/next_rotation.py::green_set (ADVICE r4: a
+    local copy of the fold silently diverged from the CLI's policy)."""
     import json
     import os
     import sys
 
     from mapreduceframework_cpp_spark.queries import (
-        ROUND7_ROTATION,
         ROUND8_ROTATION,
         ROUND9_ROTATION,
+        ROUND10_ROTATION,
         VERIFY_ROTATION,
     )
     from mapreduceframework_cpp_spark.registry import all_oracles
@@ -82,82 +82,42 @@ def test_registration_follows_verify_rotation():
     from tools.next_rotation import green_set
 
     registered = list(_QUERIES)
-    assert VERIFY_ROTATION is ROUND8_ROTATION  # the live window alias
-    assert registered[: len(ROUND8_ROTATION)] == ROUND8_ROTATION
-    assert len(ROUND8_ROTATION) == 50
-    assert len(set(ROUND8_ROTATION)) == 50
-    # windows are disjoint EXCEPT a query may legitimately re-enter
-    # when its grading got stricter mid-stream: q_dedup_simhash and
-    # q_sim_lsh_topk had rows-only slots in r7 and re-enter r8 as
-    # SQL-oracle upgrades needing their first hash rows
-    assert set(ROUND8_ROTATION) & set(ROUND7_ROTATION) == {
-        "q_dedup_simhash",
-        "q_sim_lsh_topk",
-    }
-    assert ROUND8_ROTATION[:5] == [
-        "q_project_expr", "q_filter_pred", "q_case_expr", "q_sort_multi",
-        "q_scan_select_cols",  # displaced by the r7 pagerank upgrade slot
-    ]
-
-    oracles = set(all_oracles())
-    # round 7 landed clean: no SQL-oracle row in the live window ran
-    # without error yet hash-failed, so there is nothing to re-queue
-    r07 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r07.json")))
-    reds = [
-        n
-        for n in ROUND7_ROTATION
-        if n in r07
-        and n in oracles
-        and not r07[n].get("err")
-        and not r07[n].get("hash_match")
-    ]
-    assert reds == [], f"round-7 reds exist — re-queue them: {reds}"
-
-    # cumulative evidence through round 7: every registered query is
-    # driver-green (the drain invariant reached its fixed point in r7 —
-    # 280 hash-green + 16 rows-only clean, VERDICT r7) EXCEPT the
-    # round-8 rows-only → SQL-oracle upgrades, whose historical
-    # rows-only-clean rows no longer satisfy the stricter hash policy
-    # (the r7 langid/pagerank precedent) — and those sit inside the
-    # live window awaiting their first hash row
-    green = green_set(
-        [
-            os.path.join(repo_root, f"CORRECTNESS_{r}.json")
-            for r in ("r01", "r02", "r03", "r04", "r05", "r06", "r07")
-        ],
-        oracles,
-    )
-    unproven = [q for q in registered if q not in green]
-    upgrades = [
-        "q_sketch_countmin",
-        "q_text_fingerprint",
-        "q_dedup_simhash",
-        "q_sim_lsh_topk",
-    ]
-    assert sorted(unproven) == sorted(upgrades), unproven
-    assert set(unproven) <= set(ROUND8_ROTATION)
-
-    # round-8 slots are re-confirmations of the OLDEST evidence rows:
-    # every slot carries r1/r2/r3 driver evidence (the upgrades'
-    # historical evidence was rows-only-grade, so they are exempt from
-    # the hash-green requirement here)
-    g123 = green_set(
-        [
-            os.path.join(repo_root, f"CORRECTNESS_{r}.json")
-            for r in ("r01", "r02", "r03")
-        ],
-        oracles,
-    )
-    assert set(ROUND8_ROTATION) - set(upgrades) <= g123
-
-    # the committed round-9 plan: a unique 50-slot window, disjoint
-    # from rounds 7 and 8, leading with the two round-8 spills (the
-    # last round-2 greens), every slot carrying r2/r3 driver evidence
+    assert VERIFY_ROTATION is ROUND9_ROTATION  # the live window alias
+    assert registered[: len(ROUND9_ROTATION)] == ROUND9_ROTATION
     assert len(ROUND9_ROTATION) == 50
     assert len(set(ROUND9_ROTATION)) == 50
     assert not set(ROUND9_ROTATION) & set(ROUND8_ROTATION)
-    assert not set(ROUND9_ROTATION) & set(ROUND7_ROTATION)
     assert ROUND9_ROTATION[:2] == ["q_emb_centroid", "q_emb_norm_stats"]
+
+    oracles = set(all_oracles())
+    # round 8 landed clean: no SQL-oracle row in the live window ran
+    # without error yet hash-failed, so there is nothing to re-queue
+    r08 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r08.json")))
+    reds = [
+        n
+        for n in ROUND8_ROTATION
+        if n in r08
+        and n in oracles
+        and not r08[n].get("err")
+        and not r08[n].get("hash_match")
+    ]
+    assert reds == [], f"round-8 reds exist — re-queue them: {reds}"
+
+    # cumulative evidence through round 8: EVERY registered query is
+    # driver-green — the r8 window carried the last four rows-only →
+    # SQL-oracle upgrades to their first hash rows, so the drain
+    # invariant's fixed point now covers the whole registry (284
+    # hash-green + 12 terminally rows-only clean, VERDICT r8)
+    all_rounds = [
+        os.path.join(repo_root, f"CORRECTNESS_{r}.json")
+        for r in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08")
+    ]
+    green = green_set(all_rounds, oracles)
+    unproven = [q for q in registered if q not in green]
+    assert unproven == [], unproven
+
+    # round-9 slots are re-confirmations of the OLDEST evidence rows:
+    # every slot carries r2/r3 driver evidence
     g23 = green_set(
         [
             os.path.join(repo_root, f"CORRECTNESS_{r}.json")
@@ -166,26 +126,51 @@ def test_registration_follows_verify_rotation():
         oracles,
     )
     assert set(ROUND9_ROTATION) <= g23
-    # and the round-9 window drains the remaining oldest rows: nothing
-    # OUTSIDE rounds 8+9 still has pre-r4 latest evidence, except what
-    # provably cannot fit (the pool is ordered, so overflow is empty
-    # when the two windows cover all ≤r3-latest rows)
+
+    # the committed round-10 plan: a unique 50-slot window, disjoint
+    # from rounds 8 and 9, leading with the two round-9 spills (the
+    # newest r03-latest rows), every slot carrying r3/r4 driver
+    # evidence
+    assert len(ROUND10_ROTATION) == 50
+    assert len(set(ROUND10_ROTATION)) == 50
+    assert not set(ROUND10_ROTATION) & set(ROUND9_ROTATION)
+    assert not set(ROUND10_ROTATION) & set(ROUND8_ROTATION)
+    assert ROUND10_ROTATION[:2] == ["q_dedup_bow", "q_text_ngram_topk"]
+    g34 = green_set(
+        [
+            os.path.join(repo_root, f"CORRECTNESS_{r}.json")
+            for r in ("r03", "r04")
+        ],
+        oracles,
+    )
+    assert set(ROUND10_ROTATION) <= g34
+
+    # and the round-10 window drains the remaining oldest rows: after
+    # rounds 9+10 run, nothing still has pre-r4 latest evidence, and
+    # the r4-latest overflow is exactly the r04 tail that provably
+    # cannot fit (the pool is ordered, so overflow = the names AFTER
+    # the window's last slot in r04 order)
     latest: dict[str, int] = {}
-    for i, r in enumerate(("r01", "r02", "r03", "r04", "r05", "r06", "r07")):
+    r04_order: dict[str, int] = {}
+    for i, r in enumerate(
+        ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08")
+    ):
         rows = json.load(open(os.path.join(repo_root, f"CORRECTNESS_{r}.json")))
-        for name in rows:
+        for j, name in enumerate(rows):
             latest[name] = i + 1
-    stale = {
-        q for q, rnd in latest.items() if rnd <= 3 and q in registered
-    }
-    uncovered = stale - set(ROUND8_ROTATION) - set(ROUND9_ROTATION)
-    # two slots of the 100 are spent on q_dedup_simhash and
-    # q_sim_lsh_topk (r7-latest, in the window as oracle upgrades, not
-    # staleness re-confirms), so exactly two stale names spill to
-    # round 10 — the newest of them in r03 order
-    assert uncovered == {"q_dedup_bow", "q_text_ngram_topk"}, (
-        "oldest-evidence rows left out of the next two windows",
-        sorted(uncovered)[:10],
+            if r == "r04":
+                r04_order[name] = j
+    covered = set(ROUND9_ROTATION) | set(ROUND10_ROTATION)
+    stale3 = {q for q, rnd in latest.items() if rnd <= 3 and q in registered}
+    assert stale3 <= covered, sorted(stale3 - covered)[:10]
+    stale4 = {q for q, rnd in latest.items() if rnd == 4 and q in registered}
+    spilled = stale4 - covered
+    max_covered_r04 = max(
+        r04_order[q] for q in ROUND10_ROTATION if q in r04_order
+    )
+    assert all(r04_order[q] > max_covered_r04 for q in spilled), (
+        "a covered r04 slot was skipped in favor of a newer one",
+        sorted(spilled)[:10],
     )
 
 

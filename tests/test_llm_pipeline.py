@@ -997,3 +997,97 @@ def test_vendored_png_decodes_all_color_types_and_sizes():
                     + chunk(b"IEND", b"")
                 )
                 assert _png_decode(png) == (w, h, nch), (color_type, w, h)
+
+
+def test_lsh_plane_dot_product_cross_engine_exact(spark, duck, oracle_sf_dir):
+    """Direct cross-engine parity for the sign-LSH bucket signs (ADVICE
+    r8): Spark's zip_with/aggregate left fold vs DuckDB's
+    list_dot_product, over the ACTUAL hyperplane literals the engine
+    bakes into its plan, on the real oracle-scale embeddings — EXACT
+    IEEE-double equality, no rounding. q_sim_topk only proves the two
+    folds agree to 6dp; a bucket sign flips on a one-ulp disagreement
+    near zero, so the q_sim_lsh_topk oracle needs this stronger fact."""
+    import struct as _struct
+
+    from mapreduceframework_cpp_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _hyperplanes,
+    )
+    from mapreduceframework_cpp_spark.queries.llm_pipeline import EMB_DIM
+
+    planes = _hyperplanes(EMB_DIM, 8, seed=7)
+
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+    cols = [
+        _dot(_as_double(F.col("embedding")), F.array(*[F.lit(x) for x in plane]))
+        .alias(f"d{j}")
+        for j, plane in enumerate(planes)
+    ]
+    got = {
+        r["vec_id"]: [r[f"d{j}"] for j in range(8)]
+        for r in emb.select("vec_id", *cols).collect()
+    }
+
+    duck_cols = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(x) for x in plane)
+        + f"]) AS d{j}"
+        for j, plane in enumerate(planes)
+    )
+    want = {
+        row[0]: list(row[1:])
+        for row in duck.execute(
+            f"SELECT vec_id, {duck_cols} FROM embeddings"
+        ).fetchall()
+    }
+
+    assert set(got) == set(want)
+    bits = lambda f: _struct.pack("<d", f)  # noqa: E731 - bit-exact lens
+    for vid, dots in got.items():
+        for j, (a, b) in enumerate(zip(dots, want[vid])):
+            assert bits(a) == bits(b), (vid, j, a, b)
+
+
+def test_fingerprint_oracle_parity_on_null_and_degenerate_text(spark):
+    """ADVICE r8 (medium): the q_text_fingerprint oracle filters
+    ``WHERE text IS NOT NULL`` but the engine used to emit a
+    (doc_id, '') row for NULL-text docs — greatest() collapses the
+    gram sequence to [1], substring(NULL) -> NULL gram -> NULL hash ->
+    collect_set drops it -> empty sketch. fingerprints() now filters
+    NULL text, so both sides drop the doc; this pins engine ≡ oracle
+    on exactly the null-bearing corpus the driver's clean testdata
+    masks (edge-sweep doc 900005 analog), plus short/empty texts that
+    stress the greatest()-floor path."""
+    import duckdb
+
+    import mapreduceframework_cpp_spark.queries  # noqa: F401 - registers oracles
+    from mapreduceframework_cpp_spark.registry import ORACLES
+    from tests._compare import assert_df_matches_oracle
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, None),  # must emit NO row on either side
+        (3, ""),  # empty: one ''-gram, one hash
+        (4, "short"),  # < gram width: single truncated gram
+        (5, "exactly8"),  # == gram width
+        (6, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    got = fingerprints(df).select(
+        "doc_id",
+        F.concat_ws(",", F.col("fingerprint").cast("array<string>")).alias(
+            "fingerprint"
+        ),
+    )
+    try:
+        assert_df_matches_oracle(
+            got, duck, ORACLES["q_text_fingerprint"], name="fingerprint_null"
+        )
+    finally:
+        duck.close()
+    assert 2 not in {r.doc_id for r in got.collect()}

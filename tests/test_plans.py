@@ -534,7 +534,7 @@ def test_fingerprint_single_exchange_partial_collect(spark, sf_dir):
     p = plan(_Q["q_text_fingerprint"](spark, sf_dir))
     assert p.count("Exchange") - p.count("ReusedExchange") <= 2, p  # spread + agg
     assert "BatchEvalPython" not in p and "SortMergeJoin" not in p
-    assert "partial_collect_set" in p or "objHashAggregate" in p.lower() or "collect_set" in p
+    assert "partial_collect_set" in p or "objhashaggregate" in p.lower() or "collect_set" in p
 
 
 def test_simhash_single_aggregate_no_joins(spark, sf_dir):
