@@ -139,12 +139,16 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_mm_features")  # rows-only: extractor is a stub behind mapInPandas
+@query("q_mm_features")  # rows-only: testdata media bytes are declared fakes
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media column → fixed-dim feature vector via
-    mapInPandas (deterministic fake extractor, real batch shape). The
-    vector is serialized to a CSV string in the final projection (scalar
-    outputs only — see q_text_fingerprint)."""
+    mapInPandas. The extractor is REAL since r9 — per-channel mean/std
+    + luminance histogram over decoded pixels (operators/multimodal.
+    _pixel_stats, spec-exact-tested on in-repo PNG fixtures); this
+    container's sha-seeded fake payloads take the documented digest
+    fallback, which is why the query stays rows-only. The vector is
+    serialized to a CSV string in the final projection (scalar outputs
+    only — see q_text_fingerprint)."""
     feats = extract_features(attach_fake_media(tbl(spark, sf_dir, "documents")))
     return feats.select(
         "doc_id",

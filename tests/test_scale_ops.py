@@ -375,12 +375,16 @@ def test_spread_noop_on_exchange_bearing_plans(spark, sf_dir):
 
 def test_exchange_backstop_memoizes_by_plan(spark, sf_dir):
     """The layer-2 physical-compilation verdict is cached by
-    (applicationId, analyzed-plan text) — composed pipelines call
-    spread() repeatedly on identical plans and each executedPlan
-    compile costs ~0.1-0.2 s (VERDICT r7 item 7). Prove the cache is
+    (applicationId, planner confs, analyzed-plan text) — composed
+    pipelines call spread() repeatedly on identical plans and each
+    executedPlan compile costs ~0.1-0.2 s (VERDICT r7 item 7); the
+    confs joined the key in r9 (ADVICE r8: applicationId is shared by
+    newSession() siblings and survives runtime conf.set, so it alone
+    cannot isolate per-session planner state). Prove the cache is
     (a) consulted: a seeded verdict short-circuits the compile;
     (b) written: a backstop-reaching plan leaves exactly its key behind;
-    (c) bounded: inserts at capacity evict FIFO."""
+    (c) bounded: inserts at capacity evict FIFO;
+    (d) conf-sensitive: mutating a keyed conf misses the stale entry."""
     import re as _re
 
     import pyspark.sql.functions as F
@@ -400,21 +404,34 @@ def test_exchange_backstop_memoizes_by_plan(spark, sf_dir):
         _c._BACKSTOP_CACHE.clear()
         assert _exchange_bearing(agged)  # live compile
         app = spark.sparkContext.applicationId
+        confs = ";".join(
+            f"{k}={spark.conf.get(k)}" for k in _c._BACKSTOP_CONF_KEYS
+        )
         tree = agged._jdf.queryExecution().analyzed().treeString()
-        assert _c._BACKSTOP_CACHE == {(app, tree): True}  # (b) written
+        assert _c._BACKSTOP_CACHE == {(app, confs, tree): True}  # (b) written
 
         # (a) consulted: a poisoned entry is believed without recompiling
-        _c._BACKSTOP_CACHE[(app, tree)] = False
+        _c._BACKSTOP_CACHE[(app, confs, tree)] = False
         assert not _exchange_bearing(agged)
+
+        # (d) conf-sensitive: flip a keyed planner conf — the poisoned
+        # verdict no longer matches, a fresh compile tells the truth
+        thresh_key = "spark.sql.autoBroadcastJoinThreshold"
+        prev_thresh = spark.conf.get(thresh_key)
+        try:
+            spark.conf.set(thresh_key, "1234567")
+            assert _exchange_bearing(agged)
+        finally:
+            spark.conf.set(thresh_key, prev_thresh)
 
         # (c) bounded: fill to capacity, insert once more, oldest falls out
         _c._BACKSTOP_CACHE.clear()
         for i in range(_c._BACKSTOP_CACHE_MAX):
-            _c._BACKSTOP_CACHE[("app", str(i))] = True
+            _c._BACKSTOP_CACHE[("app", "c", str(i))] = True
         assert _exchange_bearing(agged)
         assert len(_c._BACKSTOP_CACHE) == _c._BACKSTOP_CACHE_MAX
-        assert ("app", "0") not in _c._BACKSTOP_CACHE
-        assert _c._BACKSTOP_CACHE[(app, tree)] is True
+        assert ("app", "c", "0") not in _c._BACKSTOP_CACHE
+        assert _c._BACKSTOP_CACHE[(app, confs, tree)] is True
     finally:
         _c._EXCHANGE_NODES = orig
         _c._BACKSTOP_CACHE.clear()
