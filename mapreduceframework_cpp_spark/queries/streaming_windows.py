@@ -284,6 +284,62 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_tws",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState (Spark 4's TYPED stateful streaming — the
+    successor surface to q_stream_stateful's applyInPandasWithState):
+    per-user event count in a ValueState plus a per-event-type count
+    MapState, maintained across micro-batches by the engine's state
+    store. Update-mode emissions are monotone counters, so the final
+    value per key is the max over emissions, which must equal the
+    batch groupBy — the oracle.
+
+    Registered in r9 once streaming/pb_bridge.py made the state-server
+    protocol's google.protobuf import work in this container (see
+    streaming/tws.py). TWS requires a column-family-capable state
+    store; the RocksDB provider conf is scoped to this query and
+    restored after."""
+    from mapreduceframework_cpp_spark.streaming.pb_bridge import (
+        install_protobuf_bridge,
+    )
+    from mapreduceframework_cpp_spark.streaming.stream import (
+        events_stream,
+        run_to_memory,
+    )
+    from mapreduceframework_cpp_spark.streaming.tws import (
+        user_activity_profile,
+    )
+
+    install_protobuf_bridge(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        emissions = run_to_memory(
+            user_activity_profile(events_stream(spark, sf_dir)),
+            name="q_stream_tws_sink",
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set(key, prev)
+    return emissions.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_types").alias("n_types"),
+    )
+
+
+@query(
     "q_stream_attrib_coverage",
     oracle="""
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

@@ -16,15 +16,17 @@ checkpoint-backed; emissions are per-batch updates, so the final value
 per key is the max over emissions (monotone counters) — no driver
 involvement on the unbounded path.
 
-ENVIRONMENT GATE (honest, multimodal-style): Spark's
-transform_with_state_driver_worker imports ``google.protobuf`` for its
-state-server protocol; this container does not ship the protobuf
-Python package, so the end-to-end run raises at query start. The
-operator is real and tests/test_tws.py runs the full
-stream-to-batch-parity check whenever protobuf is importable (it
-skips, loudly, when not). ``applyInPandasWithState``
-(streaming/stateful.py, q_stream_stateful) is the driver-verified
-stateful path in this container.
+DEPENDENCY (bridged since r9): Spark's Python state-server protocol
+imports ``google.protobuf``, which this container does not ship as a
+package — streaming/pb_bridge.py aliases the pure-python protobuf
+runtime vendored inside google-cloud-sdk into the canonical namespace
+(driver + both worker flavors), so the END-TO-END run now works here:
+tests/test_tws.py runs the full stream-to-batch parity check and
+q_stream_tws (queries/streaming_windows.py) is SQL-oracle-registered.
+On hosts with a real protobuf package the bridge is a no-op; on hosts
+with neither, install_protobuf_bridge raises and the test skips,
+loudly. TWS needs a column-family-capable state store —
+RocksDBStateStoreProvider, set per-query with restore.
 """
 
 from __future__ import annotations

@@ -87,7 +87,13 @@ def test_registration_follows_verify_rotation():
     assert len(ROUND9_ROTATION) == 50
     assert len(set(ROUND9_ROTATION)) == 50
     assert not set(ROUND9_ROTATION) & set(ROUND8_ROTATION)
-    assert ROUND9_ROTATION[:2] == ["q_emb_centroid", "q_emb_norm_stats"]
+    # head slot: the r9-registered q_stream_tws (transformWithState via
+    # the protobuf bridge) needs its FIRST driver row — the r7 pagerank
+    # / r8 upgrade precedent; it displaced the planned tail slot
+    # (q_dedup_editdist) to round 10
+    assert ROUND9_ROTATION[:3] == [
+        "q_stream_tws", "q_emb_centroid", "q_emb_norm_stats",
+    ]
 
     oracles = set(all_oracles())
     # round 8 landed clean: no SQL-oracle row in the live window ran
@@ -114,10 +120,11 @@ def test_registration_follows_verify_rotation():
     ]
     green = green_set(all_rounds, oracles)
     unproven = [q for q in registered if q not in green]
-    assert unproven == [], unproven
+    assert unproven == ["q_stream_tws"], unproven
 
     # round-9 slots are re-confirmations of the OLDEST evidence rows:
-    # every slot carries r2/r3 driver evidence
+    # every slot carries r2/r3 driver evidence (except the new-query
+    # head slot, which has none yet by construction)
     g23 = green_set(
         [
             os.path.join(repo_root, f"CORRECTNESS_{r}.json")
@@ -125,7 +132,7 @@ def test_registration_follows_verify_rotation():
         ],
         oracles,
     )
-    assert set(ROUND9_ROTATION) <= g23
+    assert set(ROUND9_ROTATION) - {"q_stream_tws"} <= g23
 
     # the committed round-10 plan: a unique 50-slot window, disjoint
     # from rounds 8 and 9, leading with the two round-9 spills (the
@@ -135,7 +142,9 @@ def test_registration_follows_verify_rotation():
     assert len(set(ROUND10_ROTATION)) == 50
     assert not set(ROUND10_ROTATION) & set(ROUND9_ROTATION)
     assert not set(ROUND10_ROTATION) & set(ROUND8_ROTATION)
-    assert ROUND10_ROTATION[:2] == ["q_dedup_bow", "q_text_ngram_topk"]
+    assert ROUND10_ROTATION[:3] == [
+        "q_dedup_bow", "q_text_ngram_topk", "q_dedup_editdist",
+    ]
     g34 = green_set(
         [
             os.path.join(repo_root, f"CORRECTNESS_{r}.json")

@@ -1,9 +1,12 @@
-"""transformWithState (Spark 4 typed stateful streaming) — environment-
-gated end-to-end check (see streaming/tws.py module doc): the driver
-worker needs the protobuf Python package, absent in this container, so
-the full run SKIPS (loudly) unless protobuf is importable. What still
-runs everywhere: the processor's pure-Python state logic against stub
-state handles — the part that is ours rather than the engine's.
+"""transformWithState (Spark 4 typed stateful streaming) — end-to-end
+since r9 via the protobuf bridge (see streaming/pb_bridge.py): the
+state-server protocol needs google.protobuf, which this container
+lacks as a package but ships inside google-cloud-sdk; the bridge
+aliases that copy for the driver and both Python-worker flavors. The
+full stream-to-batch parity check runs wherever EITHER a real protobuf
+or the sdk copy exists, and skips loudly only where neither does. The
+processor's pure-Python state logic runs everywhere against stub state
+handles — the part that is ours rather than the engine's.
 """
 
 from __future__ import annotations
@@ -11,11 +14,15 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-_HAS_PROTOBUF = True
+_PB_TIER = None
 try:  # pragma: no cover - environment probe
-    import google.protobuf  # noqa: F401
+    from mapreduceframework_cpp_spark.streaming.pb_bridge import (
+        install_protobuf_bridge,
+    )
+
+    _PB_TIER = install_protobuf_bridge()  # driver-side probe only
 except ImportError:
-    _HAS_PROTOBUF = False
+    pass
 
 
 class _StubValueState:
@@ -75,16 +82,21 @@ def test_processor_state_logic_two_batches():
 
 
 @pytest.mark.skipif(
-    not _HAS_PROTOBUF,
-    reason="transformWithState driver worker needs google.protobuf, "
-    "not shipped in this container (see streaming/tws.py)",
+    _PB_TIER is None,
+    reason="transformWithState needs google.protobuf and neither the "
+    "package nor the cloud-sdk copy the bridge aliases is on this host "
+    "(see streaming/pb_bridge.py)",
 )
 def test_tws_stream_matches_batch(spark, sf_dir):
-    """Full engine path (only where protobuf exists): final emissions
-    equal the batch groupBy count + distinct-type count."""
+    """Full engine path: final emissions equal the batch groupBy count
+    + distinct-type count. Runs through the same bridge + scoped
+    RocksDB provider the registered q_stream_tws uses."""
     import pyspark.sql.functions as F
 
     from mapreduceframework_cpp_spark.sources.tables import tbl
+    from mapreduceframework_cpp_spark.streaming.pb_bridge import (
+        install_protobuf_bridge,
+    )
     from mapreduceframework_cpp_spark.streaming.stream import (
         events_stream,
         run_to_memory,
@@ -93,6 +105,7 @@ def test_tws_stream_matches_batch(spark, sf_dir):
         user_activity_profile,
     )
 
+    install_protobuf_bridge(spark)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
