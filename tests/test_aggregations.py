@@ -11,7 +11,9 @@ def test_approx_distinct_within_4pct(spark, oracle_sf_dir, duck):
     change could legitimately exceed it with no real bug). Measured
     relative error at sf0.01 is 0.95%; 2 sigma still fails loudly on a
     mis-configured sketch (rsd 0.05 would sit at ~2.5 sigma of ITS
-    noise inside 4% only by luck)."""
+    noise inside 4% only by luck). r9 ledger (tools/bounds_ledger.py):
+    worst 1.00% at sf0.1 — the 2-sigma argument stands, NOT tightened
+    despite 4x measured slack."""
     approx = (
         all_queries()["q_agg_approx_distinct"](spark, oracle_sf_dir)
         .collect()[0]["approx_parts"]
@@ -20,10 +22,15 @@ def test_approx_distinct_within_4pct(spark, oracle_sf_dir, duck):
     assert abs(approx - exact) / exact <= 0.04, (approx, exact)
 
 
-def test_approx_quantile_within_1pct(spark, oracle_sf_dir, duck):
-    """GK-sketch quantiles at accuracy 10k must land within 1% of the
-    exact interpolated percentile (rank error n/10000 « 1% of the value
-    range on this data)."""
+def test_approx_quantile_within_0p2pct(spark, oracle_sf_dir, duck):
+    """GK-sketch quantiles at accuracy 10k within 0.2% of the exact
+    interpolated percentile. Tightened from 1% in r9 (VERDICT r8 item
+    7, tools/bounds_ledger.py): measured worst relative error is
+    6.2e-5 at sf0.01 and 3.0e-4 at sf0.1, so 1% carried 33-160x slack;
+    the sketch's own guarantee (rank error n/10000 = 1e-4 of rank) maps
+    to well under 0.1% in value space on this totalprice distribution,
+    leaving 0.2% ~ 6x the worst measurement — loud on a mis-configured
+    sketch, safe against a testdata regeneration."""
     from mapreduceframework_cpp_spark.registry import all_queries
 
     row = all_queries()["q_agg_approx_quantile"](spark, oracle_sf_dir).collect()[0]
@@ -31,8 +38,8 @@ def test_approx_quantile_within_1pct(spark, oracle_sf_dir, duck):
         "SELECT quantile_cont(o_totalprice, 0.5), "
         "quantile_cont(o_totalprice, 0.95) FROM orders"
     ).fetchone()
-    assert abs(row.p50 - exact[0]) / exact[0] <= 0.01, (row.p50, exact[0])
-    assert abs(row.p95 - exact[1]) / exact[1] <= 0.01, (row.p95, exact[1])
+    assert abs(row.p50 - exact[0]) / exact[0] <= 0.002, (row.p50, exact[0])
+    assert abs(row.p95 - exact[1]) / exact[1] <= 0.002, (row.p95, exact[1])
 
 
 def test_hll_rollup_within_2pct(spark, oracle_sf_dir, duck):
@@ -40,7 +47,8 @@ def test_hll_rollup_within_2pct(spark, oracle_sf_dir, duck):
     within 2% of exact distinct users — the union must not degrade
     accuracy (sketches merge losslessly). Tightened from 5% in r6:
     every daily and the merged monthly estimate measured EXACT at
-    sf0.01; 2% keeps HLL-noise headroom at larger cardinalities."""
+    sf0.01; 2% keeps HLL-noise headroom at larger cardinalities.
+    r9 ledger: worst 1.42% at sf0.1 — only 1.4x slack, stands."""
     from mapreduceframework_cpp_spark.registry import all_queries
 
     rows = all_queries()["q_agg_hll_rollup"](spark, oracle_sf_dir).collect()
@@ -69,7 +77,8 @@ def test_theta_sketch_set_algebra_within_1pct(spark, oracle_sf_dir, duck):
     Tightened from 5% in r6: at sf0.01 the audience cardinalities sit
     below the sketch's retention threshold, so every estimate measured
     EXACT — 1% keeps headroom for a sketch-mode (sub-sampled) future
-    dataset while still catching any real estimator drift."""
+    dataset while still catching any real estimator drift. r9 ledger:
+    still exact at sf0.1."""
     from mapreduceframework_cpp_spark.registry import all_queries
 
     (row,) = all_queries()["q_sketch_theta"](spark, oracle_sf_dir).collect()
@@ -105,7 +114,8 @@ def test_kll_quantiles_within_2pct(spark, oracle_sf_dir, duck):
     estimate depends on sketch-merge order, and inside the full suite
     (same session, different task scheduling) it exceeded 1.5% once.
     2% is the honest bound for this sketch config; the deterministic
-    sketches (theta/HLL/approx-distinct) carry the tight bounds."""
+    sketches (theta/HLL/approx-distinct) carry the tight bounds.
+    r9 ledger: worst 1.16% at sf0.1 — 1.7x slack, stands."""
     from mapreduceframework_cpp_spark.registry import all_queries
 
     rows = all_queries()["q_sketch_kll"](spark, oracle_sf_dir).collect()
