@@ -300,7 +300,15 @@ def _pairs_from_banded(banded: DataFrame, max_bucket: int = 1024) -> DataFrame:
     inside an oversized bucket is delegated to the other b-1 bands (a
     pair at jaccard ≥ 0.7 with b=32/r=2 collides in ~10 bands in
     expectation); testdata buckets stay far below the default cap, so
-    threshold queries remain exact."""
+    threshold queries remain exact.
+
+    REJECTED alternative (r9, VERDICT r8 item 6): a scalar max-bucket
+    pre-probe (groupBy count → max → driver scalar) that skips the
+    regime split on clean corpora. Interleaved B-A-B-A at sf0.1 over
+    q_dedup_near + q_dedup_incremental: probe 3.52/2.70 s vs this
+    window form 2.43/2.43 s — the probe's count aggregation recomputes
+    the banded frame (the minhash-heavy part, deliberately unpersisted
+    at scale), which costs more than the 2x sort+window it saves."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band", "bucket")
