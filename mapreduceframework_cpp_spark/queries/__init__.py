@@ -209,8 +209,15 @@ ROUND9_ROTATION = [
         # protobuf bridge, streaming/pb_bridge.py) registers with a full
         # SQL oracle and needs its FIRST driver row — it takes the head
         # slot (the r7 pagerank / r8 upgrade precedent), displacing the
-        # window's tail name (q_dedup_editdist) to round 10
-        "q_stream_tws",
+        # window's tail name (q_dedup_editdist) to round 10. Two more
+        # r9 upgrade slots follow the same precedent: q_mm_decode and
+        # q_mm_features went rows-only -> SQL-oracle this round (the
+        # digest-fallback arithmetic on the declared-fake payloads is
+        # SQL-expressible), so each needs a first hash row; q_mm_decode
+        # enters here (displacing q_graph_triangles to round 10) and
+        # q_mm_features was ALREADY a slot below — its slot changes
+        # meaning from re-confirm to upgrade
+        "q_stream_tws", "q_mm_decode",
         # -- round-8 spills: the last two round-2 greens ------------------
         "q_emb_centroid", "q_emb_norm_stats",
         # -- displaced from round 8 by the four r8 oracle upgrades --------
@@ -232,7 +239,6 @@ ROUND9_ROTATION = [
         "q_dedup_containment", "q_table_profile", "q_events_paths",
         "q_events_cooccurrence", "q_events_value_hist",
         "q_tpch_q7_shape", "q_tpch_q10_shape", "q_ts_ewma",
-        "q_graph_triangles",
 ]
 
 #: round-10 window, committed in advance so round 10 is mechanical
@@ -246,9 +252,11 @@ ROUND9_ROTATION = [
 #: within a six-round freshness horizon. Any round-9 red re-queues at
 #: the head per the standing policy, displacing the tail.
 ROUND10_ROTATION = [
-        # -- the three r03-latest spills (newest r03 evidence; the third
-        # is the round-9 tail slot the q_stream_tws head displaced) ------
+        # -- the four r03-latest spills (newest r03 evidence; the last
+        # two are round-9 tail slots displaced by the q_stream_tws and
+        # q_mm_decode head insertions) -----------------------------------
         "q_dedup_bow", "q_text_ngram_topk", "q_dedup_editdist",
+        "q_graph_triangles",
         # -- CORRECTNESS_r04 greens in their r04 verification order -------
         "q_tpch_q1_shape", "q_tpch_q8_shape", "q_tpch_q9_shape",
         "q_tpch_q13_shape", "q_tpch_q16_shape", "q_tpch_q19_shape",
@@ -265,7 +273,7 @@ ROUND10_ROTATION = [
         "q_emb_pca_top", "q_sketch_theta", "q_sketch_kll",
         "q_score_auc", "q_score_decile_lift", "q_score_confusion",
         "q_ab_ztest", "q_rank_fusion", "q_annotator_kappa",
-        "q_score_calibration", "q_k_anonymity",
+        "q_score_calibration",
 ]
 
 #: Alias kept so callers/tests address "the live window" uniformly

@@ -139,16 +139,35 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_mm_features")  # rows-only: testdata media bytes are declared fakes
+@query(
+    "q_mm_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, sha256(sha256(text)) AS h
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(range(1, 17), i ->
+             CAST(round(CAST('0x' || substr(h, 2*i - 1, 2) AS INTEGER)
+                        / 255.0, 6) AS VARCHAR)), ',') AS feature
+    FROM d
+    """,
+)
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media column → fixed-dim feature vector via
     mapInPandas. The extractor is REAL since r9 — per-channel mean/std
     + luminance histogram over decoded pixels (operators/multimodal.
     _pixel_stats, spec-exact-tested on in-repo PNG fixtures); this
-    container's sha-seeded fake payloads take the documented digest
-    fallback, which is why the query stays rows-only. The vector is
-    serialized to a CSV string in the final projection (scalar outputs
-    only — see q_text_fingerprint)."""
+    container's sha-seeded fake payloads deterministically take the
+    documented digest fallback, whose arithmetic IS SQL-expressible —
+    so the query upgraded from rows-only to hash-gradeable in r9: the
+    oracle re-derives round(byte/255, 6) for the first 16
+    sha256(sha256(text)) bytes. The float32→string CSV serialization
+    is byte-identical to DuckDB's round()::VARCHAR for ALL 256
+    possible byte values (exhaustively pinned by
+    tests/test_llm_pipeline.py::test_mm_feature_csv_format_parity).
+    The vector is serialized to a CSV string in the final projection
+    (scalar outputs only — see q_text_fingerprint)."""
     feats = extract_features(attach_fake_media(tbl(spark, sf_dir, "documents")))
     return feats.select(
         "doc_id",
@@ -557,11 +576,44 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("q_mm_decode")  # rows-only: decode is a stub behind mapInPandas
+@query(
+    "q_mm_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             sha256(sha256(text)) AS h
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, media_type,
+           CAST(16 + CAST('0x' || substr(h, 1, 2) AS INTEGER) % 240
+                AS INTEGER) AS width,
+           CAST(16 + CAST('0x' || substr(h, 3, 2) AS INTEGER) % 240
+                AS INTEGER) AS height,
+           CAST(1 + CAST('0x' || substr(h, 5, 2) AS INTEGER) % 4
+                AS INTEGER) AS n_channels,
+           substr(h, 1, 16) AS content_digest
+    FROM d
+    """,
+)
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media column → typed properties via an Arrow-batched
-    mapInPandas decode stage (deterministic fake decode; real schema,
-    partitioning and batch plumbing)."""
+    mapInPandas decode stage.
+
+    Upgraded from rows-only to hash-gradeable in r9: on THIS testdata
+    the payloads are declared sha-seeded fakes (attach_fake_media:
+    content = UTF-8 bytes of sha2(text)'s hex string), so every row
+    deterministically takes `_decode_image_bytes`'s digest-fallback
+    tier — whose arithmetic (width/height/channels from the first
+    sha256(content) bytes, 16-hex-char digest prefix) is exactly
+    SQL-expressible: the oracle re-derives it as sha256(sha256(text))
+    byte-pair parses. The REAL decode tiers (PIL, vendored PNG) are
+    pytest-proven on in-repo image fixtures instead — bytes that
+    decode never reach the fallback, and no real image lives in the
+    documents table by construction. NULL-text docs produce a NULL
+    payload and are excluded on both sides."""
     return decode_media(attach_fake_media(tbl(spark, sf_dir, "documents")))
 
 

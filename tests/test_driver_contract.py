@@ -87,13 +87,16 @@ def test_registration_follows_verify_rotation():
     assert len(ROUND9_ROTATION) == 50
     assert len(set(ROUND9_ROTATION)) == 50
     assert not set(ROUND9_ROTATION) & set(ROUND8_ROTATION)
-    # head slot: the r9-registered q_stream_tws (transformWithState via
-    # the protobuf bridge) needs its FIRST driver row — the r7 pagerank
-    # / r8 upgrade precedent; it displaced the planned tail slot
-    # (q_dedup_editdist) to round 10
-    assert ROUND9_ROTATION[:3] == [
-        "q_stream_tws", "q_emb_centroid", "q_emb_norm_stats",
+    # head slots: the r9-registered q_stream_tws (transformWithState
+    # via the protobuf bridge) and the q_mm_decode rows-only ->
+    # SQL-oracle upgrade each need their FIRST driver (hash) row — the
+    # r7 pagerank / r8 upgrade precedent; they displaced the planned
+    # tail slots (q_dedup_editdist, q_graph_triangles) to round 10.
+    # q_mm_features (the third upgrade) already held a slot below.
+    assert ROUND9_ROTATION[:4] == [
+        "q_stream_tws", "q_mm_decode", "q_emb_centroid", "q_emb_norm_stats",
     ]
+    assert "q_mm_features" in ROUND9_ROTATION
 
     oracles = set(all_oracles())
     # round 8 landed clean: no SQL-oracle row in the live window ran
@@ -120,7 +123,12 @@ def test_registration_follows_verify_rotation():
     ]
     green = green_set(all_rounds, oracles)
     unproven = [q for q in registered if q not in green]
-    assert unproven == ["q_stream_tws"], unproven
+    # the new registration plus the two r9 oracle upgrades (whose
+    # historical rows-only-clean rows no longer satisfy the stricter
+    # hash policy) — all inside the live window awaiting hash rows
+    assert sorted(unproven) == [
+        "q_mm_decode", "q_mm_features", "q_stream_tws",
+    ], unproven
 
     # round-9 slots are re-confirmations of the OLDEST evidence rows:
     # every slot carries r2/r3 driver evidence (except the new-query
@@ -132,7 +140,7 @@ def test_registration_follows_verify_rotation():
         ],
         oracles,
     )
-    assert set(ROUND9_ROTATION) - {"q_stream_tws"} <= g23
+    assert set(ROUND9_ROTATION) - set(unproven) <= g23
 
     # the committed round-10 plan: a unique 50-slot window, disjoint
     # from rounds 8 and 9, leading with the two round-9 spills (the
@@ -142,8 +150,9 @@ def test_registration_follows_verify_rotation():
     assert len(set(ROUND10_ROTATION)) == 50
     assert not set(ROUND10_ROTATION) & set(ROUND9_ROTATION)
     assert not set(ROUND10_ROTATION) & set(ROUND8_ROTATION)
-    assert ROUND10_ROTATION[:3] == [
+    assert ROUND10_ROTATION[:4] == [
         "q_dedup_bow", "q_text_ngram_topk", "q_dedup_editdist",
+        "q_graph_triangles",
     ]
     g34 = green_set(
         [

@@ -1246,3 +1246,85 @@ def test_extract_features_tiers_end_to_end(spark):
     # _tiny_png is constant 7 → std(dim 6) exactly 0, histogram mass in
     # bin 0 (dim 8) exactly 1
     assert got[1][6] == 0.0 and got[1][8] == 1.0
+
+
+def test_mm_feature_csv_format_parity(spark):
+    """The q_mm_features oracle (r9 upgrade) compares the feature CSV
+    as ONE string, so the engine's python-round → float32 → Spark
+    CAST(... AS STRING) chain must format byte-identically to DuckDB's
+    round(b/255.0, 6)::VARCHAR. The digest fallback emits only the 256
+    values round(b/255, 6), b in 0..255 — pin ALL of them through the
+    real engine path (python float → array<float> → cast) against
+    DuckDB."""
+    import duckdb
+
+    vals = [(b, [round(b / 255.0, 6)]) for b in range(256)]
+    df = spark.createDataFrame(vals, "b int, v array<float>")
+    got = {
+        r.b: r.s
+        for r in df.select(
+            "b", F.concat_ws(",", F.col("v").cast("array<string>")).alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        want = dict(
+            con.execute(
+                "SELECT i, CAST(round(i/255.0, 6) AS VARCHAR) "
+                "FROM range(256) t(i)"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == {b: want[b] for b in range(256)}
+
+
+def test_mm_decode_and_features_oracle_parity_with_nulls(spark):
+    """The r9 q_mm_decode/q_mm_features oracle upgrades must hold on a
+    null-bearing corpus (NULL text → NULL payload → excluded on both
+    sides) — the exact lens the fingerprint NULL divergence (ADVICE r8
+    medium) taught us the clean driver testdata masks."""
+    import duckdb
+
+    import mapreduceframework_cpp_spark.queries  # noqa: F401
+    from mapreduceframework_cpp_spark.registry import ORACLES
+    from mapreduceframework_cpp_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_media,
+        extract_features,
+    )
+    from tests._compare import assert_df_matches_oracle
+
+    rows = [
+        (1, "the quick brown fox", "en", "web", 19),
+        (2, None, "en", "web", None),
+        (3, "", "de", "books", 0),
+        (4, "ein kurzer text", "de", "web", 15),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    duck.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows)
+    media = attach_fake_media(df)
+    try:
+        assert_df_matches_oracle(
+            decode_media(media), duck, ORACLES["q_mm_decode"], name="mm_decode"
+        )
+        assert_df_matches_oracle(
+            extract_features(media).select(
+                "doc_id",
+                F.concat_ws(",", F.col("feature").cast("array<string>")).alias(
+                    "feature"
+                ),
+            ),
+            duck,
+            ORACLES["q_mm_features"],
+            name="mm_features",
+        )
+    finally:
+        duck.close()
