@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Scaling audit: per-query wall time across testdata decades, flagging
+superlinear growth — the 100 TB red-flag detector.
+
+Runs the full headline suite (``bench.py``) at each scale directory
+given (default sf0.01 then sf0.1 — a 10x data step), captures the
+per-query detail, and reports every query whose time ratio between
+consecutive decades exceeds the data ratio. A quadratic surface
+(corpus-squared pair enumeration, an unblocked self-join) grows ~100x
+per 10x decade and cannot hide behind host noise or fixed overhead; a
+healthy distributed plan at these scales is scheduling-dominated and
+reads well under the data ratio.
+
+Interpretation guardrails (written into the SURVEY log with the
+numbers): a sublinear ratio at sf<=0.1 mostly proves per-query FIXED
+overhead dominates, not that the asymptote is linear — the audit's
+power is one-sided. It EXONERATES nothing above the flag line but
+catches the failure class that matters (accidental quadratic
+surfaces) with decades of margin.
+
+Usage::
+
+    python tools/scale_audit.py                      # sf0.01 vs sf0.1
+    python tools/scale_audit.py sf0.001 sf0.01 sf0.1 # three decades
+
+Exit status: 1 if any consecutive-decade ratio exceeds the data ratio,
+else 0. BENCH_DETAIL.json is restored from git afterwards (bench.py
+unconditionally overwrites it next to itself).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
+
+
+def run_scale(sf_name: str) -> dict[str, float]:
+    sf_dir = os.path.join("/root/testdata", sf_name)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    with open(DETAIL) as f:
+        return json.load(f)["queries"]
+
+
+def main() -> int:
+    scales = sys.argv[1:] or ["sf0.01", "sf0.1"]
+    data_ratio = 10.0  # consecutive testdata decades are 10x apart
+    timings = {s: run_scale(s) for s in scales}
+    # bench.py clobbers the committed artifact; put it back
+    subprocess.run(["git", "checkout", "--", "BENCH_DETAIL.json"],
+                   cwd=REPO, check=False)
+
+    rc = 0
+    for lo, hi in zip(scales, scales[1:]):
+        a, b = timings[lo], timings[hi]
+        ratios = sorted(
+            ((b[k] / a[k], k, a[k], b[k]) for k in b if k in a and a[k] > 0),
+            reverse=True,
+        )
+        flagged = [r for r in ratios if r[0] > data_ratio]
+        med = statistics.median(r[0] for r in ratios)
+        print(f"{lo} -> {hi}: median ratio {med:.2f}, "
+              f"worst {ratios[0][0]:.2f} ({ratios[0][1]}), "
+              f"flagged(>{data_ratio:g}x): {len(flagged)}")
+        for r, k, ta, tb in ratios[:10]:
+            mark = "  <-- SUPERLINEAR" if r > data_ratio else ""
+            print(f"  {r:6.2f}  {ta:7.3f}s -> {tb:7.3f}s  {k}{mark}")
+        if flagged:
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
