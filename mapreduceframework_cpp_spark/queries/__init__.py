@@ -216,8 +216,11 @@ ROUND9_ROTATION = [
         # SQL-expressible), so each needs a first hash row; q_mm_decode
         # enters here (displacing q_graph_triangles to round 10) and
         # q_mm_features was ALREADY a slot below — its slot changes
-        # meaning from re-confirm to upgrade
-        "q_stream_tws", "q_mm_decode",
+        # meaning from re-confirm to upgrade. q_stream_tws_sessions
+        # (event-time timers + ListState, the round's second TWS
+        # registration) takes the head by the same policy, displacing
+        # the then-tail q_ts_ewma to round 10's spill block.
+        "q_stream_tws_sessions", "q_stream_tws", "q_mm_decode",
         # -- round-8 spills: the last two round-2 greens ------------------
         "q_emb_centroid", "q_emb_norm_stats",
         # -- displaced from round 8 by the four r8 oracle upgrades --------
@@ -238,7 +241,7 @@ ROUND9_ROTATION = [
         "q_stream_stream_join", "q_emb_quantize_int8", "q_dq_audit",
         "q_dedup_containment", "q_table_profile", "q_events_paths",
         "q_events_cooccurrence", "q_events_value_hist",
-        "q_tpch_q7_shape", "q_tpch_q10_shape", "q_ts_ewma",
+        "q_tpch_q7_shape", "q_tpch_q10_shape",
 ]
 
 #: round-10 window, committed in advance so round 10 is mechanical
@@ -252,11 +255,13 @@ ROUND9_ROTATION = [
 #: within a six-round freshness horizon. Any round-9 red re-queues at
 #: the head per the standing policy, displacing the tail.
 ROUND10_ROTATION = [
-        # -- the four r03-latest spills (newest r03 evidence; the last
-        # two are round-9 tail slots displaced by the q_stream_tws and
-        # q_mm_decode head insertions) -----------------------------------
+        # -- the five r03-latest spills (newest r03 evidence; the last
+        # three are round-9 tail slots displaced by the q_stream_tws,
+        # q_mm_decode and q_stream_tws_sessions head insertions; the
+        # r04-tail q_score_calibration spills out to round 11 in
+        # exchange, consistent with the r04-order drain invariant) -------
         "q_dedup_bow", "q_text_ngram_topk", "q_dedup_editdist",
-        "q_graph_triangles",
+        "q_graph_triangles", "q_ts_ewma",
         # -- CORRECTNESS_r04 greens in their r04 verification order -------
         "q_tpch_q1_shape", "q_tpch_q8_shape", "q_tpch_q9_shape",
         "q_tpch_q13_shape", "q_tpch_q16_shape", "q_tpch_q19_shape",
@@ -273,7 +278,6 @@ ROUND10_ROTATION = [
         "q_emb_pca_top", "q_sketch_theta", "q_sketch_kll",
         "q_score_auc", "q_score_decile_lift", "q_score_confusion",
         "q_ab_ztest", "q_rank_fusion", "q_annotator_kappa",
-        "q_score_calibration",
 ]
 
 #: Alias kept so callers/tests address "the live window" uniformly

@@ -340,6 +340,84 @@ def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_tws_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events
+    ),
+    fired AS (
+      SELECT user_id FROM e
+      GROUP BY user_id
+      HAVING max(ms) + 1800000 <= (SELECT max(ms) FROM e) - 600000
+    ),
+    o AS (
+      SELECT e.user_id, ms,
+             CASE WHEN ms - lag(ms) OVER w > 1800000
+                    OR lag(ms) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM e JOIN fired USING (user_id)
+      WINDOW w AS (PARTITION BY e.user_id ORDER BY ms)
+    ),
+    s AS (
+      SELECT user_id, ms,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, CAST(min(ms) AS BIGINT) AS s_start,
+           CAST(max(ms) AS BIGINT) AS s_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with EVENT-TIME TIMERS + ListState
+    (transformWithState's remaining state primitives after
+    q_stream_tws's ValueState/MapState): per-user event times buffer in
+    a ListState; one timer per user re-registers at last_event + 30 min;
+    when the watermark (max event time − 10 min, floor-ms — semantics
+    probed and pinned in streaming/tws.SessionAssembler) passes the
+    expiry, the buffer is gap-split and every closed session emits.
+
+    Deterministic by construction under availableNow: the single-file
+    source runs as one data batch (watermark 0, nothing fires early,
+    nothing is late), then the trailing batch fires exactly the users
+    whose last event is ≥ gap+delay before the stream max — so the
+    result equals batch gap-sessionization restricted to those users,
+    which is the oracle (same integer floor-ms arithmetic on both
+    sides; fire condition expiry <= watermark is INCLUSIVE, probed).
+    Multi-batch incremental behavior is pinned separately in
+    tests/test_tws.py on a hand-built two-file stream."""
+    from mapreduceframework_cpp_spark.streaming.pb_bridge import (
+        install_protobuf_bridge,
+    )
+    from mapreduceframework_cpp_spark.streaming.stream import (
+        events_stream,
+        run_to_memory,
+    )
+    from mapreduceframework_cpp_spark.streaming.tws import (
+        session_assembler,
+    )
+
+    install_protobuf_bridge(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return run_to_memory(
+            session_assembler(events_stream(spark, sf_dir)),
+            name="q_stream_tws_sessions_sink",
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
+@query(
     "q_stream_attrib_coverage",
     oracle="""
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

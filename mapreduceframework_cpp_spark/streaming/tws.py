@@ -35,14 +35,23 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
     StatefulProcessor,
     StatefulProcessorHandle,
     TimerValues,
 )
 
 OUTPUT_SCHEMA = "user_id long, n_events long, n_types long"
+
+#: Session gap and watermark delay for the event-time-timer sessionizer,
+#: in ms (the timer API's unit). Both are part of q_stream_tws_sessions'
+#: oracle contract — change them there too.
+SESSION_GAP_MS = 30 * 60 * 1000
+SESSION_DELAY_MS = 10 * 60 * 1000
+SESSIONS_SCHEMA = "user_id long, s_start long, s_end long, n_events long"
 
 
 class UserActivityProcessor(StatefulProcessor):
@@ -74,6 +83,122 @@ class UserActivityProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+class SessionAssembler(StatefulProcessor):
+    """Streaming sessionization via event-time timers + ListState — the
+    canonical buffer-until-closed pattern the timer API exists for.
+
+    Per user: every batch appends the arriving event times (floor-ms,
+    the timer unit) to a ListState buffer and re-registers ONE timer at
+    ``last_event + SESSION_GAP_MS``. When the watermark passes that
+    expiry (probed on this Spark build: fire condition is
+    ``expiry <= watermark``, watermark = floor-ms(max event time) −
+    delay, micros FLOORED not rounded), every session in the buffer is
+    closed by definition — the buffer is gap-split, all sessions emit
+    at once, and state + timer are cleared. A user whose last event is
+    within ``gap + delay`` of the stream's max event time never fires
+    and emits nothing; the SQL oracle restates exactly that.
+
+    Kernel correspondence: reduce-with-context over a grouped stream
+    (``MapReduceClient.h:61-64``) where the framework, not the user,
+    decides when a group is complete — the piece the reference's
+    barrier-then-reduce design (MapReduceFramework.cpp:162-166) cannot
+    express incrementally.
+
+    Scale: state per key is one session-bounded ts buffer (cleared on
+    every fire), partitioned across executors by the group key and
+    checkpoint-backed; emission is append-mode from timer fires only,
+    so the unbounded path never touches the driver. Note the quantum:
+    this operator sessionizes on the timer's ms grid, while the batch
+    q_events_sessionize compares raw micros — sub-ms gaps land
+    identically only because the gap is minutes.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._h = handle
+        self._buf = handle.getListState("ts_buf", "ts_ms long")
+        self._timer = handle.getValueState("timer", "t long")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        mx = None
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            vals = [int(v) for v in pdf["ts_ms"]]
+            self._buf.appendList([(v,) for v in vals])
+            hi = max(vals)
+            mx = hi if mx is None else max(mx, hi)
+        if mx is not None:
+            expiry = mx + SESSION_GAP_MS
+            if self._timer.exists():
+                old = self._timer.get()[0]
+                if old >= expiry:  # late rows only extend, never shrink
+                    return iter(())
+                self._h.deleteTimer(old)
+            self._h.registerTimer(expiry)
+            self._timer.update((expiry,))
+        return iter(())
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        # key arrives as a tuple in handleInputRows but as a Row here;
+        # positional access covers both (probed on this Spark build).
+        ts = sorted(v[0] for v in self._buf.get())
+        self._buf.clear()
+        self._timer.clear()
+        if not ts:
+            return
+        out: list[tuple[int, int, int]] = []
+        start = prev = ts[0]
+        n = 0
+        for v in ts:
+            if v - prev > SESSION_GAP_MS:
+                out.append((start, prev, n))
+                start, n = v, 0
+            prev = v
+            n += 1
+        out.append((start, prev, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "s_start": [o[0] for o in out],
+                "s_end": [o[1] for o in out],
+                "n_events": [o[2] for o in out],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def session_assembler(events: DataFrame) -> DataFrame:
+    """Gap-sessionize an event stream with event-time timers; sessions
+    emit (append mode) when the watermark proves them closed.
+
+    ``ts_ms`` is computed ENGINE-SIDE with ``unix_millis`` (floor, the
+    same integer every engine derives from the micros value) so the
+    processor never touches pandas datetime dtypes; the raw timestamp
+    column stays on the frame only to carry the watermark. The NTZ
+    source column is cast through TIMESTAMP — the session timezone is
+    UTC-pinned by session.tune(), so the instant is unchanged."""
+    ev = (
+        events.select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.expr("unix_millis(cast(ts as timestamp))").alias("ts_ms"),
+        )
+        .withWatermark("ts", f"{SESSION_DELAY_MS // 1000} seconds")
+    )
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionAssembler(),
+        outputStructType=SESSIONS_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
 
 
 def user_activity_profile(events: DataFrame) -> DataFrame:

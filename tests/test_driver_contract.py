@@ -87,14 +87,16 @@ def test_registration_follows_verify_rotation():
     assert len(ROUND9_ROTATION) == 50
     assert len(set(ROUND9_ROTATION)) == 50
     assert not set(ROUND9_ROTATION) & set(ROUND8_ROTATION)
-    # head slots: the r9-registered q_stream_tws (transformWithState
-    # via the protobuf bridge) and the q_mm_decode rows-only ->
-    # SQL-oracle upgrade each need their FIRST driver (hash) row — the
-    # r7 pagerank / r8 upgrade precedent; they displaced the planned
-    # tail slots (q_dedup_editdist, q_graph_triangles) to round 10.
-    # q_mm_features (the third upgrade) already held a slot below.
-    assert ROUND9_ROTATION[:4] == [
-        "q_stream_tws", "q_mm_decode", "q_emb_centroid", "q_emb_norm_stats",
+    # head slots: the r9-registered q_stream_tws_sessions (event-time
+    # timers + ListState) and q_stream_tws (transformWithState via the
+    # protobuf bridge) plus the q_mm_decode rows-only -> SQL-oracle
+    # upgrade each need their FIRST driver (hash) row — the r7
+    # pagerank / r8 upgrade precedent; they displaced the planned tail
+    # slots (q_dedup_editdist, q_graph_triangles, q_ts_ewma) to round
+    # 10. q_mm_features (the third upgrade) already held a slot below.
+    assert ROUND9_ROTATION[:5] == [
+        "q_stream_tws_sessions", "q_stream_tws", "q_mm_decode",
+        "q_emb_centroid", "q_emb_norm_stats",
     ]
     assert "q_mm_features" in ROUND9_ROTATION
 
@@ -123,11 +125,12 @@ def test_registration_follows_verify_rotation():
     ]
     green = green_set(all_rounds, oracles)
     unproven = [q for q in registered if q not in green]
-    # the new registration plus the two r9 oracle upgrades (whose
+    # the two new registrations plus the two r9 oracle upgrades (whose
     # historical rows-only-clean rows no longer satisfy the stricter
     # hash policy) — all inside the live window awaiting hash rows
     assert sorted(unproven) == [
         "q_mm_decode", "q_mm_features", "q_stream_tws",
+        "q_stream_tws_sessions",
     ], unproven
 
     # round-9 slots are re-confirmations of the OLDEST evidence rows:
@@ -150,9 +153,9 @@ def test_registration_follows_verify_rotation():
     assert len(set(ROUND10_ROTATION)) == 50
     assert not set(ROUND10_ROTATION) & set(ROUND9_ROTATION)
     assert not set(ROUND10_ROTATION) & set(ROUND8_ROTATION)
-    assert ROUND10_ROTATION[:4] == [
+    assert ROUND10_ROTATION[:5] == [
         "q_dedup_bow", "q_text_ngram_topk", "q_dedup_editdist",
-        "q_graph_triangles",
+        "q_graph_triangles", "q_ts_ewma",
     ]
     g34 = green_set(
         [

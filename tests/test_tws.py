@@ -38,6 +38,9 @@ class _StubValueState:
     def update(self, v):
         self._v = v
 
+    def clear(self):
+        self._v = None
+
 
 class _StubMapState:
     def __init__(self):
@@ -56,12 +59,38 @@ class _StubMapState:
         return iter(self._m)
 
 
+class _StubListState:
+    def __init__(self):
+        self._l = []
+
+    def appendList(self, rows):
+        self._l.extend(rows)
+
+    def get(self):
+        return iter(list(self._l))
+
+    def clear(self):
+        self._l = []
+
+
 class _StubHandle:
+    def __init__(self):
+        self.timers = set()
+
     def getValueState(self, name, schema, ttlDurationMs=None):
         return _StubValueState()
 
     def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
         return _StubMapState()
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return _StubListState()
+
+    def registerTimer(self, ms):
+        self.timers.add(ms)
+
+    def deleteTimer(self, ms):
+        self.timers.discard(ms)
 
 
 def test_processor_state_logic_two_batches():
@@ -133,3 +162,135 @@ def test_tws_stream_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+GAP = 30 * 60 * 1000
+
+
+class _ExpInfo:
+    def __init__(self, ms):
+        self._ms = ms
+
+    def getExpiryTimeInMs(self):
+        return self._ms
+
+
+def test_session_assembler_state_logic():
+    """Timer re-registration across batches, gap splitting at the fire,
+    late-data timers never shrinking, and state clearing (stub state,
+    no engine)."""
+    from mapreduceframework_cpp_spark.streaming.tws import SessionAssembler
+
+    p = SessionAssembler()
+    h = _StubHandle()
+    p.init(h)
+    t0 = 1_700_000_000_000
+    # batch 1: two events 5 min apart -> one timer at last+GAP
+    b1 = pd.DataFrame({"ts_ms": [t0, t0 + 300_000]})
+    assert list(p.handleInputRows((7,), iter([b1]), None)) == []
+    assert h.timers == {t0 + 300_000 + GAP}
+    # batch 2: a LATE event (before t0) must not shrink the timer
+    b2 = pd.DataFrame({"ts_ms": [t0 - 60_000]})
+    assert list(p.handleInputRows((7,), iter([b2]), None)) == []
+    assert h.timers == {t0 + 300_000 + GAP}
+    # batch 3: an event 2h later -> single timer moves forward
+    t1 = t0 + 2 * 3_600_000
+    b3 = pd.DataFrame({"ts_ms": [t1]})
+    assert list(p.handleInputRows((7,), iter([b3]), None)) == []
+    assert h.timers == {t1 + GAP}
+    # fire: buffer gap-splits into two sessions; state clears
+    (out,) = list(p.handleExpiredTimer((7,), None, _ExpInfo(t1 + GAP)))
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == [
+        (7, t0 - 60_000, t0 + 300_000, 3),
+        (7, t1, t1, 1),
+    ]
+    assert list(p._buf.get()) == []
+    assert not p._timer.exists()
+    # a second fire on cleared state emits nothing
+    assert list(p.handleExpiredTimer((7,), None, _ExpInfo(t1 + GAP))) == []
+
+
+@pytest.mark.skipif(
+    _PB_TIER is None,
+    reason="transformWithState needs google.protobuf (see pb_bridge.py)",
+)
+def test_session_assembler_multibatch_engine(spark, tmp_path):
+    """Incremental multi-batch behavior on a hand-built two-file stream
+    (maxFilesPerTrigger=1, mtime-ordered): user 1's session becomes
+    fireable only after batch 2 advances the watermark, so its emission
+    proves the timer-only trailing batch runs; user 2 (timer moved
+    forward by its 6h-later event) and user 3 (too close to the stream
+    max) must NOT emit. Every boundary below is minutes away from the
+    gap/delay edges, so the assertion is exact."""
+    import os
+    import time
+
+    from mapreduceframework_cpp_spark.streaming.tws import (
+        SESSIONS_SCHEMA,
+        SessionAssembler,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    h = 3_600_000
+    t0 = 1_700_000_000_000  # ms, whole seconds
+    rows1 = [(1, t0), (1, t0 + 600_000), (2, t0 + 300_000)]
+    rows2 = [(2, t0 + 6 * h), (3, t0 + 6 * h + 300_000)]
+
+    def write(path, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts_ms"])
+        pdf["ts"] = pd.to_datetime(pdf["ts_ms"], unit="ms")
+        spark.createDataFrame(pdf[["user_id", "ts", "ts_ms"]]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+
+    write(str(src / "b1"), rows1)
+    write(str(src / "b2"), rows2)
+    now = time.time()
+    for i, d in enumerate(("b1", "b2")):
+        for f in (src / d).iterdir():
+            os.utime(f, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, ts_ms long")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .load(str(src))
+        .withWatermark("ts", "600 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionAssembler(),
+            outputStructType=SESSIONS_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tws_sessions_multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.s_start, r.s_end, r.n_events)
+        for r in spark.table("tws_sessions_multibatch").collect()
+    }
+    # batch1 wm=0; after batch1 wm=t0+600s-600s=t0 -> nothing fired yet.
+    # batch2 runs with wm=t0: still < user1 expiry (t0+600s+GAP). After
+    # batch2 wm = t0+6h+300s-600s; the final timer batch fires user 1
+    # (expiry t0+600s+GAP <= wm) and NOT user 2 (expiry t0+6h+GAP > wm)
+    # ... except user 2's batch-1 event (t0+300s) was merged into the
+    # SAME buffer as its 6h-later event, timer moved forward: no emit.
+    # User 3's expiry is also above the final wm: no emit.
+    assert got == {(1, t0, t0 + 600_000, 2)}
+    # the progress log must show >=3 batches (2 files + timer batch)
+    assert len(q.recentProgress) >= 3
