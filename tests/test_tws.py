@@ -294,3 +294,129 @@ def test_session_assembler_multibatch_engine(spark, tmp_path):
     assert got == {(1, t0, t0 + 600_000, 2)}
     # the progress log must show >=3 batches (2 files + timer batch)
     assert len(q.recentProgress) >= 3
+
+
+# ---------------------------------------------------------------------------
+# Batch-split invariance of SessionAssembler (hypothesis, stub engine)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+DELAY = 10 * 60 * 1000
+
+
+def _batch_sessions(ts_by_user):
+    """Reference gap-sessionization (the oracle's arithmetic)."""
+    out = set()
+    for u, ts in ts_by_user.items():
+        ts = sorted(ts)
+        start = prev = ts[0]
+        n = 0
+        for v in ts:
+            if v - prev > GAP:
+                out.add((u, start, prev, n))
+                start, n = v, 0
+            prev = v
+            n += 1
+        out.add((u, start, prev, n))
+    return out
+
+
+@st.composite
+def _split_streams(draw):
+    """A small multi-user event stream, globally sorted then split into
+    contiguous batches — the in-order-enough regime where nothing is
+    late relative to the watermark (each event's ts >= every earlier
+    batch's max, hence > any watermark derived from it)."""
+    n = draw(st.integers(1, 24))
+    t0 = 1_700_000_000_000
+    evs = sorted(
+        (
+            t0 + draw(st.integers(0, 8 * 3_600_000)),
+            draw(st.integers(1, 3)),
+        )
+        for _ in range(n)
+    )
+    cuts = sorted(draw(st.sets(st.integers(1, n - 1), max_size=4))) if n > 1 else []
+    batches, lo = [], 0
+    for c in cuts + [n]:
+        batches.append(evs[lo:c])
+        lo = c
+    return batches
+
+
+@given(_split_streams())
+@settings(max_examples=120, deadline=None)
+def test_session_assembler_batch_split_invariants(batches):
+    """Simulate Spark's protocol (per-batch input, watermark = floor-ms
+    global max − delay updated AFTER each batch, eligible timers fired
+    inclusively at each boundary and in a trailing pass) over random
+    contiguous splits of a sorted stream. Invariants that must hold for
+    EVERY split:
+
+    (a) every emitted session is exactly a session of the batch
+        gap-sessionization (boundaries and counts correct);
+    (b) no session emits twice;
+    (c) a user whose last event + gap <= final watermark has ALL their
+        sessions emitted — the registered query's oracle predicate;
+    (d) with no split at all (single batch), the emission set EQUALS
+        the oracle set of (c) exactly.
+
+    Mid-stream fires may legitimately emit sessions of users (c) does
+    not cover (their timer was eligible at an intermediate watermark);
+    (a)+(b) pin those to still be correct sessions."""
+    from mapreduceframework_cpp_spark.streaming.tws import SessionAssembler
+
+    procs, handles = {}, {}
+    emitted = []
+    wm = 0
+
+    def fire_eligible(wm_now):
+        for u, h in handles.items():
+            for t in sorted(h.timers):
+                if t <= wm_now:
+                    h.deleteTimer(t)
+                    for pdf in procs[u].handleExpiredTimer(
+                        (u,), None, _ExpInfo(t)
+                    ):
+                        emitted.extend(
+                            tuple(r) for r in pdf.itertuples(index=False)
+                        )
+
+    for batch in batches:
+        if not batch:
+            continue
+        fire_eligible(wm)  # Spark evicts timers at the batch boundary
+        by_user = {}
+        for ts, u in batch:
+            by_user.setdefault(u, []).append(ts)
+        for u, ts in by_user.items():
+            if u not in procs:
+                procs[u] = SessionAssembler()
+                handles[u] = _StubHandle()
+                procs[u].init(handles[u])
+            pdf = pd.DataFrame({"ts_ms": ts})
+            list(procs[u].handleInputRows((u,), iter([pdf]), None))
+        wm = max(wm, max(ts for ts, _ in batch) - DELAY)
+    fire_eligible(wm)  # the availableNow trailing batch
+
+    ts_by_user = {}
+    for b in batches:
+        for ts, u in b:
+            ts_by_user.setdefault(u, []).append(ts)
+    oracle_all = _batch_sessions(ts_by_user)
+
+    # (a) correctness of every emission
+    assert set(emitted) <= oracle_all, (sorted(set(emitted) - oracle_all),)
+    # (b) no duplicates
+    assert len(emitted) == len(set(emitted))
+    # (c) fired users are complete
+    fired = {
+        u for u, ts in ts_by_user.items() if max(ts) + GAP <= wm
+    }
+    want_fired = {s for s in oracle_all if s[0] in fired}
+    assert want_fired <= set(emitted)
+    # (d) the single-batch case equals the oracle exactly
+    if len(batches) == 1:
+        assert set(emitted) == want_fired
