@@ -85,6 +85,51 @@ class UserActivityProcessor(StatefulProcessor):
         pass
 
 
+class BootstrappedActivityProcessor(UserActivityProcessor):
+    """UserActivityProcessor seeded from a batch snapshot — the
+    snapshot-resume surface (``handleInitialState``): an incremental
+    pipeline restarts from a persisted per-key aggregate instead of
+    replaying history. The engine calls ``handleInitialState`` once per
+    key in the FIRST batch with that key's row of the ``initialState``
+    grouped frame; counters then continue from the seed.
+
+    ``ttl_ms`` optionally declares the seed ValueState with a TTL —
+    the engine only permits that under ``timeMode="ProcessingTime"``,
+    and PROBED (r9): a processing-time query under an availableNow
+    trigger NEVER terminates once TTL state exists — the engine keeps
+    scheduling "no new data but cleaning up state" batches, each of
+    which advances processing time and schedules the next. TTL'd
+    streams must run a normal trigger and be stopped explicitly
+    (``processAllAvailable()`` + ``stop()``, tests/test_tws.py); the
+    availableNow/oracle path stays TTL-free and ``timeMode="None"``."""
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._n = handle.getValueState("n", "n long", ttlDurationMs=self._ttl_ms)
+        self._types = handle.getMapState("types", "t string", "c long")
+
+    def handleInitialState(
+        self, key: Any, initialState: pd.DataFrame, timerValues: TimerValues
+    ) -> None:
+        self._n.update((int(initialState["n_events"].iloc[0]),))
+
+
+def bootstrapped_activity_profile(
+    events: DataFrame, snapshot: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """Per-user running event counts resumed from a batch snapshot
+    (columns: user_id, n_events); distinct-type counts restart fresh."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=BootstrappedActivityProcessor(ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime" if ttl_ms else "None",
+        initialState=snapshot.groupBy("user_id"),
+    )
+
+
 class SessionAssembler(StatefulProcessor):
     """Streaming sessionization via event-time timers + ListState — the
     canonical buffer-until-closed pattern the timer API exists for.

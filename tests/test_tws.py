@@ -420,3 +420,128 @@ def test_session_assembler_batch_split_invariants(batches):
     # (d) the single-batch case equals the oracle exactly
     if len(batches) == 1:
         assert set(emitted) == want_fired
+
+
+@pytest.mark.skipif(
+    _PB_TIER is None,
+    reason="transformWithState needs google.protobuf (see pb_bridge.py)",
+)
+def test_tws_initial_state_bootstrap(spark, sf_dir):
+    """Snapshot-resume (handleInitialState) + TTL-configured state
+    through the bridge: seed per-user counts from a batch snapshot,
+    stream the events table, and require final counts = snapshot +
+    streamed for seeded users and = streamed for unseeded ones. The
+    snapshot deliberately includes a user id above the corpus range to
+    prove seeds without stream rows stay silent (no spurious emission
+    in update mode — emissions only come from handleInputRows)."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+    from mapreduceframework_cpp_spark.streaming.pb_bridge import (
+        install_protobuf_bridge,
+    )
+    from mapreduceframework_cpp_spark.streaming.stream import (
+        events_stream,
+        run_to_memory,
+    )
+    from mapreduceframework_cpp_spark.streaming.tws import (
+        bootstrapped_activity_profile,
+    )
+
+    install_protobuf_bridge(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = tbl(spark, sf_dir, "events")
+    users = sorted(r[0] for r in ev.select("user_id").distinct().collect())
+    seeded = {users[0]: 1000, users[1]: 7, max(users) + 10_000: 5}
+    snapshot = spark.createDataFrame(
+        [(u, n) for u, n in seeded.items()], "user_id long, n_events long"
+    )
+    emissions = run_to_memory(
+        bootstrapped_activity_profile(events_stream(spark, sf_dir), snapshot),
+        name="tws_bootstrap_sink",
+        output_mode="update",
+    )
+    got = {
+        r["user_id"]: r["n"]
+        for r in emissions.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: r["n"] + seeded.get(r["user_id"], 0)
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    assert max(users) + 10_000 not in got  # seed-only keys stay silent
+
+
+@pytest.mark.skipif(
+    _PB_TIER is None,
+    reason="transformWithState needs google.protobuf (see pb_bridge.py)",
+)
+def test_tws_ttl_state_protocol(spark, sf_dir):
+    """TTL-configured state through the bridge (the state-server
+    protocol's TTL-config messages, which plain states never send).
+    PROBED (r9): processing-time mode never quiesces once TTL state
+    exists — the engine keeps scheduling 'cleaning up state' batches,
+    so BOTH availableNow termination AND processAllAvailable() hang;
+    this polls the sink for the expected aggregate and then stops the
+    query explicitly. The 24h TTL cannot expire mid-run, so counts
+    must still be exact."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.sources.tables import tbl
+    from mapreduceframework_cpp_spark.streaming.pb_bridge import (
+        install_protobuf_bridge,
+    )
+    from mapreduceframework_cpp_spark.streaming.stream import events_stream
+    from mapreduceframework_cpp_spark.streaming.tws import (
+        bootstrapped_activity_profile,
+    )
+
+    install_protobuf_bridge(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    snapshot = spark.createDataFrame([(0, 11)], "user_id long, n_events long")
+    sdf = bootstrapped_activity_profile(
+        events_stream(spark, sf_dir), snapshot, ttl_ms=86_400_000
+    )
+    ev = tbl(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: r["n"] + (11 if r["user_id"] == 0 else 0)
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+
+    def sink():
+        return {
+            r["user_id"]: r["n"]
+            for r in spark.table("tws_ttl_sink")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n"))
+            .collect()
+        }
+
+    import time
+
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("tws_ttl_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        got = sink()
+        while got != want and time.time() < deadline:
+            time.sleep(2)
+            got = sink()
+    finally:
+        q.stop()
+    assert got == want
