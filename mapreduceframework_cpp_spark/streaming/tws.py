@@ -151,19 +151,52 @@ class SessionAssembler(StatefulProcessor):
     barrier-then-reduce design (MapReduceFramework.cpp:162-166) cannot
     express incrementally.
 
-    Scale: state per key is one session-bounded ts buffer (cleared on
-    every fire), partitioned across executors by the group key and
-    checkpoint-backed; emission is append-mode from timer fires only,
-    so the unbounded path never touches the driver. Note the quantum:
-    this operator sessionizes on the timer's ms grid, while the batch
-    q_events_sessionize compares raw micros — sub-ms gaps land
-    identically only because the gap is minutes.
+    Scale — BOUNDED STATE: a key's buffer is NOT its whole history.
+    Every input batch also evicts-and-emits the buffered sessions the
+    current watermark already proves closed (``end + gap <= wm`` — no
+    non-late event can extend them), so an always-active user holds
+    only events within ~gap+delay of their frontier, O(one open
+    session), not O(stream). Under the registered query's single-batch
+    availableNow run the input batch sees wm=0 and the eager path is a
+    no-op, so the oracle's fired-user predicate is unchanged; the
+    eviction matters exactly where it must — long-running incremental
+    streams. State is partitioned across executors by the group key
+    and checkpoint-backed; emission is append-mode only, no driver
+    involvement. Note the quantum: this operator sessionizes on the
+    timer's ms grid, while the batch q_events_sessionize compares raw
+    micros — sub-ms gaps land identically only because the gap is
+    minutes.
     """
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._h = handle
         self._buf = handle.getListState("ts_buf", "ts_ms long")
         self._timer = handle.getValueState("timer", "t long")
+
+    @staticmethod
+    def _split(ts: list[int]) -> list[tuple[int, int, int]]:
+        """Gap-split a sorted ts list into (start, end, n) sessions."""
+        out: list[tuple[int, int, int]] = []
+        start = prev = ts[0]
+        n = 0
+        for v in ts:
+            if v - prev > SESSION_GAP_MS:
+                out.append((start, prev, n))
+                start, n = v, 0
+            prev = v
+            n += 1
+        out.append((start, prev, n))
+        return out
+
+    def _emit(self, key: Any, sessions: list[tuple[int, int, int]]):
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "s_start": [s[0] for s in sessions],
+                "s_end": [s[1] for s in sessions],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
 
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
@@ -176,16 +209,38 @@ class SessionAssembler(StatefulProcessor):
             self._buf.appendList([(v,) for v in vals])
             hi = max(vals)
             mx = hi if mx is None else max(mx, hi)
-        if mx is not None:
-            expiry = mx + SESSION_GAP_MS
-            if self._timer.exists():
-                old = self._timer.get()[0]
-                if old >= expiry:  # late rows only extend, never shrink
-                    return iter(())
+        if mx is None:
+            return iter(())
+        expiry = mx + SESSION_GAP_MS
+        if self._timer.exists():
+            old = self._timer.get()[0]
+            if old >= expiry:  # late rows only extend, never shrink
+                expiry = old
+            else:
                 self._h.deleteTimer(old)
+                self._h.registerTimer(expiry)
+                self._timer.update((expiry,))
+        else:
             self._h.registerTimer(expiry)
             self._timer.update((expiry,))
-        return iter(())
+        # Bounded-state eviction: emit buffered sessions the watermark
+        # already proves closed; keep only the still-extendable tail.
+        # Sessions are time-ordered with strictly increasing ends, so
+        # the closed ones form a prefix.
+        wm = timerValues.getCurrentWatermarkInMs() if timerValues else 0
+        if wm <= 0:
+            return iter(())
+        ts = sorted(v[0] for v in self._buf.get())
+        sessions = self._split(ts)
+        closed = [s for s in sessions if s[1] + SESSION_GAP_MS <= wm]
+        if not closed:
+            return iter(())
+        keep = [(v,) for v in ts if v > closed[-1][1]]
+        if keep:
+            self._buf.put(keep)
+        else:  # every buffered event was provably closed out
+            self._buf.clear()
+        return self._emit(key, closed)
 
     def handleExpiredTimer(
         self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
@@ -196,25 +251,8 @@ class SessionAssembler(StatefulProcessor):
         self._buf.clear()
         self._timer.clear()
         if not ts:
-            return
-        out: list[tuple[int, int, int]] = []
-        start = prev = ts[0]
-        n = 0
-        for v in ts:
-            if v - prev > SESSION_GAP_MS:
-                out.append((start, prev, n))
-                start, n = v, 0
-            prev = v
-            n += 1
-        out.append((start, prev, n))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]] * len(out),
-                "s_start": [o[0] for o in out],
-                "s_end": [o[1] for o in out],
-                "n_events": [o[2] for o in out],
-            }
-        )
+            return iter(())
+        return self._emit(key, self._split(ts))
 
     def close(self) -> None:
         pass

@@ -66,6 +66,9 @@ class _StubListState:
     def appendList(self, rows):
         self._l.extend(rows)
 
+    def put(self, rows):
+        self._l = list(rows)
+
     def get(self):
         return iter(list(self._l))
 
@@ -363,10 +366,21 @@ def test_session_assembler_batch_split_invariants(batches):
     (d) with no split at all (single batch), the emission set EQUALS
         the oracle set of (c) exactly.
 
-    Mid-stream fires may legitimately emit sessions of users (c) does
-    not cover (their timer was eligible at an intermediate watermark);
-    (a)+(b) pin those to still be correct sessions."""
+    Mid-stream fires and bounded-state evictions may legitimately emit
+    sessions of users (c) does not cover (provably closed at an
+    intermediate watermark); (a)+(b) pin those to still be correct
+    sessions. Additionally (e): after every input call the remaining
+    buffer holds NO session the current watermark already closed — the
+    bounded-state guarantee (an always-active user's state stays
+    O(open session), the 100 TB property)."""
     from mapreduceframework_cpp_spark.streaming.tws import SessionAssembler
+
+    class _TV:
+        def __init__(self, wm):
+            self._wm = wm
+
+        def getCurrentWatermarkInMs(self):
+            return self._wm
 
     procs, handles = {}, {}
     emitted = []
@@ -397,7 +411,17 @@ def test_session_assembler_batch_split_invariants(batches):
                 handles[u] = _StubHandle()
                 procs[u].init(handles[u])
             pdf = pd.DataFrame({"ts_ms": ts})
-            list(procs[u].handleInputRows((u,), iter([pdf]), None))
+            for out in procs[u].handleInputRows((u,), iter([pdf]), _TV(wm)):
+                emitted.extend(tuple(r) for r in out.itertuples(index=False))
+            # (e) bounded state: nothing provably closed stays buffered
+            buf = sorted(v[0] for v in procs[u]._buf.get())
+            if buf:
+                closed_left = [
+                    s
+                    for s in SessionAssembler._split(buf)
+                    if s[1] + GAP <= wm
+                ]
+                assert closed_left == [], (u, wm, buf)
         wm = max(wm, max(ts for ts, _ in batch) - DELAY)
     fire_eligible(wm)  # the availableNow trailing batch
 
