@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mapreduceframework_cpp_spark.registry import query
 from mapreduceframework_cpp_spark.sources.tables import tbl
+from mapreduceframework_cpp_spark.streaming.tws import (
+    SESSION_DELAY_MS,
+    SESSION_GAP_MS,
+)
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
@@ -341,18 +345,22 @@ def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_tws_sessions",
-    oracle="""
+    # gap/delay literals interpolated from streaming/tws.py so the
+    # engine constants and the oracle can never desynchronize
+    oracle=f"""
     WITH e AS (
       SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events
+      WHERE user_id IS NOT NULL
     ),
     fired AS (
       SELECT user_id FROM e
       GROUP BY user_id
-      HAVING max(ms) + 1800000 <= (SELECT max(ms) FROM e) - 600000
+      HAVING max(ms) + {SESSION_GAP_MS}
+             <= (SELECT max(ms) FROM e) - {SESSION_DELAY_MS}
     ),
     o AS (
       SELECT e.user_id, ms,
-             CASE WHEN ms - lag(ms) OVER w > 1800000
+             CASE WHEN ms - lag(ms) OVER w > {SESSION_GAP_MS}
                     OR lag(ms) OVER w IS NULL
                   THEN 1 ELSE 0 END AS brk
       FROM e JOIN fired USING (user_id)

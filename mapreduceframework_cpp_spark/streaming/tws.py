@@ -153,14 +153,21 @@ class SessionAssembler(StatefulProcessor):
 
     Scale — BOUNDED STATE: a key's buffer is NOT its whole history.
     Every input batch also evicts-and-emits the buffered sessions the
-    current watermark already proves closed (``end + gap <= wm`` — no
-    non-late event can extend them), so an always-active user holds
-    only events within ~gap+delay of their frontier, O(one open
-    session), not O(stream). Under the registered query's single-batch
-    availableNow run the input batch sees wm=0 and the eager path is a
-    no-op, so the oracle's fired-user predicate is unchanged; the
-    eviction matters exactly where it must — long-running incremental
-    streams. State is partitioned across executors by the group key
+    current watermark already proves closed (``end + gap < wm``,
+    STRICT — at ``end + gap == wm`` an on-time event at exactly
+    ``ts == wm`` could still merge under the batch ``diff > gap``
+    rule), so an always-active user holds only events within
+    ~gap+delay of their frontier, O(one open session), not O(stream).
+    Under the registered query's single-batch availableNow run the
+    input batch sees wm=0 and the eager path is a no-op, so the
+    oracle's fired-user predicate is unchanged; the eviction matters
+    exactly where it must — long-running incremental streams.
+    Boundary caveat: the ENGINE's timer fire is inclusive
+    (``expiry <= wm``, probed), so after a fire an event landing at
+    exactly ``ts == wm == last+gap`` starts a new session where batch
+    sessionization would merge — a 1-ms-exact collision inherent to
+    the engine's fire semantics; the strict eviction bound never
+    widens that window. State is partitioned across executors by the group key
     and checkpoint-backed; emission is append-mode only, no driver
     involvement. Note the quantum: this operator sessionizes on the
     timer's ms grid, while the batch q_events_sessionize compares raw
@@ -212,27 +219,28 @@ class SessionAssembler(StatefulProcessor):
         if mx is None:
             return iter(())
         expiry = mx + SESSION_GAP_MS
-        if self._timer.exists():
-            old = self._timer.get()[0]
-            if old >= expiry:  # late rows only extend, never shrink
-                expiry = old
-            else:
-                self._h.deleteTimer(old)
-                self._h.registerTimer(expiry)
-                self._timer.update((expiry,))
-        else:
+        if not self._timer.exists():
+            self._h.registerTimer(expiry)
+            self._timer.update((expiry,))
+        elif (old := self._timer.get()[0]) < expiry:
+            # late rows only extend the timer, never shrink it
+            self._h.deleteTimer(old)
             self._h.registerTimer(expiry)
             self._timer.update((expiry,))
         # Bounded-state eviction: emit buffered sessions the watermark
         # already proves closed; keep only the still-extendable tail.
         # Sessions are time-ordered with strictly increasing ends, so
-        # the closed ones form a prefix.
+        # the closed ones form a prefix. STRICT `<`: an on-time event
+        # at exactly ts == wm == end+gap would still merge into the
+        # session under the batch `diff > gap` rule, so end+gap == wm
+        # is NOT yet provably closed (the engine's own timer fire is
+        # inclusive at that boundary — see the class docstring caveat).
         wm = timerValues.getCurrentWatermarkInMs() if timerValues else 0
         if wm <= 0:
             return iter(())
         ts = sorted(v[0] for v in self._buf.get())
         sessions = self._split(ts)
-        closed = [s for s in sessions if s[1] + SESSION_GAP_MS <= wm]
+        closed = [s for s in sessions if s[1] + SESSION_GAP_MS < wm]
         if not closed:
             return iter(())
         keep = [(v,) for v in ts if v > closed[-1][1]]
@@ -267,9 +275,14 @@ def session_assembler(events: DataFrame) -> DataFrame:
     processor never touches pandas datetime dtypes; the raw timestamp
     column stays on the frame only to carry the watermark. The NTZ
     source column is cast through TIMESTAMP — the session timezone is
-    UTC-pinned by session.tune(), so the instant is unchanged."""
+    UTC-pinned by session.tune(), so the instant is unchanged.
+    NULL user_id rows are dropped on BOTH sides (here and in the
+    oracle's WHERE): sessionizing a null key is meaningless, and the
+    oracle's equi-join would silently disagree with a null-key group
+    (the q_text_fingerprint NULL lesson, ADVICE r8)."""
     ev = (
-        events.select(
+        events.filter(F.col("user_id").isNotNull())
+        .select(
             "user_id",
             F.col("ts").cast("timestamp").alias("ts"),
             F.expr("unix_millis(cast(ts as timestamp))").alias("ts_ms"),

@@ -166,7 +166,10 @@ def test_tws_stream_matches_batch(spark, sf_dir):
     }
     assert got == want
 
-GAP = 30 * 60 * 1000
+from mapreduceframework_cpp_spark.streaming.tws import (  # noqa: E402
+    SESSION_DELAY_MS as DELAY,
+    SESSION_GAP_MS as GAP,
+)
 
 
 class _ExpInfo:
@@ -306,8 +309,6 @@ def test_session_assembler_multibatch_engine(spark, tmp_path):
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-DELAY = 10 * 60 * 1000
-
 
 def _batch_sessions(ts_by_user):
     """Reference gap-sessionization (the oracle's arithmetic)."""
@@ -419,7 +420,7 @@ def test_session_assembler_batch_split_invariants(batches):
                 closed_left = [
                     s
                     for s in SessionAssembler._split(buf)
-                    if s[1] + GAP <= wm
+                    if s[1] + GAP < wm  # strict: the eviction bound
                 ]
                 assert closed_left == [], (u, wm, buf)
         wm = max(wm, max(ts for ts, _ in batch) - DELAY)

@@ -54,14 +54,20 @@ def run_scale(sf_name: str) -> dict[str, float]:
 
 def main() -> int:
     scales = sys.argv[1:] or ["sf0.01", "sf0.1"]
-    data_ratio = 10.0  # consecutive testdata decades are 10x apart
-    timings = {s: run_scale(s) for s in scales}
-    # bench.py clobbers the committed artifact; put it back
-    subprocess.run(["git", "checkout", "--", "BENCH_DETAIL.json"],
-                   cwd=REPO, check=False)
+    try:
+        timings = {s: run_scale(s) for s in scales}
+    finally:
+        # bench.py clobbers the committed artifact on every run; put it
+        # back even when a leg fails or is interrupted
+        subprocess.run(["git", "checkout", "--", "BENCH_DETAIL.json"],
+                       cwd=REPO, check=False)
 
     rc = 0
     for lo, hi in zip(scales, scales[1:]):
+        # the flag line is the actual data ratio between the two scale
+        # dirs (sf names are scale factors), not an assumed decade —
+        # `scale_audit.py sf0.001 sf0.1` is a 100x step
+        data_ratio = float(hi.removeprefix("sf")) / float(lo.removeprefix("sf"))
         a, b = timings[lo], timings[hi]
         ratios = sorted(
             ((b[k] / a[k], k, a[k], b[k]) for k in b if k in a and a[k] > 0),
