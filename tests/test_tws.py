@@ -655,3 +655,48 @@ def test_tws_state_survives_query_restart(spark, tmp_path):
     # user 1 continues from restored state (2+1 events, 3rd type);
     # user 2 has no new rows (update mode: no re-emission); user 3 new
     assert got == {1: (3, 3), 3: (1, 1)}
+
+
+@pytest.mark.skipif(
+    _PB_TIER is None,
+    reason="transformWithState needs google.protobuf (see pb_bridge.py)",
+)
+def test_tws_sessions_partition_invariant(spark, sf_dir):
+    """State-store partition-count invariance: the sessionizer's
+    emission set must be identical whether the stream runs with 1
+    shuffle partition (one state store instance) or many — the
+    property that makes the operator trustworthy when a cluster sizes
+    its state stores differently from the test box. Each run starts a
+    fresh implicit checkpoint, so the partition count genuinely differs
+    between runs."""
+    from mapreduceframework_cpp_spark.streaming.pb_bridge import (
+        install_protobuf_bridge,
+    )
+    from mapreduceframework_cpp_spark.streaming.stream import (
+        events_stream,
+        run_to_memory,
+    )
+    from mapreduceframework_cpp_spark.streaming.tws import session_assembler
+
+    install_protobuf_bridge(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    results = {}
+    try:
+        for n in (1, 7):
+            spark.conf.set(key, str(n))
+            out = run_to_memory(
+                session_assembler(events_stream(spark, sf_dir)),
+                name=f"tws_sessions_pi_{n}",
+                output_mode="append",
+            )
+            results[n] = sorted(map(tuple, out.collect()))
+    finally:
+        spark.conf.set(key, prev)
+    assert results[1] == results[7]
+    assert results[1], "invariance vacuous: no sessions emitted"
