@@ -280,11 +280,49 @@ ROUND10_ROTATION = [
         "q_ab_ztest", "q_rank_fusion", "q_annotator_kappa",
 ]
 
-#: Alias kept so callers/tests address "the live window" uniformly
-#: across rounds. Round 9 is LIVE: CORRECTNESS_r08 came back clean
-#: (50/50 hash-green — zero reds, zero errs; the four r8 oracle
-#: upgrades got their first hash rows), so the pre-committed round-9
-#: window runs unmodified.
-VERIFY_ROTATION = ROUND9_ROTATION
+#: round-11 window, committed in advance (standing pattern), now
+#: MECHANICALLY derived: tests/test_driver_contract.py asserts this
+#: list equals tools/next_rotation.py::derive_next_window over the
+#: r01-r09 artifacts with ROUND10_ROTATION as the planned round-10
+#: evidence — the first window under the amended policy (VERDICT r9
+#: item 2) that bars terminal rows-only queries from re-confirm slots.
+#: Contents: the five r04-tail spills round 10 could not fit
+#: (q_score_calibration onward in r04 order), then the r05 cohort in
+#: its own artifact order through q_feat_target_encode; the last five
+#: r05 names (q_negative_sampling..q_feat_impute) spill to round 12.
+#: After this window nothing has pre-r5 latest evidence. Any round-10
+#: red re-queues at the head per the standing policy.
+ROUND11_ROTATION = [
+        "q_score_calibration", "q_k_anonymity", "q_dp_counts",
+        "q_split_leakage", "q_events_dau_wau",
+        "q_recursive_cte", "q_sql4_surfaces", "q_str_collation",
+        "q_stream_stateful", "q_stream_attrib_coverage",
+        "q_cogroup_reconcile", "q_arrow_map", "q_agg_approx_topk",
+        "q_knn_blocked", "q_dedup_normalized",
+        "q_dedup_rate_curve", "q_bloom_prune",
+        "q_link_sorted_neighborhood", "q_doc_chunks", "q_chunk_dedup",
+        "q_dataset_card", "q_sample_balanced", "q_tok_bpe_encode",
+        "q_text_clean", "q_text_collapse_runs",
+        "q_tok_vocab_coverage", "q_agg_ols_trend", "q_agg_mad",
+        "q_bitmap_distinct", "q_events_markov",
+        "q_events_anomaly", "q_events_conversion_lag",
+        "q_sessions_stats", "q_events_funnel_windowed",
+        "q_events_seasonality",
+        "q_user_ltv_percentiles", "q_events_streaks",
+        "q_events_power_users", "q_attrib_linear",
+        "q_events_changepoint",
+        "q_sessions_concurrency", "q_events_pattern_match",
+        "q_events_entropy_rate", "q_audience_overlap", "q_funnel_by_arm",
+        "q_events_burstiness", "q_emb_feature_stats", "q_emb_outliers",
+        "q_emb_quantile_norm", "q_feat_target_encode",
+]
 
-registry.reorder(ROUND9_ROTATION)
+#: Alias kept so callers/tests address "the live window" uniformly
+#: across rounds. Round 10 is LIVE: CORRECTNESS_r09 came back clean
+#: (48/50 hash-green + 2 rows-only-by-design `err: no_oracle` rows —
+#: zero hash-reds, zero broken queries; both first-row TWS queries and
+#: both multimodal oracle upgrades hash-matched), so the pre-committed
+#: round-10 window runs unmodified.
+VERIFY_ROTATION = ROUND10_ROTATION
+
+registry.reorder(ROUND10_ROTATION)

@@ -350,7 +350,7 @@ def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events
-      WHERE user_id IS NOT NULL
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     fired AS (
       SELECT user_id FROM e
@@ -367,9 +367,16 @@ def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY e.user_id ORDER BY ms)
     ),
     s AS (
+      -- RANGE (peers-inclusive) frame, not ROWS: under duplicate
+      -- (user_id, ms) rows the two ORDER BY ms sorts here and in o
+      -- are free to order ties differently, and a ROWS frame could
+      -- then place a tied-minimum row before its brk=1 peer,
+      -- splitting one session in two (ADVICE r9). RANGE gives every
+      -- tied row the same running sum, matching the engine, which
+      -- gap-splits on the ms VALUES and so always keeps ties together.
       SELECT user_id, ms,
              sum(brk) OVER (PARTITION BY user_id ORDER BY ms
-                            ROWS UNBOUNDED PRECEDING) AS sid
+                            RANGE UNBOUNDED PRECEDING) AS sid
       FROM o
     )
     SELECT user_id, CAST(min(ms) AS BIGINT) AS s_start,

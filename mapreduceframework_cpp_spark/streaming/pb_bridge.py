@@ -47,8 +47,18 @@ def install_protobuf_bridge(spark=None) -> str:
 
         # the bridge may ALREADY be active in this process (an earlier
         # driver-side call) — detectable by the aliased module's real
-        # name; a truly native install needs no worker provisioning,
-        # but a bridged one still must provision THIS session's workers
+        # name; a bridged install still must provision THIS session's
+        # workers. The native tier deliberately provisions NOTHING and
+        # so ASSUMES driver and executors match (a real protobuf on the
+        # driver implies one on every executor — true in local mode and
+        # under any sane cluster image, and the usual posture for
+        # python deps). We must not ship the shim zip "just in case":
+        # the shim aliases the cloud-sdk copy UNCONDITIONALLY when it
+        # wins the `google` import, so on a cluster whose executors DO
+        # have real protobuf it could shadow the native package with
+        # the older vendored runtime (ADVICE r9). Executors lacking
+        # protobuf under a native driver fail loudly at the lazy
+        # gencode import — a config error, not silent corruption.
         if _gp.__name__ != "cloudsdk.google.protobuf":
             return "native"
     except ImportError:

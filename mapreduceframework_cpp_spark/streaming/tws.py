@@ -276,12 +276,16 @@ def session_assembler(events: DataFrame) -> DataFrame:
     column stays on the frame only to carry the watermark. The NTZ
     source column is cast through TIMESTAMP — the session timezone is
     UTC-pinned by session.tune(), so the instant is unchanged.
-    NULL user_id rows are dropped on BOTH sides (here and in the
-    oracle's WHERE): sessionizing a null key is meaningless, and the
-    oracle's equi-join would silently disagree with a null-key group
-    (the q_text_fingerprint NULL lesson, ADVICE r8)."""
+    NULL user_id AND NULL ts rows are dropped on BOTH sides (here and
+    in the oracle's WHERE): sessionizing a null key is meaningless, a
+    null event time would reach handleInputRows as NaN and kill the
+    query at int() (ADVICE r9), and the oracle's equi-join would
+    silently disagree with a null-key group (the q_text_fingerprint
+    NULL lesson, ADVICE r8)."""
     ev = (
-        events.filter(F.col("user_id").isNotNull())
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
         .select(
             "user_id",
             F.col("ts").cast("timestamp").alias("ts"),

@@ -55,15 +55,15 @@ def test_output_columns_are_atomic(name, spark, sf_dir):
 def test_registration_follows_verify_rotation():
     """The verifier checks the first ~50 registered queries per round;
     queries/__init__.py declares the rotation explicitly. Guard that
-    registration actually honors it and that the live round-9 window
-    spends its slots per the standing policy. Round 8 landed with ZERO
-    reds (derived HERE from the frozen CORRECTNESS_r08.json, so the
-    claim can't drift from the evidence), so the pre-committed round-9
-    window runs unmodified: the two round-8 spills (the last round-2
-    greens), the four re-confirm slots the r8 oracle upgrades
-    displaced, then round-3 greens oldest-first. The green fold is
-    imported from tools/next_rotation.py::green_set (ADVICE r4: a
-    local copy of the fold silently diverged from the CLI's policy)."""
+    registration actually honors it and that the live round-10 window
+    spends its slots per the standing policy. Round 9 landed with ZERO
+    hash-reds (derived HERE from the frozen CORRECTNESS_r09.json — the
+    only non-green rows are the two rows-only-by-design `no_oracle`
+    sketch queries), so the pre-committed round-10 window runs
+    unmodified. The green fold AND the window derivation are imported
+    from tools/next_rotation.py (ADVICE r4: a local copy of the fold
+    silently diverged from the CLI's policy; round 10 extends the same
+    lesson to the window order itself)."""
     import json
     import os
     import sys
@@ -72,6 +72,7 @@ def test_registration_follows_verify_rotation():
         ROUND8_ROTATION,
         ROUND9_ROTATION,
         ROUND10_ROTATION,
+        ROUND11_ROTATION,
         VERIFY_ROTATION,
     )
     from mapreduceframework_cpp_spark.registry import all_oracles
@@ -79,84 +80,54 @@ def test_registration_follows_verify_rotation():
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo_root not in sys.path:
         sys.path.insert(0, repo_root)
-    from tools.next_rotation import green_set
+    from tools.next_rotation import derive_next_window, green_set
 
     registered = list(_QUERIES)
-    assert VERIFY_ROTATION is ROUND9_ROTATION  # the live window alias
-    assert registered[: len(ROUND9_ROTATION)] == ROUND9_ROTATION
-    assert len(ROUND9_ROTATION) == 50
-    assert len(set(ROUND9_ROTATION)) == 50
-    assert not set(ROUND9_ROTATION) & set(ROUND8_ROTATION)
-    # head slots: the r9-registered q_stream_tws_sessions (event-time
-    # timers + ListState) and q_stream_tws (transformWithState via the
-    # protobuf bridge) plus the q_mm_decode rows-only -> SQL-oracle
-    # upgrade each need their FIRST driver (hash) row — the r7
-    # pagerank / r8 upgrade precedent; they displaced the planned tail
-    # slots (q_dedup_editdist, q_graph_triangles, q_ts_ewma) to round
-    # 10. q_mm_features (the third upgrade) already held a slot below.
-    assert ROUND9_ROTATION[:5] == [
-        "q_stream_tws_sessions", "q_stream_tws", "q_mm_decode",
-        "q_emb_centroid", "q_emb_norm_stats",
-    ]
-    assert "q_mm_features" in ROUND9_ROTATION
-
-    oracles = set(all_oracles())
-    # round 8 landed clean: no SQL-oracle row in the live window ran
-    # without error yet hash-failed, so there is nothing to re-queue
-    r08 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r08.json")))
-    reds = [
-        n
-        for n in ROUND8_ROTATION
-        if n in r08
-        and n in oracles
-        and not r08[n].get("err")
-        and not r08[n].get("hash_match")
-    ]
-    assert reds == [], f"round-8 reds exist — re-queue them: {reds}"
-
-    # cumulative evidence through round 8: EVERY registered query is
-    # driver-green — the r8 window carried the last four rows-only →
-    # SQL-oracle upgrades to their first hash rows, so the drain
-    # invariant's fixed point now covers the whole registry (284
-    # hash-green + 12 terminally rows-only clean, VERDICT r8)
-    all_rounds = [
-        os.path.join(repo_root, f"CORRECTNESS_{r}.json")
-        for r in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08")
-    ]
-    green = green_set(all_rounds, oracles)
-    unproven = [q for q in registered if q not in green]
-    # the two new registrations plus the two r9 oracle upgrades (whose
-    # historical rows-only-clean rows no longer satisfy the stricter
-    # hash policy) — all inside the live window awaiting hash rows
-    assert sorted(unproven) == [
-        "q_mm_decode", "q_mm_features", "q_stream_tws",
-        "q_stream_tws_sessions",
-    ], unproven
-
-    # round-9 slots are re-confirmations of the OLDEST evidence rows:
-    # every slot carries r2/r3 driver evidence (except the new-query
-    # head slot, which has none yet by construction)
-    g23 = green_set(
-        [
-            os.path.join(repo_root, f"CORRECTNESS_{r}.json")
-            for r in ("r02", "r03")
-        ],
-        oracles,
-    )
-    assert set(ROUND9_ROTATION) - set(unproven) <= g23
-
-    # the committed round-10 plan: a unique 50-slot window, disjoint
-    # from rounds 8 and 9, leading with the two round-9 spills (the
-    # newest r03-latest rows), every slot carrying r3/r4 driver
-    # evidence
+    assert VERIFY_ROTATION is ROUND10_ROTATION  # the live window alias
+    assert registered[: len(ROUND10_ROTATION)] == ROUND10_ROTATION
     assert len(ROUND10_ROTATION) == 50
     assert len(set(ROUND10_ROTATION)) == 50
     assert not set(ROUND10_ROTATION) & set(ROUND9_ROTATION)
     assert not set(ROUND10_ROTATION) & set(ROUND8_ROTATION)
+    # head slots: the two round-9 spills (the newest r03-latest rows)
+    # plus the three round-9 tail slots the TWS/multimodal head
+    # insertions displaced — all carrying round-3 driver evidence
     assert ROUND10_ROTATION[:5] == [
         "q_dedup_bow", "q_text_ngram_topk", "q_dedup_editdist",
         "q_graph_triangles", "q_ts_ewma",
     ]
+
+    oracles = set(all_oracles())
+    # round 9 landed clean: no SQL-oracle row in the live window ran
+    # without error yet hash-failed, so there is nothing to re-queue
+    r09 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r09.json")))
+    reds = [
+        n
+        for n in ROUND9_ROTATION
+        if n in r09
+        and n in oracles
+        and not r09[n].get("err")
+        and not r09[n].get("hash_match")
+    ]
+    assert reds == [], f"round-9 reds exist — re-queue them: {reds}"
+
+    # cumulative evidence through round 9: EVERY registered query is
+    # driver-green — the r9 window carried the two new TWS queries and
+    # the two multimodal oracle upgrades to their first hash rows, so
+    # the drain invariant's fixed point covers the whole registry (288
+    # hash-green + 10 terminally rows-only clean, VERDICT r9)
+    all_rounds = [
+        os.path.join(repo_root, f"CORRECTNESS_{r}.json")
+        for r in (
+            "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09"
+        )
+    ]
+    green = green_set(all_rounds, oracles)
+    unproven = [q for q in registered if q not in green]
+    assert unproven == [], unproven
+
+    # round-10 slots re-confirm the OLDEST evidence rows: every slot
+    # carries r3/r4 driver evidence
     g34 = green_set(
         [
             os.path.join(repo_root, f"CORRECTNESS_{r}.json")
@@ -166,31 +137,60 @@ def test_registration_follows_verify_rotation():
     )
     assert set(ROUND10_ROTATION) <= g34
 
-    # and the round-10 window drains the remaining oldest rows: after
-    # rounds 9+10 run, nothing still has pre-r4 latest evidence, and
-    # the r4-latest overflow is exactly the r04 tail that provably
-    # cannot fit (the pool is ordered, so overflow = the names AFTER
-    # the window's last slot in r04 order)
+    # the committed round-11 plan is MECHANICAL: exactly what the
+    # amended policy derives from the nine artifacts plus the planned
+    # round-10 window — so the plan cannot drift from the tool, and
+    # (new policy, VERDICT r9 item 2) no terminal rows-only query ever
+    # takes a re-confirm slot again
+    derived, derived_unproven = derive_next_window(
+        all_rounds, registered, oracles, planned=[ROUND10_ROTATION]
+    )
+    assert derived_unproven == []
+    assert ROUND11_ROTATION == derived
+    assert len(set(ROUND11_ROTATION)) == 50
+    assert not set(ROUND11_ROTATION) & set(ROUND10_ROTATION)
+    assert not set(ROUND11_ROTATION) & set(ROUND9_ROTATION)
+    rows_only = set(registered) - oracles
+    assert not set(ROUND11_ROTATION) & rows_only, (
+        "terminal rows-only queries must not hold re-confirm slots"
+    )
+    assert ROUND11_ROTATION[:5] == [
+        "q_score_calibration", "q_k_anonymity", "q_dp_counts",
+        "q_split_leakage", "q_events_dau_wau",
+    ]
+
+    # drain invariant: after rounds 10+11 run, no SQL-oracle query has
+    # pre-r5 latest evidence, and the r5-latest overflow is exactly
+    # the r05 tail that provably cannot fit (the pool is ordered, so
+    # overflow = the names AFTER the window's last slot in r05 order)
     latest: dict[str, int] = {}
-    r04_order: dict[str, int] = {}
+    r05_order: dict[str, int] = {}
     for i, r in enumerate(
-        ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08")
+        ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09")
     ):
         rows = json.load(open(os.path.join(repo_root, f"CORRECTNESS_{r}.json")))
         for j, name in enumerate(rows):
             latest[name] = i + 1
-            if r == "r04":
-                r04_order[name] = j
-    covered = set(ROUND9_ROTATION) | set(ROUND10_ROTATION)
-    stale3 = {q for q, rnd in latest.items() if rnd <= 3 and q in registered}
-    assert stale3 <= covered, sorted(stale3 - covered)[:10]
-    stale4 = {q for q, rnd in latest.items() if rnd == 4 and q in registered}
-    spilled = stale4 - covered
-    max_covered_r04 = max(
-        r04_order[q] for q in ROUND10_ROTATION if q in r04_order
+            if r == "r05":
+                r05_order[name] = j
+    covered = set(ROUND10_ROTATION) | set(ROUND11_ROTATION)
+    stale4 = {
+        q
+        for q, rnd in latest.items()
+        if rnd <= 4 and q in registered and q in oracles
+    }
+    assert stale4 <= covered, sorted(stale4 - covered)[:10]
+    stale5 = {
+        q
+        for q, rnd in latest.items()
+        if rnd == 5 and q in registered and q in oracles
+    }
+    spilled = stale5 - covered
+    max_covered_r05 = max(
+        r05_order[q] for q in ROUND11_ROTATION if q in r05_order
     )
-    assert all(r04_order[q] > max_covered_r04 for q in spilled), (
-        "a covered r04 slot was skipped in favor of a newer one",
+    assert all(r05_order[q] > max_covered_r05 for q in spilled), (
+        "a covered r05 slot was skipped in favor of a newer one",
         sorted(spilled)[:10],
     )
 

@@ -700,3 +700,174 @@ def test_tws_sessions_partition_invariant(spark, sf_dir):
         spark.conf.set(key, prev)
     assert results[1] == results[7]
     assert results[1], "invariance vacuous: no sessions emitted"
+
+@pytest.mark.skipif(
+    _PB_TIER is None,
+    reason="transformWithState needs google.protobuf (see pb_bridge.py)",
+)
+def test_tws_sessions_survive_query_restart(spark, tmp_path):
+    """Failure-recovery durability for the SESSIONIZER specifically
+    (VERDICT r9 item 5): the counter-processor restart test proves
+    typed state survives, but the sessionizer adds event-time timers +
+    eviction, whose recovery semantics are the risk — a timer
+    registered in run N must still fire in run N+1, and a session
+    already emitted before a restart must NOT re-emit after it. Three
+    runs from ONE checkpoint, a new file landing between each:
+
+    run 1 (b1): buffers users 1/2, registers timers, fires nothing
+      (wm = t0 after the batch — below every expiry).
+    run 2 (b2): wm advances past user 1's RECOVERED timer -> user 1's
+      session emits. User 2's timer moved forward by its 6h-later
+      event; user 3 too close to the stream max. Nothing else emits.
+    run 3 (b3, a far-future clock event): users 2 and 3 fire from
+      recovered buffers; user 1 must NOT appear again (its state was
+      cleared before the restart) and nothing may emit twice — the
+      parquet sink keeps every append-mode emission, so multiset
+      equality IS the no-double-emission proof."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.streaming.pb_bridge import (
+        install_protobuf_bridge,
+    )
+    from mapreduceframework_cpp_spark.streaming.tws import session_assembler
+
+    install_protobuf_bridge(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    out_dir = str(tmp_path / "out")
+    src.mkdir()
+    h = 3_600_000
+    t0 = 1_700_000_000_000  # ms, whole seconds
+
+    def write(name, rows):
+        spark.createDataFrame(rows, "user_id long, ms long").select(
+            "user_id", F.timestamp_millis("ms").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def run():
+        stream = session_assembler(
+            spark.readStream.schema("user_id long, ts timestamp")
+            .format("parquet")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .load(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            map(tuple, spark.read.parquet(out_dir).collect())
+        )
+
+    write("b1", [(1, t0), (1, t0 + 600_000), (2, t0 + 300_000)])
+    assert run() == []  # wm=t0 after b1: below every expiry
+
+    write("b2", [(2, t0 + 6 * h), (3, t0 + 6 * h + 300_000)])
+    assert run() == [(1, t0, t0 + 600_000, 2)]
+
+    write("b3", [(9, t0 + 20 * h)])
+    # wm = t0+20h-600s covers users 2 and 3; user 2's buffer recovered
+    # across TWO restarts gap-splits into two singleton sessions. User
+    # 1 absent (no re-emission), user 9 above the final wm.
+    assert run() == [
+        (1, t0, t0 + 600_000, 2),
+        (2, t0 + 300_000, t0 + 300_000, 1),
+        (2, t0 + 6 * h, t0 + 6 * h, 1),
+        (3, t0 + 6 * h + 300_000, t0 + 6 * h + 300_000, 1),
+    ]
+
+
+@pytest.mark.skipif(
+    _PB_TIER is None,
+    reason="transformWithState needs google.protobuf (see pb_bridge.py)",
+)
+def test_tws_sessions_null_and_tied_rows(spark, tmp_path):
+    """ADVICE r9 adversarial inputs the testdata happens not to contain:
+    (a) duplicate (user_id, ms) pairs — possible after micros->ms
+    flooring — where the oracle's two independent ORDER BY ms sorts
+    could disagree on tie order (fixed with a RANGE-framed sid sum);
+    (b) NULL ts rows, which used to reach handleInputRows as NaN and
+    kill the query at int(); (c) NULL user_id rows. Engine and DuckDB
+    oracle must agree exactly on a stream containing all three."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.registry import all_oracles
+    from mapreduceframework_cpp_spark.streaming.pb_bridge import (
+        install_protobuf_bridge,
+    )
+    from mapreduceframework_cpp_spark.streaming.tws import (
+        SESSION_GAP_MS,
+        session_assembler,
+    )
+
+    install_protobuf_bridge(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    t0 = 1_700_000_000_000
+    rows = [
+        (5, t0), (5, t0), (5, t0 + 100),          # tied-minimum dup
+        (6, t0), (6, t0 + SESSION_GAP_MS + 1000),  # two sessions
+        (None, t0),                                # null key
+        (7, None),                                 # null event time
+        (99, t0 + 72_000_000),                     # clock: fires 5 & 6
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(rows, "user_id long, ms long").select(
+        "user_id", F.timestamp_millis("ms").alias("ts")
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    q = (
+        session_assembler(
+            spark.readStream.schema("user_id long, ts timestamp")
+            .format("parquet")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .load(str(src))
+        )
+        .writeStream.format("memory")
+        .queryName("tws_sessions_nulls")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.table("tws_sessions_nulls").collect())
+    )
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "ms"])
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    pdf["ts"] = pd.to_datetime(pdf["ms"], unit="ms")
+    con = duckdb.connect()
+    con.register("events", pdf[["user_id", "ts"]])
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                all_oracles()["q_stream_tws_sessions"]
+            ).df().itertuples(index=False),
+        )
+    )
+    assert got == want
+    assert got == [
+        (5, t0, t0 + 100, 3),
+        (6, t0, t0, 1),
+        (6, t0 + SESSION_GAP_MS + 1000, t0 + SESSION_GAP_MS + 1000, 1),
+    ]

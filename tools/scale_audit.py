@@ -54,13 +54,18 @@ def run_scale(sf_name: str) -> dict[str, float]:
 
 def main() -> int:
     scales = sys.argv[1:] or ["sf0.01", "sf0.1"]
+    # bench.py clobbers the artifact on every run; snapshot the
+    # WORKING-TREE bytes and put exactly those back even when a leg
+    # fails or is interrupted. (Not `git checkout --`: that resets to
+    # the committed version and would silently discard uncommitted
+    # local edits to the file — ADVICE r9.)
+    snapshot = open(DETAIL, "rb").read() if os.path.exists(DETAIL) else None
     try:
         timings = {s: run_scale(s) for s in scales}
     finally:
-        # bench.py clobbers the committed artifact on every run; put it
-        # back even when a leg fails or is interrupted
-        subprocess.run(["git", "checkout", "--", "BENCH_DETAIL.json"],
-                       cwd=REPO, check=False)
+        if snapshot is not None:
+            with open(DETAIL, "wb") as f:
+                f.write(snapshot)
 
     rc = 0
     for lo, hi in zip(scales, scales[1:]):
