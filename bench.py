@@ -273,6 +273,17 @@ def main() -> None:
     from mapreduceframework_cpp_spark.session import get_spark
 
     queries = all_queries()
+    # Optional subset filter (tools/scale_audit.py's synthetic-decade
+    # legs time one family, not all 200+). Default — driver contract —
+    # is unchanged: the full headline set.
+    headline = HEADLINE
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        want = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = want - set(HEADLINE)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY not in HEADLINE: {sorted(unknown)}")
+        headline = [n for n in HEADLINE if n in want]
     spark = get_spark("mrfw-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -289,7 +300,7 @@ def main() -> None:
     from mapreduceframework_cpp_spark.operators.common import release_persisted
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

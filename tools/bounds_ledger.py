@@ -31,7 +31,7 @@ SF_DIR = os.environ.get("BOUNDS_SF_DIR", "/root/testdata/sf0.01")
 #: query -> the bound its pytest pins (tests/test_aggregations.py)
 PINNED = {
     "q_agg_approx_distinct": 0.04,
-    "q_agg_approx_quantile": 0.01,
+    "q_agg_approx_quantile": 0.002,  # tightened r9 (was 0.01)
     "q_agg_hll_rollup": 0.02,
     "q_sketch_theta": 0.01,
     "q_sketch_kll": 0.02,

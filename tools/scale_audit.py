@@ -22,10 +22,21 @@ Usage::
 
     python tools/scale_audit.py                      # sf0.01 vs sf0.1
     python tools/scale_audit.py sf0.001 sf0.01 sf0.1 # three decades
+    # a 4th synthetic decade for the dedup/text/embedding family only
+    # (the blowup dir scales documents/embeddings/events 10x and
+    # symlinks the star schema, so only document-family ratios are
+    # meaningful there — see tools/spill_probe.py):
+    SPARK_GRAFT_BENCH_ONLY=q_dedup_near,q_pipeline_e2e \
+        python tools/scale_audit.py sf0.1 /root/repo/.blowup/sf1.0
+
+Scale args are either names under /root/testdata (``sf0.1``) or
+absolute directories whose basename carries the sf number
+(``/root/repo/.blowup/sf1.0``). $SPARK_GRAFT_BENCH_ONLY passes through
+to bench.py to restrict the timed set.
 
 Exit status: 1 if any consecutive-decade ratio exceeds the data ratio,
-else 0. BENCH_DETAIL.json is restored from git afterwards (bench.py
-unconditionally overwrites it next to itself).
+else 0. BENCH_DETAIL.json's pre-run working-tree bytes are restored
+afterwards (bench.py unconditionally overwrites it next to itself).
 """
 
 from __future__ import annotations
@@ -40,8 +51,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 
 
-def run_scale(sf_name: str) -> dict[str, float]:
-    sf_dir = os.path.join("/root/testdata", sf_name)
+def _sf_num(sf_arg: str) -> float:
+    """The scale factor carried by a scale arg's basename."""
+    return float(os.path.basename(sf_arg.rstrip("/")).removeprefix("sf"))
+
+
+def run_scale(sf_arg: str) -> dict[str, float]:
+    sf_dir = (
+        sf_arg
+        if os.sep in sf_arg
+        else os.path.join("/root/testdata", sf_arg)
+    )
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -72,7 +92,7 @@ def main() -> int:
         # the flag line is the actual data ratio between the two scale
         # dirs (sf names are scale factors), not an assumed decade —
         # `scale_audit.py sf0.001 sf0.1` is a 100x step
-        data_ratio = float(hi.removeprefix("sf")) / float(lo.removeprefix("sf"))
+        data_ratio = _sf_num(hi) / _sf_num(lo)
         a, b = timings[lo], timings[hi]
         ratios = sorted(
             ((b[k] / a[k], k, a[k], b[k]) for k in b if k in a and a[k] > 0),

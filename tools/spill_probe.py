@@ -1,0 +1,349 @@
+#!/usr/bin/env python
+"""Memory-pressure / spill probe for the heavy query families.
+
+The reference's defining scale failure is its all-in-RAM data model —
+every input, intermediate and output pair lives in process memory
+(`MapReduceFramework.cpp:65-68`); at 100 TB that design simply dies.
+This probe proves the engine carries NO hidden all-in-RAM assumption:
+each heavy query runs twice on a ~10x synthetic blowup of the
+document/embedding/event tables — once in a roomy JVM and once in a
+deliberately starved one (small heap + small `spark.memory.fraction`)
+— and must (a) finish without OOM, (b) produce the identical result,
+(c) under starvation, visibly SPILL (the UI REST API's per-stage
+`memoryBytesSpilled`/`diskBytesSpilled`) rather than hold state in RAM.
+
+Each leg runs in a fresh subprocess because `spark.driver.memory` is a
+JVM-launch option: it cannot be changed on a live session, and in
+local mode it bounds the whole engine (driver == executors).
+
+The blowup dir (`.blowup/sf1.0`, gitignored) is generated
+deterministically from /root/testdata/sf0.1 — documents x10 with
+per-copy word-shuffled text (so the DUPLICATE RATE stays comparable
+instead of every doc gaining 9 near-dup clones, which would multiply
+LSH bucket density and corrupt the scale-audit ratios), embeddings x10
+with small seeded Gaussian perturbation, events x10 with offset
+event/user ids (10x rows AND 10x graph nodes — linear growth), and the
+star schema symlinked. It doubles as the 4th synthetic decade for
+tools/scale_audit.py (VERDICT r9 item 4).
+
+Usage::
+
+    python tools/spill_probe.py            # generate + probe defaults
+    python tools/spill_probe.py --gen-only # just build .blowup/sf1.0
+    python tools/spill_probe.py q_dedup_near --tight-mem 500m
+
+Result hashing is DISTRIBUTED (xxhash64 per row, float columns rounded
+to 6 dp first because spill changes float merge order by ulps, summed
+order-insensitively) — no driver-side collect even in the probe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BLOWUP_DIR = os.path.join(REPO, ".blowup", "sf1.0")
+SRC_DIR = "/root/testdata/sf0.1"
+COPIES = 10
+_GEN_VERSION = 1  # bump to force regeneration
+
+DEFAULT_QUERIES = [
+    "q_dedup_near",
+    "q_pipeline_e2e",
+    "q_graph_pagerank",
+    "q_emb_pca_top",
+]
+
+SYMLINKED = ("region", "nation", "customer", "supplier", "part",
+             "orders", "lineitem")
+
+
+# ---------------------------------------------------------------------------
+# blowup generation
+# ---------------------------------------------------------------------------
+
+def _blow_documents(src: str, dst: str) -> None:
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    schema = t.schema.remove_metadata()
+    pdf = t.to_pandas()
+    n = len(pdf)
+    # global vocab for deterministic word substitution
+    vocab = sorted({w for s in pdf["text"] if s for w in s.split()})
+    parts = [pdf]
+    for k in range(1, COPIES):
+        c = pdf.copy()
+        c["doc_id"] = c["doc_id"] + k * n
+        texts = []
+        for doc_id, s in zip(c["doc_id"], c["text"]):
+            if s is None:
+                texts.append(None)
+                continue
+            rng = random.Random((k << 32) ^ int(doc_id))
+            words = s.split()
+            rng.shuffle(words)
+            # substitute ~1/8 of the words so copies aren't
+            # permutation-equal shingle sets either
+            for i in range(0, len(words), 8):
+                words[i] = vocab[rng.randrange(len(vocab))]
+            texts.append(" ".join(words))
+        c["text"] = texts
+        c["n_chars"] = [len(s) if s is not None else None for s in texts]
+        parts.append(c)
+    import pandas as pd
+
+    out = pd.concat(parts, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=schema, preserve_index=False),
+        os.path.join(dst, "documents.parquet"),
+    )
+
+
+def _blow_embeddings(src: str, dst: str) -> None:
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    schema = t.schema.remove_metadata()
+    pdf = t.to_pandas()
+    n = len(pdf)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float32")
+    parts = [pdf]
+    for k in range(1, COPIES):
+        c = pdf.copy()
+        c["vec_id"] = c["vec_id"] + k * n
+        noisy = mat + np.random.default_rng(k).normal(
+            0.0, 0.02, mat.shape
+        ).astype("float32")
+        c["embedding"] = list(noisy)
+        parts.append(c)
+    out = pd.concat(parts, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=schema, preserve_index=False),
+        os.path.join(dst, "embeddings.parquet"),
+    )
+
+
+def _blow_events(src: str, dst: str) -> None:
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(src, "events.parquet"))
+    schema = t.schema.remove_metadata()
+    pdf = t.to_pandas()
+    n = len(pdf)
+    uid_span = int(pdf["user_id"].max()) + 1
+    parts = [pdf]
+    for k in range(1, COPIES):
+        c = pdf.copy()
+        c["event_id"] = c["event_id"] + k * n
+        c["user_id"] = c["user_id"] + k * uid_span
+        parts.append(c)
+    out = pd.concat(parts, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=schema, preserve_index=False),
+        os.path.join(dst, "events.parquet"),
+    )
+
+
+def ensure_blowup() -> str:
+    """Build .blowup/sf1.0 if absent/stale; atomic via a .part dir."""
+    marker = os.path.join(BLOWUP_DIR, "_COMPLETE.json")
+    want = {"src": SRC_DIR, "copies": COPIES, "version": _GEN_VERSION}
+    try:
+        if json.load(open(marker)) == want:
+            return BLOWUP_DIR
+    except (OSError, ValueError):
+        pass
+    part = BLOWUP_DIR + ".part"
+    if os.path.exists(part):
+        import shutil
+
+        shutil.rmtree(part)
+    os.makedirs(part)
+    for t in SYMLINKED:
+        os.symlink(
+            os.path.join(SRC_DIR, f"{t}.parquet"),
+            os.path.join(part, f"{t}.parquet"),
+        )
+    _blow_documents(SRC_DIR, part)
+    _blow_embeddings(SRC_DIR, part)
+    _blow_events(SRC_DIR, part)
+    with open(os.path.join(part, "_COMPLETE.json"), "w") as f:
+        json.dump(want, f)
+    if os.path.exists(BLOWUP_DIR):
+        import shutil
+
+        shutil.rmtree(BLOWUP_DIR)
+    os.replace(part, BLOWUP_DIR)
+    return BLOWUP_DIR
+
+
+# ---------------------------------------------------------------------------
+# child: one query in one freshly-sized JVM
+# ---------------------------------------------------------------------------
+
+def child(query: str, sf_dir: str, mem: str, fraction: str,
+          shuffle: str | None = None) -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mapreduceframework_cpp_spark.session import RUNTIME_CONFS
+
+    builder = (
+        SparkSession.builder.appName(f"spill-probe-{query}")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .config("spark.driver.memory", mem)
+        .config("spark.memory.fraction", fraction)
+        # REST metrics need the UI; port 0 avoids clashes with a
+        # concurrent session on 4040
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    if shuffle:
+        # fewer, fatter shuffle partitions = more per-task memory
+        # pressure at a fixed data size; results are partition-count
+        # invariant (pinned suite-wide), so this only changes WHERE
+        # the memory ceiling bites
+        builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    from mapreduceframework_cpp_spark.operators.common import release_persisted
+    from mapreduceframework_cpp_spark.registry import all_queries
+
+    df = all_queries()[query](spark, sf_dir)
+    cols = [
+        F.round(F.col(f.name), 6).alias(f.name)
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    row = (
+        df.select(F.xxhash64(*cols).cast("decimal(38,0)").alias("h"))
+        # DECIMAL(38) sum: a LONG sum of 64-bit hashes overflows under
+        # ANSI; 38 digits hold ~1e19 rows' worth of headroom
+        .agg(F.sum("h").cast("string").alias("hs"),
+             F.count("*").alias("n"))
+        .collect()[0]
+    )
+    release_persisted()
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    stages = json.load(
+        urllib.request.urlopen(f"{url}/api/v1/applications/{app}/stages")
+    )
+    rec = {
+        "query": query,
+        "mem": mem,
+        "fraction": fraction,
+        "n_rows": row["n"],
+        "hash": row["hs"],
+        "memoryBytesSpilled": sum(s.get("memoryBytesSpilled", 0) for s in stages),
+        "diskBytesSpilled": sum(s.get("diskBytesSpilled", 0) for s in stages),
+        "n_stages": len(stages),
+    }
+    spark.stop()
+    print("SPILL_PROBE_RESULT " + json.dumps(rec))
+
+
+# ---------------------------------------------------------------------------
+# parent
+# ---------------------------------------------------------------------------
+
+def _run_leg(query: str, sf_dir: str, mem: str, fraction: str,
+             shuffle: str | None = None) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--child", query,
+           "--sf-dir", sf_dir, "--mem", mem, "--fraction", fraction]
+    if shuffle:
+        cmd += ["--shuffle", shuffle]
+    p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    for line in p.stdout.splitlines():
+        if line.startswith("SPILL_PROBE_RESULT "):
+            return json.loads(line[len("SPILL_PROBE_RESULT "):])
+    return {
+        "query": query, "mem": mem, "fraction": fraction,
+        "err": (p.stderr.strip().splitlines() or ["no output"])[-1][:400],
+        "rc": p.returncode,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*", default=None)
+    ap.add_argument("--gen-only", action="store_true")
+    ap.add_argument("--sf-dir", default=None)
+    ap.add_argument("--child", metavar="QUERY", default=None)
+    ap.add_argument("--mem", default="900m")
+    ap.add_argument("--fraction", default="0.15")
+    ap.add_argument("--shuffle", default="8")
+    ap.add_argument("--roomy-mem", default="6g")
+    ap.add_argument("--roomy-fraction", default="0.6")
+    args = ap.parse_args()
+
+    if args.child:
+        child(args.child, args.sf_dir or ensure_blowup(), args.mem,
+              args.fraction, args.shuffle)
+        return 0
+
+    sf_dir = args.sf_dir or ensure_blowup()
+    if args.gen_only:
+        print(sf_dir)
+        return 0
+
+    queries = args.queries or DEFAULT_QUERIES
+    rc = 0
+    receipt = {"sf_dir": sf_dir, "tight_mem": args.mem,
+               "tight_fraction": args.fraction, "queries": {}}
+    for q in queries:
+        roomy = _run_leg(q, sf_dir, args.roomy_mem, args.roomy_fraction)
+        # the tight leg also runs with FEWER shuffle partitions (fatter
+        # tasks): more pressure per task, and hash-equality across the
+        # two legs then ALSO re-proves partition-count invariance
+        tight = _run_leg(q, sf_dir, args.mem, args.fraction, args.shuffle)
+        ok = (
+            "err" not in roomy
+            and "err" not in tight
+            and roomy["hash"] == tight["hash"]
+            and roomy["n_rows"] == tight["n_rows"]
+        )
+        spill = tight.get("memoryBytesSpilled", 0) + tight.get(
+            "diskBytesSpilled", 0
+        )
+        receipt["queries"][q] = {
+            "match": ok,
+            "n_rows": roomy.get("n_rows"),
+            "tight_spill_bytes": spill,
+            "roomy_spill_bytes": roomy.get("memoryBytesSpilled", 0)
+            + roomy.get("diskBytesSpilled", 0),
+            "tight_err": tight.get("err"),
+            "roomy_err": roomy.get("err"),
+        }
+        if not ok:
+            rc = 1
+        print(f"{q}: match={ok} rows={roomy.get('n_rows')} "
+              f"tight_spill={spill:,}B tight_err={tight.get('err')}")
+    print("SPILL_PROBE_RECEIPT " + json.dumps(receipt))
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
