@@ -71,9 +71,22 @@ def pagerank(
     # each iteration is then: local scan of checkpointed edges →
     # map-side partial sum → exchange of already-aggregated (dst, in_q)
     # pairs (≤ |nodes| rows per partition). Billion-node graphs fall
-    # back to the co-partitioned shuffle join automatically.
+    # back to the co-partitioned shuffle join automatically. The auto
+    # mode is ALSO driver-heap-gated: an explicit broadcast hint
+    # bypasses autoBroadcastJoinThreshold, and on a starved driver the
+    # build cannot reserve memory while loop tasks hold the unified
+    # pool — Spark aborts rather than spills (spill-probe receipt).
+    # Undersized JVMs take the shuffle join, which degrades by
+    # spilling instead of dying.
     if broadcast_ranks is None:
-        broadcast_ranks = nodes.count() <= 1_000_000
+        from mapreduceframework_cpp_spark.operators.common import (
+            driver_max_heap_bytes,
+        )
+
+        broadcast_ranks = (
+            nodes.count() <= 1_000_000
+            and driver_max_heap_bytes(edges.sparkSession) >= (4 << 30)
+        )
     bcast = broadcast_ranks
 
     base = int((1.0 - damping) * _UNIT)

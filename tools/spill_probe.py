@@ -197,7 +197,8 @@ def ensure_blowup() -> str:
 # ---------------------------------------------------------------------------
 
 def child(query: str, sf_dir: str, mem: str, fraction: str,
-          shuffle: str | None = None) -> None:
+          shuffle: str | None = None,
+          broadcast: str | None = None) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -213,7 +214,14 @@ def child(query: str, sf_dir: str, mem: str, fraction: str,
         # concurrent session on 4040
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "0")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # The broadcast threshold must scale with executor memory: the
+        # engine's 32MB default assumes production-sized executors; on
+        # the starved leg a 32MB broadcast cannot even BUILD in a 1.2g
+        # JVM ("Not enough memory to build and broadcast"). Catalyst
+        # then picks shuffle joins, which spill instead of dying — the
+        # exact operational posture an undersized cluster needs.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                broadcast or str(32 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
@@ -270,18 +278,27 @@ def child(query: str, sf_dir: str, mem: str, fraction: str,
 # ---------------------------------------------------------------------------
 
 def _run_leg(query: str, sf_dir: str, mem: str, fraction: str,
-             shuffle: str | None = None) -> dict:
+             shuffle: str | None = None,
+             broadcast: str | None = None) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), "--child", query,
            "--sf-dir", sf_dir, "--mem", mem, "--fraction", fraction]
     if shuffle:
         cmd += ["--shuffle", shuffle]
+    if broadcast:
+        cmd += ["--broadcast", broadcast]
     p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     for line in p.stdout.splitlines():
         if line.startswith("SPILL_PROBE_RESULT "):
             return json.loads(line[len("SPILL_PROBE_RESULT "):])
+    # surface the actual failure, not a progress bar: prefer the last
+    # Exception/Error-bearing stderr line
+    errlines = [
+        ln for ln in p.stderr.splitlines()
+        if ("Error" in ln or "Exception" in ln) and "[Stage" not in ln
+    ] or p.stderr.strip().splitlines() or ["no output"]
     return {
         "query": query, "mem": mem, "fraction": fraction,
-        "err": (p.stderr.strip().splitlines() or ["no output"])[-1][:400],
+        "err": errlines[-1][:400],
         "rc": p.returncode,
     }
 
@@ -292,16 +309,31 @@ def main() -> int:
     ap.add_argument("--gen-only", action="store_true")
     ap.add_argument("--sf-dir", default=None)
     ap.add_argument("--child", metavar="QUERY", default=None)
-    ap.add_argument("--mem", default="900m")
-    ap.add_argument("--fraction", default="0.15")
+    # tight defaults found empirically: 900m/0.15 cannot even store the
+    # 32MB broadcasts (TorrentBroadcast store failures); 1200m/0.3
+    # starves execution enough to force >100MB spills on the dedup
+    # family while every broadcast still fits
+    ap.add_argument("--mem", default="1200m")
+    ap.add_argument("--fraction", default="0.3")
     ap.add_argument("--shuffle", default="8")
+    # tight-leg broadcast threshold (parent passes it to the tight
+    # child only; a bare --child run keeps the engine's 32MB unless
+    # given explicitly)
+    ap.add_argument("--broadcast", default=None)
+    # -1 = no auto-broadcast on the starved leg: at 1.2g even an 8MB
+    # Catalyst-chosen broadcast fails to RESERVE build memory while
+    # loop tasks hold the unified pool ("Not enough memory to build
+    # and broadcast..."), and Spark's own error text prescribes
+    # disabling broadcast as the undersized-cluster workaround. Every
+    # join then degrades to shuffle joins that spill instead of dying.
+    ap.set_defaults(tight_broadcast="-1")
     ap.add_argument("--roomy-mem", default="6g")
     ap.add_argument("--roomy-fraction", default="0.6")
     args = ap.parse_args()
 
     if args.child:
         child(args.child, args.sf_dir or ensure_blowup(), args.mem,
-              args.fraction, args.shuffle)
+              args.fraction, args.shuffle, args.broadcast)
         return 0
 
     sf_dir = args.sf_dir or ensure_blowup()
@@ -318,7 +350,8 @@ def main() -> int:
         # the tight leg also runs with FEWER shuffle partitions (fatter
         # tasks): more pressure per task, and hash-equality across the
         # two legs then ALSO re-proves partition-count invariance
-        tight = _run_leg(q, sf_dir, args.mem, args.fraction, args.shuffle)
+        tight = _run_leg(q, sf_dir, args.mem, args.fraction, args.shuffle,
+                         args.broadcast or args.tight_broadcast)
         ok = (
             "err" not in roomy
             and "err" not in tight
