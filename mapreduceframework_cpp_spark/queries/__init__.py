@@ -44,6 +44,7 @@ from mapreduceframework_cpp_spark.queries import (  # noqa: F401
     robust_stats,
     geospatial,
     evaluation,
+    sinks,
 )
 
 #: round-5 verification window (kept for the audit trail; see
@@ -255,6 +256,13 @@ ROUND9_ROTATION = [
 #: within a six-round freshness horizon. Any round-9 red re-queues at
 #: the head per the standing policy, displacing the tail.
 ROUND10_ROTATION = [
+        # -- round-10 head insertions: the txn_files Python data sink
+        # (queries/sinks.py, sources/pysink.py — Spark 4 DataSource
+        # writer API, batch + streaming), registered this round, so
+        # they take their first driver slots here; the two r04-tail
+        # names they displace (q_rank_fusion, q_annotator_kappa) spill
+        # to round 11, consistent with the r04-order drain invariant --
+        "q_sink_python", "q_sink_stream_python",
         # -- the five r03-latest spills (newest r03 evidence; the last
         # three are round-9 tail slots displaced by the q_stream_tws,
         # q_mm_decode and q_stream_tws_sessions head insertions; the
@@ -277,7 +285,7 @@ ROUND10_ROTATION = [
         "q_dataset_diff", "q_emb_kmeans", "q_tok_bpe_merges",
         "q_emb_pca_top", "q_sketch_theta", "q_sketch_kll",
         "q_score_auc", "q_score_decile_lift", "q_score_confusion",
-        "q_ab_ztest", "q_rank_fusion", "q_annotator_kappa",
+        "q_ab_ztest",
 ]
 
 #: round-11 window, committed in advance (standing pattern), now
@@ -286,13 +294,16 @@ ROUND10_ROTATION = [
 #: r01-r09 artifacts with ROUND10_ROTATION as the planned round-10
 #: evidence — the first window under the amended policy (VERDICT r9
 #: item 2) that bars terminal rows-only queries from re-confirm slots.
-#: Contents: the five r04-tail spills round 10 could not fit
-#: (q_score_calibration onward in r04 order), then the r05 cohort in
-#: its own artifact order through q_feat_target_encode; the last five
-#: r05 names (q_negative_sampling..q_feat_impute) spill to round 12.
-#: After this window nothing has pre-r5 latest evidence. Any round-10
-#: red re-queues at the head per the standing policy.
+#: Contents: the seven r04-tail spills round 10 could not fit (the
+#: q_rank_fusion/q_annotator_kappa pair displaced by the round-10 sink
+#: head insertions, then q_score_calibration onward in r04 order),
+#: then the r05 cohort in its own artifact order through
+#: q_emb_outliers; the last seven r05 names
+#: (q_emb_quantile_norm..q_feat_impute) spill to round 12. After this
+#: window nothing has pre-r5 latest evidence. Any round-10 red
+#: re-queues at the head per the standing policy.
 ROUND11_ROTATION = [
+        "q_rank_fusion", "q_annotator_kappa",
         "q_score_calibration", "q_k_anonymity", "q_dp_counts",
         "q_split_leakage", "q_events_dau_wau",
         "q_recursive_cte", "q_sql4_surfaces", "q_str_collation",
@@ -314,7 +325,6 @@ ROUND11_ROTATION = [
         "q_sessions_concurrency", "q_events_pattern_match",
         "q_events_entropy_rate", "q_audience_overlap", "q_funnel_by_arm",
         "q_events_burstiness", "q_emb_feature_stats", "q_emb_outliers",
-        "q_emb_quantile_norm", "q_feat_target_encode",
 ]
 
 #: Alias kept so callers/tests address "the live window" uniformly

@@ -1,0 +1,108 @@
+"""Custom-sink queries (SURVEY.md §2.2-A, round-10): write through the
+``txn_files`` Python data sink (sources/pysink.py — the Spark 4
+DataSource writer API, batch AND streaming) and hash-verify the values
+that SURVIVE the full write→commit→manifest→read-back round trip
+against a SQL oracle computed straight from the input tables. A sink
+bug of any kind — lost task file, double-published batch, staged file
+leaking into readers, JSON round-trip corruption — shows up as a value
+diff, not just a row-count diff.
+
+Kernel lowering: R9 emit3/output collection — the reference funnels
+every reduce worker's output through one mutex-guarded driver-memory
+vector (`MapReduceFramework.cpp:176-189`, `MapReduceFramework.h:15-24`);
+the sink replaces that serialization point with per-task staged files
+and a single atomic metadata-only driver commit (see pysink docstring
+for the scale argument).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceframework_cpp_spark.registry import query
+from mapreduceframework_cpp_spark.sources.pysink import (
+    read_committed,
+    register,
+    scratch_dir,
+)
+from mapreduceframework_cpp_spark.sources.tables import tbl
+
+_BATCH_SCHEMA = "lang string, source string, n_docs bigint, total_chars bigint"
+_STREAM_SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
+
+
+@query(
+    "q_sink_python",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_sink_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch path: aggregate documents per (lang, source), save through
+    ``txn_files`` (task-staged files + one atomic manifest commit),
+    then return what :func:`read_committed` sees. The oracle computes
+    the same aggregate directly from the table, so every value must
+    survive executor-side JSONL staging, the driver's publish rename,
+    and the manifest-scoped read."""
+    register(spark)
+    agg = (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    target = scratch_dir("graft_sink_batch_")
+    agg.write.format("txn_files").mode("append").save(target)
+    return read_committed(spark, target, _BATCH_SCHEMA)
+
+
+@query(
+    "q_sink_stream_python",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def q_sink_stream_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming path: ``readStream`` over events → stateless
+    project/filter → ``writeStream.format("txn_files")`` under
+    ``availableNow`` (per-batch manifests, replay-idempotent commit),
+    then aggregate the committed read-back. The oracle aggregates the
+    raw table under the same predicate, so the whole streaming
+    write/commit/read cycle must be lossless and duplicate-free.
+    DECIMAL(18,2) sums on both sides make the totals order-exact
+    (same pattern as q_stream_session)."""
+    from mapreduceframework_cpp_spark.streaming.stream import events_stream
+
+    register(spark)
+    proj = (
+        events_stream(spark, sf_dir)
+        .where(F.col("value") > 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    target = scratch_dir("graft_sink_stream_")
+    q = (
+        proj.writeStream.format("txn_files")
+        .option("checkpointLocation", scratch_dir("graft_sink_chk_"))
+        .trigger(availableNow=True)
+        .start(target)
+    )
+    q.awaitTermination()
+    back = read_committed(spark, target, _STREAM_SCHEMA)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )

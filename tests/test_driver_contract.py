@@ -89,10 +89,12 @@ def test_registration_follows_verify_rotation():
     assert len(set(ROUND10_ROTATION)) == 50
     assert not set(ROUND10_ROTATION) & set(ROUND9_ROTATION)
     assert not set(ROUND10_ROTATION) & set(ROUND8_ROTATION)
-    # head slots: the two round-9 spills (the newest r03-latest rows)
-    # plus the three round-9 tail slots the TWS/multimodal head
+    # head slots: the round-10 sink registrations take their first
+    # driver rows, then the two round-9 spills (the newest r03-latest
+    # rows) plus the round-9 tail slots the TWS/multimodal head
     # insertions displaced — all carrying round-3 driver evidence
-    assert ROUND10_ROTATION[:5] == [
+    assert ROUND10_ROTATION[:7] == [
+        "q_sink_python", "q_sink_stream_python",
         "q_dedup_bow", "q_text_ngram_topk", "q_dedup_editdist",
         "q_graph_triangles", "q_ts_ewma",
     ]
@@ -124,10 +126,13 @@ def test_registration_follows_verify_rotation():
     ]
     green = green_set(all_rounds, oracles)
     unproven = [q for q in registered if q not in green]
-    assert unproven == [], unproven
+    # the only unproven queries are the round-10 sink registrations,
+    # which hold the round-10 head slots for their first driver rows
+    assert unproven == ["q_sink_python", "q_sink_stream_python"], unproven
+    assert ROUND10_ROTATION[:2] == unproven
 
-    # round-10 slots re-confirm the OLDEST evidence rows: every slot
-    # carries r3/r4 driver evidence
+    # every OTHER round-10 slot re-confirms the oldest evidence rows:
+    # r3/r4 driver evidence
     g34 = green_set(
         [
             os.path.join(repo_root, f"CORRECTNESS_{r}.json")
@@ -135,7 +140,7 @@ def test_registration_follows_verify_rotation():
         ],
         oracles,
     )
-    assert set(ROUND10_ROTATION) <= g34
+    assert set(ROUND10_ROTATION[2:]) <= g34
 
     # the committed round-11 plan is MECHANICAL: exactly what the
     # amended policy derives from the nine artifacts plus the planned
@@ -155,8 +160,8 @@ def test_registration_follows_verify_rotation():
         "terminal rows-only queries must not hold re-confirm slots"
     )
     assert ROUND11_ROTATION[:5] == [
+        "q_rank_fusion", "q_annotator_kappa",
         "q_score_calibration", "q_k_anonymity", "q_dp_counts",
-        "q_split_leakage", "q_events_dau_wau",
     ]
 
     # drain invariant: after rounds 10+11 run, no SQL-oracle query has

@@ -49,6 +49,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BLOWUP_DIR = os.path.join(REPO, ".blowup", "sf1.0")
+#: The DENSE blowup above makes every doc a 10-clique of genuine
+#: near-dups (copies share ~7/8 of their tokens and ~0.999 cosine), so
+#: TRUE pair/candidate density grows ~100x per decade — right for spill
+#: probing, WRONG for scale-ratio auditing (runtime then tracks output
+#: size, not engine behavior; the round-10 audit measured exactly that:
+#: q_dedup_embedding emitted 196x the pairs in 68x the time). The FAIR
+#: blowup keeps pair density CONSTANT instead: each copy gets a
+#: per-copy random vocabulary bijection (intra-copy token structure
+#: preserved; cross-copy token sets near-disjoint, so shingle/set/
+#: length blocking sees no cross-copy candidates) and embeddings get a
+#: per-copy random ORTHOGONAL rotation (intra-copy pairwise cosines
+#: preserved exactly; cross-copy cosines decorrelated) — 10x data with
+#: 10x true pairs, the construction a linear-scaling claim needs.
+FAIR_DIR = os.path.join(REPO, ".blowup", "fair", "sf1.0")
 SRC_DIR = "/root/testdata/sf0.1"
 COPIES = 10
 _GEN_VERSION = 1  # bump to force regeneration
@@ -159,16 +173,100 @@ def _blow_events(src: str, dst: str) -> None:
     )
 
 
-def ensure_blowup() -> str:
-    """Build .blowup/sf1.0 if absent/stale; atomic via a .part dir."""
-    marker = os.path.join(BLOWUP_DIR, "_COMPLETE.json")
-    want = {"src": SRC_DIR, "copies": COPIES, "version": _GEN_VERSION}
+def _blow_documents_fair(src: str, dst: str) -> None:
+    """Fair mode: per-copy vocabulary INJECTION into a disjoint token
+    space (``word`` → ``word_k``). Within a copy every token-level
+    relation (set overlap, shingles-over-tokens, repetition) is
+    isomorphic to the original corpus; across copies the token sets
+    are EXACTLY disjoint (the source vocab is underscore-free,
+    asserted), so no blocking scheme produces cross-copy candidates
+    and true pair density stays constant. (A random bijection WITHIN
+    the vocab was tried first and fails here: the synthetic corpus has
+    a ~31-word vocabulary, so π(A)∩A stays ≈|A|²/|V| — Jaccard ~0.5
+    between copies, still dense.)"""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    schema = t.schema.remove_metadata()
+    pdf = t.to_pandas()
+    n = len(pdf)
+    assert not any(
+        "_" in w for s in pdf["text"] if s for w in s.split()
+    ), "suffix disjointness needs an underscore-free source vocab"
+    parts = [pdf]
+    for k in range(1, COPIES):
+        c = pdf.copy()
+        c["doc_id"] = c["doc_id"] + k * n
+        texts = [
+            " ".join(f"{w}_{k}" for w in s.split()) if s is not None else None
+            for s in c["text"]
+        ]
+        c["text"] = texts
+        c["n_chars"] = [len(s) if s is not None else None for s in texts]
+        parts.append(c)
+    out = pd.concat(parts, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=schema, preserve_index=False),
+        os.path.join(dst, "documents.parquet"),
+    )
+
+
+def _blow_embeddings_fair(src: str, dst: str) -> None:
+    """Fair mode: per-copy random ORTHOGONAL rotation (QR of a seeded
+    Gaussian matrix is Haar-distributed). Rotation preserves every
+    intra-copy norm and pairwise cosine bit-for-bit in exact
+    arithmetic, so each copy carries the original's near-dup structure;
+    cross-copy cosines are those of independently rotated vectors —
+    centered near 0, never near-dup candidates."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    schema = t.schema.remove_metadata()
+    pdf = t.to_pandas()
+    n = len(pdf)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    dim = mat.shape[1]
+    parts = [pdf]
+    for k in range(1, COPIES):
+        q, r = np.linalg.qr(
+            np.random.default_rng(0xFA1B ^ k).normal(size=(dim, dim))
+        )
+        q *= np.sign(np.diag(r))  # unique (Haar) representative
+        c = pdf.copy()
+        c["vec_id"] = c["vec_id"] + k * n
+        c["embedding"] = list((mat @ q).astype("float32"))
+        parts.append(c)
+    out = pd.concat(parts, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=schema, preserve_index=False),
+        os.path.join(dst, "embeddings.parquet"),
+    )
+
+
+def ensure_blowup(fair: bool = False) -> str:
+    """Build the requested blowup if absent/stale; atomic via a .part
+    dir. ``fair=False`` → the dense spill-probe decade (near-dup
+    10-cliques); ``fair=True`` → the constant-pair-density scale-audit
+    decade (see FAIR_DIR comment)."""
+    target = FAIR_DIR if fair else BLOWUP_DIR
+    marker = os.path.join(target, "_COMPLETE.json")
+    want = {
+        "src": SRC_DIR,
+        "copies": COPIES,
+        "version": _GEN_VERSION,
+        "mode": "fair" if fair else "dense",
+    }
     try:
         if json.load(open(marker)) == want:
-            return BLOWUP_DIR
+            return target
     except (OSError, ValueError):
         pass
-    part = BLOWUP_DIR + ".part"
+    part = target + ".part"
     if os.path.exists(part):
         import shutil
 
@@ -179,17 +277,17 @@ def ensure_blowup() -> str:
             os.path.join(SRC_DIR, f"{t}.parquet"),
             os.path.join(part, f"{t}.parquet"),
         )
-    _blow_documents(SRC_DIR, part)
-    _blow_embeddings(SRC_DIR, part)
+    (_blow_documents_fair if fair else _blow_documents)(SRC_DIR, part)
+    (_blow_embeddings_fair if fair else _blow_embeddings)(SRC_DIR, part)
     _blow_events(SRC_DIR, part)
     with open(os.path.join(part, "_COMPLETE.json"), "w") as f:
         json.dump(want, f)
-    if os.path.exists(BLOWUP_DIR):
+    if os.path.exists(target):
         import shutil
 
-        shutil.rmtree(BLOWUP_DIR)
-    os.replace(part, BLOWUP_DIR)
-    return BLOWUP_DIR
+        shutil.rmtree(target)
+    os.replace(part, target)
+    return target
 
 
 # ---------------------------------------------------------------------------
@@ -307,6 +405,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*", default=None)
     ap.add_argument("--gen-only", action="store_true")
+    # build/report the FAIR (constant-pair-density) decade instead of
+    # the dense spill decade — used with --gen-only by scale_audit runs
+    ap.add_argument("--fair", action="store_true")
     ap.add_argument("--sf-dir", default=None)
     ap.add_argument("--child", metavar="QUERY", default=None)
     # tight defaults found empirically: 900m/0.15 cannot even store the
@@ -332,11 +433,11 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.child:
-        child(args.child, args.sf_dir or ensure_blowup(), args.mem,
+        child(args.child, args.sf_dir or ensure_blowup(args.fair), args.mem,
               args.fraction, args.shuffle, args.broadcast)
         return 0
 
-    sf_dir = args.sf_dir or ensure_blowup()
+    sf_dir = args.sf_dir or ensure_blowup(args.fair)
     if args.gen_only:
         print(sf_dir)
         return 0
