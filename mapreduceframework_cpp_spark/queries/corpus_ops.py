@@ -272,7 +272,16 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Wagner-Fischer distance, so scores agree exactly. The blocking
     deliberately misses cross-bucket pairs (documented recall
     tradeoff; MinHash-LSH is the recall path — this one is precision
-    on candidate neighbourhoods)."""
+    on candidate neighbourhoods).
+
+    Scale caveat (measured, r10 fair-decade audit): the block key
+    space (lang × length bucket) is FIXED, so per-block density grows
+    linearly with corpus size and pair work quadratically — 27x wall
+    time per 10x decade on constant-pair-density data. This is the
+    declared contract of the precision modality, listed in
+    tools/scale_audit.DECLARED_SUPERLINEAR; at 100 TB you run it on
+    LSH-candidate neighbourhoods (q_dedup_near's output), never the
+    raw corpus."""
     from mapreduceframework_cpp_spark.operators.common import spread
 
     d = tbl(spark, sf_dir, "documents").select(

@@ -317,7 +317,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force at test scale; the
     sign-LSH buckets in operators/similarity are the candidate generator
-    at real scale)."""
+    at real scale). Declared all-pairs: the r10 fair-decade audit
+    measures it at 77x per 10x decade — the expected N² of an exact
+    baseline, kept as the yardstick for the bucketed variants
+    (q_dedup_near / q_sim_lsh_topk / q_sim_ivf_topk, all sub-flag-line
+    on the same data); listed in tools/scale_audit.DECLARED_SUPERLINEAR."""
     return embedding_near_dups(tbl(spark, sf_dir, "embeddings"), threshold=0.4)
 
 

@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mapreduceframework_cpp_spark.registry import query
 from mapreduceframework_cpp_spark.sources.pysink import (
+    compact,
     read_committed,
+    read_committed_between,
+    read_snapshot,
     register,
     scratch_dir,
 )
@@ -106,3 +109,124 @@ def q_sink_stream_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+_ORDERS_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double"
+)
+
+
+@query(
+    "q_sink_pruned_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 2000 AND 3499
+    """,
+)
+def q_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping on the sink's manifests: orders are
+    written range-clustered on o_orderkey (repartitionByRange → each
+    task file covers a tight key span, each manifest entry carries the
+    executor-computed per-file min/max), then a key-range read prunes
+    at the MANIFEST — only overlapping files are opened, the residual
+    WHERE keeps correctness independent of the stats.
+    tests/test_pysink.py asserts the skip actually happens (file count
+    read < file count committed); this query hash-verifies that the
+    pruned read returns exactly the table-direct answer. This is the
+    file-level analogue of parquet row-group skipping — the mechanism
+    that makes a range query on a 100 TB range-clustered table read
+    GBs, not TBs."""
+    register(spark)
+    rows = (
+        tbl(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(16, "o_orderkey")
+    )
+    target = scratch_dir("graft_sink_zone_")
+    rows.write.format("txn_files").mode("append").save(target)
+    return read_committed_between(
+        spark, target, _ORDERS_SCHEMA, "o_orderkey", 2000, 3499
+    )
+
+
+@query(
+    "q_sink_time_travel",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    """,
+)
+def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel on the manifest log: commit 1
+    writes the English documents, commit 2 the rest; reading AS OF the
+    first commit must see only commit 1 — the oracle is the
+    lang='en' aggregate, so any leakage of the second commit into the
+    first snapshot hash-fails. Commit order is carried by the
+    sequence-numbered manifest names (single-writer; a shared log
+    would CAS the sequence slot — see pysink docstring)."""
+    register(spark)
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    target = scratch_dir("graft_sink_tt_")
+    fmt = docs.where(F.col("lang") == "en").write.format("txn_files")
+    fmt.mode("append").save(target)
+    docs.where(
+        (F.col("lang") != "en") | F.col("lang").isNull()
+    ).write.format("txn_files").mode("append").save(target)
+    snap1 = read_snapshot(
+        spark,
+        target,
+        "doc_id bigint, lang string, source string, n_chars bigint",
+        as_of=1,
+    )
+    return snap1.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "q_sink_compact",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: per-lang aggregates are committed as many
+    small files (one per shuffle partition), then compacted into one
+    part via a single atomic overwrite commit — readers see the old
+    file set or the new one, never a mixture. The returned DataFrame
+    reads the POST-compaction table, so the rewrite must be lossless
+    to hash-match the table-direct oracle. (The small-file problem is
+    the classic failure mode of streaming ingestion into a 100 TB
+    table; manifest-swap compaction is the remedy all real table
+    formats ship.)"""
+    register(spark)
+    agg = (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    target = scratch_dir("graft_sink_compact_")
+    agg.repartition(8).write.format("txn_files").mode("append").save(target)
+    schema = (
+        "lang string, n_docs bigint, n_sources bigint, total_chars bigint"
+    )
+    compact(spark, target, schema)
+    return read_committed(spark, target, schema)

@@ -69,35 +69,57 @@ _TXN = "_txn"
 @dataclass
 class FileCommit(WriterCommitMessage):
     """Per-task commit message: the staged file (None for an empty
-    partition) and its row count."""
+    partition), its row count, and per-column min/max zone-map stats
+    (the pruning metadata a lakehouse manifest carries per data
+    file)."""
 
     staged: str | None
     rows: int
+    stats: dict | None = None
 
 
 def _stage_rows(path: str, iterator: Iterator) -> FileCommit:
     """Task-side: stream the partition into one staged JSONL file.
     Returns a message naming the file — publishing is the driver's
     job. ``default=str`` covers datetime/decimal; queries keep to
-    long/double/string so the round trip is exact."""
+    long/double/string so the round trip is exact. Alongside the data,
+    collect per-column min/max over int/float/str values (NaN and None
+    skipped) — executor-side one-pass stats, the same zone maps
+    parquet footers and Iceberg manifests keep per file."""
     os.makedirs(os.path.join(path, _STAGING), exist_ok=True)
     staged = None
     rows = 0
     out = None
+    stats: dict[str, list] = {}
     try:
         for row in iterator:
             if out is None:
                 staged = os.path.join(_STAGING, f"stage-{uuid.uuid4().hex}.jsonl")
                 out = open(os.path.join(path, staged), "w")
-            out.write(json.dumps(row.asDict(), default=str, sort_keys=True))
+            d = row.asDict()
+            out.write(json.dumps(d, default=str, sort_keys=True))
             out.write("\n")
             rows += 1
+            for col, v in d.items():
+                if (
+                    isinstance(v, (int, float, str))
+                    and not isinstance(v, bool)
+                    and v == v  # skip NaN
+                ):
+                    mm = stats.get(col)
+                    if mm is None:
+                        stats[col] = [v, v]
+                    else:
+                        if v < mm[0]:
+                            mm[0] = v
+                        if v > mm[1]:
+                            mm[1] = v
     finally:
         if out is not None:
             out.flush()
             os.fsync(out.fileno())
             out.close()
-    return FileCommit(staged=staged, rows=rows)
+    return FileCommit(staged=staged, rows=rows, stats=stats if staged else None)
 
 
 def _publish(path: str, messages, manifest_name: str, clear: bool = False) -> None:
@@ -116,17 +138,20 @@ def _publish(path: str, messages, manifest_name: str, clear: bool = False) -> No
                 if os.path.exists(old):
                     os.remove(old)
             os.remove(m)
-    files, total = [], 0
+    files, entries, total = [], [], 0
     for msg in messages:
         if msg is None or msg.staged is None:
             continue
         final = os.path.basename(msg.staged).replace("stage-", "part-", 1)
         os.replace(os.path.join(path, msg.staged), os.path.join(path, final))
         files.append(final)
+        entries.append(
+            {"name": final, "rows": msg.rows, "stats": msg.stats or {}}
+        )
         total += msg.rows
     tmp = os.path.join(txn, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
-        json.dump({"files": files, "rows": total}, f)
+        json.dump({"files": files, "rows": total, "entries": entries}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(txn, manifest_name))
@@ -174,10 +199,16 @@ class TxnFilesWriter(DataSourceWriter):
         return _stage_rows(self.path, iterator)
 
     def commit(self, messages) -> None:
+        # sequence-numbered manifest names give the sorted-name order a
+        # SNAPSHOT meaning (read_snapshot): seq = #existing manifests.
+        # Single-writer assumption, documented — real log-structured
+        # formats arbitrate this slot with put-if-absent/CAS on the
+        # same name, which is exactly where this scheme extends.
+        seq = len(glob.glob(os.path.join(self.path, _TXN, "manifest-*.json")))
         _publish(
             self.path,
             messages,
-            f"manifest-job-{uuid.uuid4().hex}.json",
+            f"manifest-{seq:010d}-{uuid.uuid4().hex[:8]}.json",
             clear=self.overwrite,
         )
 
@@ -206,12 +237,33 @@ class TxnFilesStreamWriter(DataSourceStreamWriter):
         _discard(self.path, messages)
 
 
+def _manifests(path: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(path, _TXN, "manifest-*.json")))
+
+
 def committed_files(path: str) -> list[str]:
     """Absolute paths of every committed part file, manifest order."""
     out: list[str] = []
-    for m in sorted(glob.glob(os.path.join(path, _TXN, "manifest-*.json"))):
+    for m in _manifests(path):
         out.extend(os.path.join(path, f) for f in json.load(open(m))["files"])
     return out
+
+
+def committed_entries(path: str, as_of: int | None = None) -> list[dict]:
+    """Per-file manifest entries ({name, rows, stats}) across the first
+    ``as_of`` manifests in snapshot order (all if None). ``name`` is
+    returned absolute."""
+    out: list[dict] = []
+    for m in _manifests(path)[: None if as_of is None else as_of]:
+        for e in json.load(open(m))["entries"]:
+            out.append({**e, "name": os.path.join(path, e["name"])})
+    return out
+
+
+def _df_from(spark: SparkSession, files: list[str], schema: str) -> DataFrame:
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
 
 
 def read_committed(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -219,10 +271,57 @@ def read_committed(spark: SparkSession, path: str, schema: str) -> DataFrame:
     invisible). Manifest listing is a driver-side metadata read — the
     same shape as a table format reading its log, O(#manifests), not a
     data scan."""
-    files = committed_files(path)
-    if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).json(files)
+    return _df_from(spark, committed_files(path), schema)
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, schema: str, as_of: int
+) -> DataFrame:
+    """Time travel: the table as of the first ``as_of`` commits. Batch
+    manifests are sequence-numbered and streaming manifests are
+    batchId-numbered, so sorted-name order IS commit order within a
+    writer style. ``mode("overwrite")`` (and therefore ``compact``)
+    truncates history — it physically reclaims prior commits' files,
+    like an aggressive VACUUM."""
+    return _df_from(
+        spark,
+        [e["name"] for e in committed_entries(path, as_of=as_of)],
+        schema,
+    )
+
+
+def read_committed_between(
+    spark: SparkSession, path: str, schema: str, col: str, lo, hi
+) -> DataFrame:
+    """Zone-map pruned read: skip every committed file whose manifest
+    [min,max] for ``col`` cannot intersect [lo,hi]; files without
+    stats for the column (e.g. all-NULL) are kept conservatively. The
+    residual ``WHERE`` still applies, so pruning is purely a
+    performance path — correctness never depends on the stats. This is
+    manifest-level data skipping, the reason a 100 TB table with
+    range-clustered files answers a point-range query by reading a
+    handful of them."""
+    kept = []
+    for e in committed_entries(path):
+        mm = e["stats"].get(col)
+        if mm is None or (mm[0] <= hi and lo <= mm[1]):
+            kept.append(e["name"])
+    df = _df_from(spark, kept, schema)
+    return df.where(df[col].between(lo, hi))
+
+
+def compact(
+    spark: SparkSession, path: str, schema: str, target_files: int = 1
+) -> None:
+    """Small-file compaction: rewrite the committed data into
+    ``target_files`` parts and atomically swap via one overwrite
+    commit. Readers before the swap see the old file set, after it the
+    new one — never a mixture, because visibility is manifest-scoped.
+    Safe against its own input: the overwrite's clear runs at COMMIT,
+    after every rewrite task has finished reading the old files."""
+    read_committed(spark, path, schema).coalesce(target_files).write.format(
+        "txn_files"
+    ).mode("overwrite").save(path)
 
 
 _TMP_DIRS: list[str] = []

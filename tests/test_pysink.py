@@ -14,8 +14,12 @@ from pyspark.sql import Row
 
 from mapreduceframework_cpp_spark.sources.pysink import (
     TxnFilesStreamWriter,
+    committed_entries,
     committed_files,
+    compact,
     read_committed,
+    read_committed_between,
+    read_snapshot,
     register,
 )
 
@@ -127,6 +131,67 @@ def test_stream_abort_discards_staged(tmp_path):
     w.abort([msg, None], batchId=0)  # None = failed task's message
     assert committed_files(str(tmp_path)) == []
     assert os.listdir(tmp_path / "_staging") == []
+
+
+def test_manifest_zone_maps_and_pruned_read(spark, tmp_path):
+    """Range-clustered write → manifest stats are tight per file → a
+    key-range read opens ONLY overlapping files, and the residual
+    filter keeps the result exact."""
+    register(spark)
+    df = _rows(spark, 1000).repartitionByRange(10, "k")
+    df.write.format("txn_files").mode("append").save(str(tmp_path))
+    entries = committed_entries(str(tmp_path))
+    assert len(entries) == 10
+    for e in entries:
+        assert set(e["stats"]) == {"k", "v"}
+        assert e["stats"]["k"][0] <= e["stats"]["k"][1]
+    kept = [
+        e for e in entries
+        if e["stats"]["k"][0] <= 250 and 200 <= e["stats"]["k"][1]
+    ]
+    assert len(kept) < len(entries)  # pruning has something to skip
+    got = read_committed_between(spark, str(tmp_path), _SCHEMA, "k", 200, 250)
+    assert sorted(r.k for r in got.collect()) == list(range(200, 251))
+    # a file with NO stats for the column is kept conservatively
+    import json as _json
+
+    m = sorted((tmp_path / "_txn").glob("manifest-*.json"))[0]
+    doc = _json.loads(m.read_text())
+    doc["entries"][0]["stats"] = {}
+    m.write_text(_json.dumps(doc))
+    got2 = read_committed_between(spark, str(tmp_path), _SCHEMA, "k", 200, 250)
+    assert got2.count() == 51
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    register(spark)
+    _rows(spark, 3, "a").coalesce(1).write.format("txn_files").mode(
+        "append"
+    ).save(str(tmp_path))
+    _rows(spark, 5, "b").coalesce(2).write.format("txn_files").mode(
+        "append"
+    ).save(str(tmp_path))
+    s1 = read_snapshot(spark, str(tmp_path), _SCHEMA, as_of=1)
+    assert sorted(r.v for r in s1.collect()) == ["a0", "a1", "a2"]
+    s2 = read_snapshot(spark, str(tmp_path), _SCHEMA, as_of=2)
+    assert s2.count() == 8
+
+
+def test_compaction_atomic_and_lossless(spark, tmp_path):
+    register(spark)
+    _rows(spark, 100).repartition(8).write.format("txn_files").mode(
+        "append"
+    ).save(str(tmp_path))
+    before = sorted(map(tuple, read_committed(spark, str(tmp_path), _SCHEMA).collect()))
+    n_before = len(committed_files(str(tmp_path)))
+    assert n_before > 1
+    compact(spark, str(tmp_path), _SCHEMA)
+    assert len(committed_files(str(tmp_path))) == 1
+    assert len(os.listdir(tmp_path / "_txn")) == 1  # old commits reclaimed
+    after = sorted(map(tuple, read_committed(spark, str(tmp_path), _SCHEMA).collect()))
+    assert after == before
+    # physical small files are gone, not just unlisted
+    assert len([f for f in os.listdir(tmp_path) if f.startswith("part-")]) == 1
 
 
 def test_stream_end_to_end_multibatch(spark, tmp_path):
