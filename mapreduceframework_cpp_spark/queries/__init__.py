@@ -261,12 +261,14 @@ ROUND10_ROTATION = [
         # writer API, batch + streaming) and its lakehouse layer
         # (zone-map pruned reads, snapshot time travel, manifest-swap
         # compaction), all registered this round, so they take their
-        # first driver slots here; the five r04-tail names they
+        # first driver slots here; the six r04-tail names they
         # displace (q_rank_fusion, q_annotator_kappa,
-        # q_score_decile_lift, q_score_confusion, q_ab_ztest) spill to
-        # round 11, consistent with the r04-order drain invariant ----
+        # q_score_decile_lift, q_score_confusion, q_ab_ztest,
+        # q_score_auc) spill to round 11, consistent with the
+        # r04-order drain invariant ---------------------------------
         "q_sink_python", "q_sink_stream_python",
         "q_sink_pruned_read", "q_sink_time_travel", "q_sink_compact",
+        "q_sink_changes",
         # -- the five r03-latest spills (newest r03 evidence; the last
         # three are round-9 tail slots displaced by the q_stream_tws,
         # q_mm_decode and q_stream_tws_sessions head insertions; the
@@ -288,7 +290,6 @@ ROUND10_ROTATION = [
         "q_date_spine", "q_incr_agg", "q_scd2_pit_lookup",
         "q_dataset_diff", "q_emb_kmeans", "q_tok_bpe_merges",
         "q_emb_pca_top", "q_sketch_theta", "q_sketch_kll",
-        "q_score_auc",
 ]
 
 #: round-11 window, committed in advance (standing pattern), now
@@ -297,14 +298,16 @@ ROUND10_ROTATION = [
 #: r01-r09 artifacts with ROUND10_ROTATION as the planned round-10
 #: evidence — the first window under the amended policy (VERDICT r9
 #: item 2) that bars terminal rows-only queries from re-confirm slots.
-#: Contents: the ten r04-tail spills round 10 could not fit (the five
-#: names displaced by the round-10 sink/lakehouse head insertions in
-#: their r04 artifact order, then q_score_calibration onward), then
-#: the r05 cohort in its own artifact order through q_funnel_by_arm;
-#: the last ten r05 names (q_events_burstiness..q_feat_impute) spill
-#: to round 12. After this window nothing has pre-r5 latest evidence.
-#: Any round-10 red re-queues at the head per the standing policy.
+#: Contents: the eleven r04-tail spills round 10 could not fit (the
+#: six names displaced by the round-10 sink/lakehouse head insertions
+#: in their r04 artifact order, then q_score_calibration onward),
+#: then the r05 cohort in its own artifact order through
+#: q_audience_overlap; the last eleven r05 names
+#: (q_funnel_by_arm..q_feat_impute) spill to round 12. After this
+#: window nothing has pre-r5 latest evidence. Any round-10 red
+#: re-queues at the head per the standing policy.
 ROUND11_ROTATION = [
+        "q_score_auc",
         "q_score_decile_lift", "q_score_confusion", "q_ab_ztest",
         "q_rank_fusion", "q_annotator_kappa",
         "q_score_calibration", "q_k_anonymity", "q_dp_counts",
@@ -326,7 +329,7 @@ ROUND11_ROTATION = [
         "q_events_power_users", "q_attrib_linear",
         "q_events_changepoint",
         "q_sessions_concurrency", "q_events_pattern_match",
-        "q_events_entropy_rate", "q_audience_overlap", "q_funnel_by_arm",
+        "q_events_entropy_rate", "q_audience_overlap",
 ]
 
 #: Alias kept so callers/tests address "the live window" uniformly

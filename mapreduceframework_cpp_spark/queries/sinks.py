@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from mapreduceframework_cpp_spark.registry import query
 from mapreduceframework_cpp_spark.sources.pysink import (
     compact,
+    read_changes,
     read_committed,
     read_committed_between,
     read_snapshot,
@@ -187,6 +188,54 @@ def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_of=1,
     )
     return snap1.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "q_sink_changes",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang <> 'en' OR lang IS NULL
+    GROUP BY lang
+    """,
+)
+def q_sink_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change feed off the manifest log: three ordered
+    commits (en / de+fr / rest); `read_changes(1, 3)` must return
+    exactly commits 2-3 — the non-English documents. The oracle is the
+    table-direct complement aggregate, so a window that leaks commit 1
+    or drops part of commits 2-3 hash-fails. This is the tail-the-log
+    consumption shape an incremental 100 TB pipeline uses instead of
+    re-scanning the table per run (the engine's incremental family —
+    q_incr_agg / q_incr_join_view — consumes exactly this feed
+    upstream)."""
+    register(spark)
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    target = scratch_dir("graft_sink_cdc_")
+    docs.where(F.col("lang") == "en").write.format("txn_files").mode(
+        "append"
+    ).save(target)
+    docs.where(F.col("lang").isin("de", "fr")).write.format("txn_files").mode(
+        "append"
+    ).save(target)
+    docs.where(
+        (~F.col("lang").isin("en", "de", "fr")) | F.col("lang").isNull()
+    ).write.format("txn_files").mode("append").save(target)
+    feed = read_changes(
+        spark,
+        target,
+        "doc_id bigint, lang string, source string, n_chars bigint",
+        from_snapshot=1,
+        to_snapshot=3,
+    )
+    return feed.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )

@@ -290,6 +290,48 @@ def read_snapshot(
     )
 
 
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    from_snapshot: int,
+    to_snapshot: int,
+) -> DataFrame:
+    """Incremental consumption off the manifest log: the rows committed
+    in snapshots (``from_snapshot``, ``to_snapshot``] — the append-only
+    change feed a downstream incremental pipeline tails instead of
+    re-reading the table (Delta CDF / Iceberg incremental-scan shape).
+    O(#manifests in the window) metadata, data reads only the window's
+    files. Valid while history is intact: an overwrite/compaction
+    truncates the log (see read_snapshot)."""
+    files: list[str] = []
+    for m in _manifests(path)[from_snapshot:to_snapshot]:
+        files.extend(
+            os.path.join(path, f) for f in json.load(open(m))["files"]
+        )
+    return _df_from(spark, files, schema)
+
+
+def vacuum(path: str) -> int:
+    """Physically remove files invisible to readers: staged leftovers
+    (aborted tasks whose message never reached the driver) and orphaned
+    parts (a crash between publish-rename and manifest write). Safe by
+    the same visibility rule reads use — anything not manifest-listed
+    was never committed. Returns the number of files removed."""
+    listed = {os.path.basename(f) for f in committed_files(path)}
+    removed = 0
+    staging = os.path.join(path, _STAGING)
+    if os.path.isdir(staging):
+        for f in os.listdir(staging):
+            os.remove(os.path.join(staging, f))
+            removed += 1
+    for f in os.listdir(path):
+        if f.startswith("part-") and f not in listed:
+            os.remove(os.path.join(path, f))
+            removed += 1
+    return removed
+
+
 def read_committed_between(
     spark: SparkSession, path: str, schema: str, col: str, lo, hi
 ) -> DataFrame:

@@ -93,9 +93,10 @@ def test_registration_follows_verify_rotation():
     # driver rows, then the two round-9 spills (the newest r03-latest
     # rows) plus the round-9 tail slots the TWS/multimodal head
     # insertions displaced — all carrying round-3 driver evidence
-    assert ROUND10_ROTATION[:10] == [
+    assert ROUND10_ROTATION[:11] == [
         "q_sink_python", "q_sink_stream_python",
         "q_sink_pruned_read", "q_sink_time_travel", "q_sink_compact",
+        "q_sink_changes",
         "q_dedup_bow", "q_text_ngram_topk", "q_dedup_editdist",
         "q_graph_triangles", "q_ts_ewma",
     ]
@@ -133,8 +134,9 @@ def test_registration_follows_verify_rotation():
     assert unproven == [
         "q_sink_python", "q_sink_stream_python",
         "q_sink_pruned_read", "q_sink_time_travel", "q_sink_compact",
+        "q_sink_changes",
     ], unproven
-    assert ROUND10_ROTATION[:5] == unproven
+    assert ROUND10_ROTATION[:6] == unproven
 
     # every OTHER round-10 slot re-confirms the oldest evidence rows:
     # r3/r4 driver evidence
@@ -145,7 +147,7 @@ def test_registration_follows_verify_rotation():
         ],
         oracles,
     )
-    assert set(ROUND10_ROTATION[5:]) <= g34
+    assert set(ROUND10_ROTATION[6:]) <= g34
 
     # the committed round-11 plan is MECHANICAL: exactly what the
     # amended policy derives from the nine artifacts plus the planned
@@ -165,8 +167,9 @@ def test_registration_follows_verify_rotation():
         "terminal rows-only queries must not hold re-confirm slots"
     )
     assert ROUND11_ROTATION[:5] == [
+        "q_score_auc",
         "q_score_decile_lift", "q_score_confusion", "q_ab_ztest",
-        "q_rank_fusion", "q_annotator_kappa",
+        "q_rank_fusion",
     ]
 
     # drain invariant: after rounds 10+11 run, no SQL-oracle query has

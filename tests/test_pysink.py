@@ -17,10 +17,12 @@ from mapreduceframework_cpp_spark.sources.pysink import (
     committed_entries,
     committed_files,
     compact,
+    read_changes,
     read_committed,
     read_committed_between,
     read_snapshot,
     register,
+    vacuum,
 )
 
 _SCHEMA = "k bigint, v string"
@@ -175,6 +177,38 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert sorted(r.v for r in s1.collect()) == ["a0", "a1", "a2"]
     s2 = read_snapshot(spark, str(tmp_path), _SCHEMA, as_of=2)
     assert s2.count() == 8
+
+
+def test_read_changes_window(spark, tmp_path):
+    """The change feed returns exactly the commits in (from, to] —
+    commit 1 excluded, commits 2-3 included, nothing beyond."""
+    register(spark)
+    for n, tag in ((2, "a"), (3, "b"), (4, "c"), (5, "d")):
+        _rows(spark, n, tag).coalesce(1).write.format("txn_files").mode(
+            "append"
+        ).save(str(tmp_path))
+    feed = read_changes(spark, str(tmp_path), _SCHEMA, 1, 3)
+    tags = sorted({r.v[0] for r in feed.collect()})
+    assert tags == ["b", "c"]
+    assert feed.count() == 7
+    # empty window and full-history window
+    assert read_changes(spark, str(tmp_path), _SCHEMA, 2, 2).count() == 0
+    assert read_changes(spark, str(tmp_path), _SCHEMA, 0, 4).count() == 14
+
+
+def test_vacuum_removes_only_invisible_files(spark, tmp_path):
+    register(spark)
+    _rows(spark, 5).coalesce(1).write.format("txn_files").mode("append").save(
+        str(tmp_path)
+    )
+    (tmp_path / "part-orphan.jsonl").write_text('{"k": 9, "v": "g"}\n')
+    (tmp_path / "_staging" / "stage-left.jsonl").write_text('{"k": 8, "v": "g"}\n')
+    before = _read_back(spark, tmp_path)
+    assert vacuum(str(tmp_path)) == 2
+    assert not (tmp_path / "part-orphan.jsonl").exists()
+    assert os.listdir(tmp_path / "_staging") == []
+    assert _read_back(spark, tmp_path) == before
+    assert vacuum(str(tmp_path)) == 0  # idempotent
 
 
 def test_compaction_atomic_and_lossless(spark, tmp_path):
