@@ -194,6 +194,39 @@ def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sink_parquet",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderkey BETWEEN 8000 AND 9999
+    """,
+)
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native sink (`txn_parquet`, DataSourceArrowWriter): tasks
+    stage columnar parquet parts from RecordBatches — no per-row
+    Python — under the SAME manifest protocol, then a zone-map pruned
+    key-range read returns the rows. o_orderdate (timestamp) rides the
+    round trip, which the JSONL path cannot carry: typed fidelity is
+    the point of the Arrow form. Hash-verified against the
+    table-direct oracle including the timestamp values."""
+    register(spark)
+    rows = (
+        tbl(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(16, "o_orderkey")
+    )
+    target = scratch_dir("graft_sink_pq_")
+    rows.write.format("txn_parquet").mode("append").save(target)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+        "o_orderdate timestamp_ntz"
+    )
+    return read_committed_between(
+        spark, target, schema, "o_orderkey", 8000, 9999
+    )
+
+
+@query(
     "q_sink_changes",
     oracle="""
     SELECT lang,

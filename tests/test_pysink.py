@@ -228,6 +228,83 @@ def test_compaction_atomic_and_lossless(spark, tmp_path):
     assert len([f for f in os.listdir(tmp_path) if f.startswith("part-")]) == 1
 
 
+def test_arrow_sink_typed_roundtrip(spark, tmp_path):
+    """txn_parquet carries types JSONL cannot: timestamps survive the
+    round trip exactly; zone maps are collected vectorized."""
+    register(spark)
+    df = spark.sql(
+        "SELECT id AS k, concat('v', id) AS v, "
+        "timestamp_ntz'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)"
+        " AS ts FROM range(100)"
+    ).repartitionByRange(4, "k")
+    df.write.format("txn_parquet").mode("append").save(str(tmp_path))
+    schema = "k bigint, v string, ts timestamp_ntz"
+    back = read_committed(spark, str(tmp_path), schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    entries = committed_entries(str(tmp_path))
+    assert len(entries) == 4
+    for e in entries:
+        assert set(e["stats"]) == {"k", "v"}  # ts: no JSON zone map
+    got = read_committed_between(spark, str(tmp_path), schema, "k", 10, 19)
+    assert got.count() == 10
+
+
+def test_arrow_sink_shares_txn_protocol(spark, tmp_path):
+    """Abort and overwrite semantics are inherited unchanged by the
+    Arrow writer (shared publish/discard helpers)."""
+    register(spark)
+
+    @F.udf("string")
+    def boom2(v):
+        raise ValueError("injected arrow failure")
+
+    df = _rows(spark, 4).select("k", boom2("v").alias("v"))
+    with pytest.raises(Exception, match="injected"):
+        df.write.format("txn_parquet").mode("append").save(str(tmp_path))
+    assert committed_files(str(tmp_path)) == []
+    _rows(spark, 5, "old").coalesce(1).write.format("txn_parquet").mode(
+        "append"
+    ).save(str(tmp_path))
+    _rows(spark, 2, "new").coalesce(1).write.format("txn_parquet").mode(
+        "overwrite"
+    ).save(str(tmp_path))
+    assert _read_back(spark, tmp_path) == [(0, "new0"), (1, "new1")]
+
+
+def test_arrow_sink_compact_keeps_format(spark, tmp_path):
+    register(spark)
+    _rows(spark, 50).repartition(6).write.format("txn_parquet").mode(
+        "append"
+    ).save(str(tmp_path))
+    assert len(committed_files(str(tmp_path))) > 1
+    compact(spark, str(tmp_path), _SCHEMA)
+    files = committed_files(str(tmp_path))
+    assert len(files) == 1 and files[0].endswith(".parquet")
+    assert read_committed(spark, str(tmp_path), _SCHEMA).count() == 50
+
+
+def test_arrow_stream_sink_multibatch(spark, tmp_path):
+    register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f1.jsonl").write_text('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+    (src / "f2.jsonl").write_text('{"k": 3, "v": "c"}\n')
+    out = tmp_path / "out"
+    q = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.format("txn_parquet")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start(str(out))
+    )
+    q.awaitTermination()
+    assert _read_back(spark, out) == [(1, "a"), (2, "b"), (3, "c")]
+    assert len(os.listdir(out / "_txn")) == 2
+    assert all(f.endswith(".parquet") for f in committed_files(str(out)))
+
+
 def test_stream_end_to_end_multibatch(spark, tmp_path):
     """Real writeStream: two input files under maxFilesPerTrigger=1 →
     two micro-batches → two manifests; read-back equals the batch
