@@ -124,22 +124,11 @@ def _stage_rows(path: str, iterator: Iterator) -> FileCommit:
     return FileCommit(staged=staged, rows=rows, stats=stats if staged else None)
 
 
-def _publish(path: str, messages, manifest_name: str, clear: bool = False) -> None:
-    """Driver-side atomic publish: rename staged files to ``part-*``,
-    then write the manifest via tmp + ``os.replace``. ``clear`` first
-    unpublishes every earlier manifest (overwrite semantics). Crash
-    BEFORE the replace leaves renamed-but-unmanifested parts — garbage
-    to readers (they only trust manifests), reclaimable by any later
-    overwrite; crash AFTER is a completed commit."""
-    txn = os.path.join(path, _TXN)
-    os.makedirs(txn, exist_ok=True)
-    if clear:
-        for m in glob.glob(os.path.join(txn, "manifest-*.json")):
-            for f in json.load(open(m))["files"]:
-                old = os.path.join(path, f)
-                if os.path.exists(old):
-                    os.remove(old)
-            os.remove(m)
+def _rename_parts(path: str, messages) -> dict:
+    """Rename staged files to ``part-*`` and build the manifest body.
+    Crash after this but before the manifest claim leaves
+    renamed-but-unmanifested parts — garbage to readers (they only
+    trust manifests), reclaimable by ``vacuum`` or any overwrite."""
     files, entries, total = [], [], 0
     for msg in messages:
         if msg is None or msg.staged is None:
@@ -151,12 +140,63 @@ def _publish(path: str, messages, manifest_name: str, clear: bool = False) -> No
             {"name": final, "rows": msg.rows, "stats": msg.stats or {}}
         )
         total += msg.rows
+    return {"files": files, "rows": total, "entries": entries}
+
+
+def _claim_manifest(txn: str, manifest_name: str, doc: dict) -> bool:
+    """ATOMICALLY claim a manifest name (put-if-absent): write the
+    content to a tmp file, then ``os.link`` it to the final name —
+    link fails with EEXIST if any other writer got there first, unlike
+    ``os.replace`` which would silently overwrite their commit. This
+    is the CAS a shared log needs; on an object store the same slot is
+    claimed with a conditional put."""
     tmp = os.path.join(txn, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
-        json.dump({"files": files, "rows": total, "entries": entries}, f)
+        json.dump(doc, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(txn, manifest_name))
+    try:
+        os.link(tmp, os.path.join(txn, manifest_name))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def _unpublish_all(path: str, txn: str) -> None:
+    """Overwrite semantics: physically reclaim every earlier commit.
+    Single-writer by contract — overwrite concurrent with appends is
+    undefined in any log-structured format without a table lock."""
+    for m in glob.glob(os.path.join(txn, "manifest-*.json")):
+        for f in json.load(open(m))["files"]:
+            old = os.path.join(path, f)
+            if os.path.exists(old):
+                os.remove(old)
+        os.remove(m)
+
+
+def _publish(path: str, messages, manifest_name: str, clear: bool = False) -> bool:
+    """Driver-side atomic publish: rename staged files to ``part-*``,
+    then claim the manifest name put-if-absent (`_claim_manifest`).
+    Returns False if the name was already claimed — a replayed
+    streaming batch lost the race to its first delivery; this
+    commit's parts are deleted, the winner untouched. Batch commits
+    use uuid-unique names, so their claims cannot collide: concurrent
+    APPEND writers are safe without coordination (append commits
+    commute; the sorted-name snapshot order between same-sequence
+    commits is arbitrary but total). Overwrite remains single-writer
+    by contract."""
+    txn = os.path.join(path, _TXN)
+    os.makedirs(txn, exist_ok=True)
+    if clear:
+        _unpublish_all(path, txn)
+    doc = _rename_parts(path, messages)
+    if _claim_manifest(txn, manifest_name, doc):
+        return True
+    for f in doc["files"]:
+        os.remove(os.path.join(path, f))
+    return False
 
 
 def _discard(path: str, messages) -> None:
@@ -288,6 +328,9 @@ class TxnFilesStreamWriter(DataSourceStreamWriter):
         if os.path.exists(manifest):
             _discard(self.path, messages)  # replayed batch: keep the first commit
             return
+        # no TOCTOU: even if a replay slips past the exists-check, the
+        # put-if-absent claim inside _publish loses the race and this
+        # batch's parts are deleted — the first commit stands alone
         _publish(self.path, messages, os.path.basename(manifest))
 
     def abort(self, messages, batchId: int) -> None:

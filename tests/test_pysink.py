@@ -127,6 +127,28 @@ def test_stream_replayed_batch_is_discarded(tmp_path):
     assert len(committed_files(str(tmp_path))) == 2
 
 
+def test_stream_replay_race_loses_atomically(tmp_path):
+    """The TOCTOU window: a replay that passes the exists-check before
+    the first commit lands must still lose — the manifest claim is
+    put-if-absent (os.link), not check-then-replace. Exercised by
+    calling the publish layer directly with the same manifest name."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnFilesStreamWriter as W,
+        _publish,
+    )
+
+    w = W(str(tmp_path))
+    m1 = w.write(iter([Row(k=1, v="first")]))
+    m2 = w.write(iter([Row(k=1, v="replay")]))
+    assert _publish(str(tmp_path), [m1], "manifest-race.json") is True
+    assert _publish(str(tmp_path), [m2], "manifest-race.json") is False
+    files = committed_files(str(tmp_path))
+    assert len(files) == 1
+    assert "first" in open(files[0]).read()
+    # the loser's renamed part was deleted, not orphaned
+    assert len([f for f in os.listdir(tmp_path) if f.startswith("part-")]) == 1
+
+
 def test_stream_abort_discards_staged(tmp_path):
     w = TxnFilesStreamWriter(str(tmp_path))
     msg = w.write(iter([Row(k=1, v="x")]))
