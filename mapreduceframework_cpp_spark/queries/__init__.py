@@ -261,14 +261,18 @@ ROUND10_ROTATION = [
         # writer API, batch + streaming) and its lakehouse layer
         # (zone-map pruned reads, snapshot time travel, manifest-swap
         # compaction), all registered this round, so they take their
-        # first driver slots here; the seven r04-tail names they
+        # first driver slots here; the eight r04-tail names they
         # displace (q_rank_fusion, q_annotator_kappa,
         # q_score_decile_lift, q_score_confusion, q_ab_ztest,
-        # q_score_auc, q_sketch_kll) spill to round 11, consistent
-        # with the r04-order drain invariant -------------------------
+        # q_score_auc, q_sketch_kll, q_sketch_theta) spill to round
+        # 11, consistent with the r04-order drain invariant — except
+        # the two sketches, which are terminal rows-only and correctly
+        # never re-queue under the amended policy: displacing them
+        # converts the window's last two hash-incapable slots into
+        # first-row hash evidence -----------------------------------
         "q_sink_python", "q_sink_stream_python",
         "q_sink_pruned_read", "q_sink_time_travel", "q_sink_compact",
-        "q_sink_changes", "q_sink_parquet",
+        "q_sink_changes", "q_sink_parquet", "q_sink_recluster",
         # -- the five r03-latest spills (newest r03 evidence; the last
         # three are round-9 tail slots displaced by the q_stream_tws,
         # q_mm_decode and q_stream_tws_sessions head insertions; the
@@ -289,7 +293,7 @@ ROUND10_ROTATION = [
         "q_null_semantics", "q_win_median", "q_release_pipeline",
         "q_date_spine", "q_incr_agg", "q_scd2_pit_lookup",
         "q_dataset_diff", "q_emb_kmeans", "q_tok_bpe_merges",
-        "q_emb_pca_top", "q_sketch_theta",
+        "q_emb_pca_top",
 ]
 
 #: round-11 window, committed in advance (standing pattern), now

@@ -27,6 +27,7 @@ from mapreduceframework_cpp_spark.sources.pysink import (
     read_committed,
     read_committed_between,
     read_snapshot,
+    recluster,
     register,
     scratch_dir,
 )
@@ -271,6 +272,41 @@ def q_sink_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "q_sink_recluster",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 5000 AND 5999
+    """,
+)
+def q_sink_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-clustering makes zone maps effective: orders are first
+    committed HASH-laid-out (every file spans the whole o_orderkey
+    range — manifest stats prune nothing, asserted in
+    tests/test_pysink.py), then `recluster` rewrites them
+    range-partitioned in one atomic swap; the same key-range read now
+    opens ~1-2 of 8 files. The returned rows must still equal the
+    table-direct oracle — maintenance ops may only move bytes, never
+    change the table."""
+    register(spark)
+    rows = (
+        tbl(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .repartition(16)  # deliberately clustering-hostile layout
+    )
+    target = scratch_dir("graft_sink_recl_")
+    rows.write.format("txn_parquet").mode("append").save(target)
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, o_orderpriority string, "
+        "o_totalprice double"
+    )
+    recluster(spark, target, schema, "o_orderkey", target_files=8)
+    return read_committed_between(
+        spark, target, schema, "o_orderkey", 5000, 5999
     )
 
 

@@ -497,25 +497,52 @@ def read_committed_between(
     return df.where(df[col].between(lo, hi))
 
 
-def compact(
-    spark: SparkSession, path: str, schema: str, target_files: int = 1
-) -> None:
-    """Small-file compaction: rewrite the committed data into
-    ``target_files`` parts and atomically swap via one overwrite
-    commit. Readers before the swap see the old file set, after it the
-    new one — never a mixture, because visibility is manifest-scoped.
-    Safe against its own input: the overwrite's clear runs at COMMIT,
-    after every rewrite task has finished reading the old files. The
-    rewrite keeps the table's staged format (jsonl vs parquet)."""
+def _rewrite(spark: SparkSession, path: str, schema: str, shaper) -> None:
+    """Shared table-maintenance body: read committed data, reshape,
+    atomically swap via one overwrite commit. Readers before the swap
+    see the old file set, after it the new one — never a mixture,
+    because visibility is manifest-scoped. Safe against its own input:
+    the overwrite's clear runs at COMMIT, after every rewrite task has
+    finished reading the old files. The rewrite keeps the table's
+    staged format (jsonl vs parquet)."""
     files = committed_files(path)
     fmt = (
         "txn_parquet"
         if files and files[0].endswith(".parquet")
         else "txn_files"
     )
-    read_committed(spark, path, schema).coalesce(target_files).write.format(
-        fmt
-    ).mode("overwrite").save(path)
+    shaper(read_committed(spark, path, schema)).write.format(fmt).mode(
+        "overwrite"
+    ).save(path)
+
+
+def compact(
+    spark: SparkSession, path: str, schema: str, target_files: int = 1
+) -> None:
+    """Small-file compaction: rewrite into ``target_files`` parts (see
+    :func:`_rewrite` for the atomicity argument)."""
+    _rewrite(spark, path, schema, lambda df: df.coalesce(target_files))
+
+
+def recluster(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    col: str,
+    target_files: int = 8,
+) -> None:
+    """Re-clustering (the file-level OPTIMIZE/cluster-by maintenance
+    op): rewrite the table range-partitioned on ``col`` so each new
+    part covers a tight, near-disjoint key span — turning the
+    manifest zone maps from decorative (every hash-laid-out file
+    spans the full key range, nothing prunes) into effective (a
+    key-range read opens ~1 file in ``target_files``). At 100 TB this
+    is the difference between a range query reading the table and
+    reading GBs; real formats run it continuously in the background
+    under the same swap-commit visibility rule used here."""
+    _rewrite(
+        spark, path, schema, lambda df: df.repartitionByRange(target_files, col)
+    )
 
 
 _TMP_DIRS: list[str] = []

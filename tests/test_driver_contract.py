@@ -93,10 +93,10 @@ def test_registration_follows_verify_rotation():
     # driver rows, then the two round-9 spills (the newest r03-latest
     # rows) plus the round-9 tail slots the TWS/multimodal head
     # insertions displaced — all carrying round-3 driver evidence
-    assert ROUND10_ROTATION[:12] == [
+    assert ROUND10_ROTATION[:13] == [
         "q_sink_python", "q_sink_stream_python",
         "q_sink_pruned_read", "q_sink_time_travel", "q_sink_compact",
-        "q_sink_changes", "q_sink_parquet",
+        "q_sink_changes", "q_sink_parquet", "q_sink_recluster",
         "q_dedup_bow", "q_text_ngram_topk", "q_dedup_editdist",
         "q_graph_triangles", "q_ts_ewma",
     ]
@@ -134,9 +134,9 @@ def test_registration_follows_verify_rotation():
     assert unproven == [
         "q_sink_python", "q_sink_stream_python",
         "q_sink_pruned_read", "q_sink_time_travel", "q_sink_compact",
-        "q_sink_changes", "q_sink_parquet",
+        "q_sink_changes", "q_sink_parquet", "q_sink_recluster",
     ], unproven
-    assert ROUND10_ROTATION[:7] == unproven
+    assert ROUND10_ROTATION[:8] == unproven
 
     # every OTHER round-10 slot re-confirms the oldest evidence rows:
     # r3/r4 driver evidence
@@ -147,7 +147,15 @@ def test_registration_follows_verify_rotation():
         ],
         oracles,
     )
-    assert set(ROUND10_ROTATION[7:]) <= g34
+    assert set(ROUND10_ROTATION[8:]) <= g34
+    # rows-only slots in the round-10 window: the pre-amendment plan
+    # carried five; the two sketch slots were displaced by head
+    # insertions (and correctly never re-queue) — exactly the three
+    # ML/BPE legacy slots remain, and ROUND11+ (derived under the
+    # amended policy) carries none at all
+    assert set(ROUND10_ROTATION) & (set(registered) - oracles) == {
+        "q_emb_kmeans", "q_emb_pca_top", "q_tok_bpe_merges"
+    }
 
     # the committed round-11 plan is MECHANICAL: exactly what the
     # amended policy derives from the nine artifacts plus the planned

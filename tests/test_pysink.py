@@ -233,6 +233,32 @@ def test_vacuum_removes_only_invisible_files(spark, tmp_path):
     assert vacuum(str(tmp_path)) == 0  # idempotent
 
 
+def test_recluster_makes_zone_maps_effective(spark, tmp_path):
+    """Hash layout → every file spans the key range → pruning keeps
+    all files; recluster → range layout → the same window keeps few.
+    Data identical before and after."""
+    from mapreduceframework_cpp_spark.sources.pysink import recluster
+
+    register(spark)
+    _rows(spark, 1000).repartition(8).write.format("txn_files").mode(
+        "append"
+    ).save(str(tmp_path))
+    before = _read_back(spark, tmp_path)
+
+    def kept(lo, hi):
+        return [
+            e for e in committed_entries(str(tmp_path))
+            if e["stats"]["k"][0] <= hi and lo <= e["stats"]["k"][1]
+        ]
+
+    assert len(kept(100, 150)) == 8  # hash layout: nothing prunable
+    recluster(spark, str(tmp_path), _SCHEMA, "k", target_files=8)
+    assert _read_back(spark, tmp_path) == before
+    assert len(kept(100, 150)) <= 2  # tight spans: most files skipped
+    got = read_committed_between(spark, str(tmp_path), _SCHEMA, "k", 100, 150)
+    assert got.count() == 51
+
+
 def test_compaction_atomic_and_lossless(spark, tmp_path):
     register(spark)
     _rows(spark, 100).repartition(8).write.format("txn_files").mode(
