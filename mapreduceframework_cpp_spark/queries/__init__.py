@@ -336,6 +336,41 @@ ROUND11_ROTATION = [
         "q_events_entropy_rate", "q_audience_overlap",
 ]
 
+#: round-12 window, committed in advance (standing pattern), derived
+#: mechanically: tests/test_driver_contract.py asserts this list
+#: equals tools/next_rotation.py::derive_next_window over the r01-r09
+#: artifacts with ROUND10_ROTATION and ROUND11_ROTATION as the
+#: planned rounds 10-11 evidence. Contents: the r05 tail rounds 10-11
+#: could not fit (q_funnel_by_arm onward in r05 order), then the r06
+#: cohort in its own artifact order through q_survival_km. No
+#: rows-only query holds a slot (amended policy). Any round-10/11 red
+#: re-queues at the head per the standing policy.
+ROUND12_ROTATION = [
+        "q_funnel_by_arm", "q_events_burstiness", "q_emb_feature_stats",
+        "q_emb_outliers",
+        "q_emb_quantile_norm", "q_feat_target_encode",
+        "q_negative_sampling", "q_feat_hashing",
+        "q_feat_churn_labels", "q_emb_zscore_outliers", "q_feat_impute",
+        "q_mix_raking",
+        "q_ts_holt", "q_zorder_profile", "q_ts_rolling_corr", "q_ts_acf",
+        "q_ts_seasonal_index", "q_ts_growth", "q_ts_seasonal_anomaly",
+        "q_alloc_largest_remainder",
+        "q_dup_payments", "q_text_zipf", "q_text_hapax", "q_doc_entropy",
+        "q_text_js_divergence", "q_text_logodds", "q_text_perplexity",
+        "q_text_rake",
+        "q_sql_scripting", "q_chi_square", "q_benford_audit",
+        "q_graph_purchase_rank",
+        "q_join_size_estimate", "q_graph_bfs_dist", "q_graph_labelprop",
+        "q_graph_degree_dist",
+        "q_basket_pairs", "q_equidepth_hist", "q_rolling_dau",
+        "q_emb_random_projection",
+        "q_emb_pair_distance", "q_emb_silhouette", "q_text_bm25",
+        "q_dedup_prefix_filter",
+        "q_text_phrase", "q_skyline", "q_agg_weighted_median",
+        "q_bootstrap_ci",
+        "q_agg_trimmed", "q_survival_km",
+]
+
 #: Alias kept so callers/tests address "the live window" uniformly
 #: across rounds. Round 10 is LIVE: CORRECTNESS_r09 came back clean
 #: (48/50 hash-green + 2 rows-only-by-design `err: no_oracle` rows —

@@ -180,6 +180,25 @@ def test_registration_follows_verify_rotation():
         "q_rank_fusion",
     ]
 
+    # the committed round-12 plan is equally mechanical: derived with
+    # BOTH planned windows folded in (r10 head insertions + r11), so
+    # all three committed plans chain from the tool with no manual
+    # slotting anywhere
+    from mapreduceframework_cpp_spark.queries import ROUND12_ROTATION
+
+    derived12, derived12_unproven = derive_next_window(
+        all_rounds,
+        registered,
+        oracles,
+        planned=[ROUND10_ROTATION, ROUND11_ROTATION],
+    )
+    assert derived12_unproven == []
+    assert ROUND12_ROTATION == derived12
+    assert len(set(ROUND12_ROTATION)) == 50
+    assert not set(ROUND12_ROTATION) & set(ROUND10_ROTATION)
+    assert not set(ROUND12_ROTATION) & set(ROUND11_ROTATION)
+    assert not set(ROUND12_ROTATION) & rows_only
+
     # drain invariant: after rounds 10+11 run, no SQL-oracle query has
     # pre-r5 latest evidence, and the r5-latest overflow is exactly
     # the r05 tail that provably cannot fit (the pool is ordered, so
