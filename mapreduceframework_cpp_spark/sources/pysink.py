@@ -19,8 +19,11 @@ scales with executors while the commit stays O(#tasks) metadata.
   atomically (tmp + ``os.replace``) records them in a
   ``_txn/manifest-*.json``; ``abort()`` deletes the staged files, so a
   failed job leaves NOTHING visible;
-* ``overwrite=True`` unpublishes all previous manifests inside the
-  same commit before publishing the new file set;
+* ``overwrite=True`` is a GENERATION commit: the new manifest carries
+  a ``replaces`` marker that atomically supersedes every earlier
+  commit the instant it lands (readers see old table or new, never a
+  mixture or an empty window); superseded files are physically
+  reclaimed afterwards as crash-safe cleanup;
 * the streaming ``commit(messages, batchId)`` is IDEMPOTENT: a
   replayed micro-batch (restart between sink-commit and checkpoint
   advance — the classic at-least-once window) finds
@@ -80,6 +83,39 @@ class FileCommit(WriterCommitMessage):
     stats: dict | None = None
 
 
+_STR_BOUND_LEN = 32
+
+
+def _str_upper_bound(s: str) -> str:
+    """Shortest SOUND upper bound for every string with this prefix:
+    truncate, then increment the last incrementable code point
+    (Iceberg's upper-bound rounding). Truncating an upper bound
+    without rounding would make it SMALLER than values in the file —
+    unsound pruning. Falls back to the full value if every truncated
+    char is U+10FFFF."""
+    p = s[:_STR_BOUND_LEN]
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            return p[:i] + chr(c + 1)
+    return s
+
+
+def _trunc_bounds(stats: dict) -> dict:
+    """Cap string zone-map values at ``_STR_BOUND_LEN`` chars so wide
+    text columns cannot bloat manifests (the commit's O(#tasks)
+    metadata claim would otherwise break — r10 review finding): lower
+    bounds truncate (a prefix sorts <= its value, still sound), upper
+    bounds truncate-and-round-up (:func:`_str_upper_bound`)."""
+    for mm in stats.values():
+        lo, hi = mm
+        if isinstance(lo, str) and len(lo) > _STR_BOUND_LEN:
+            mm[0] = lo[:_STR_BOUND_LEN]
+        if isinstance(hi, str) and len(hi) > _STR_BOUND_LEN:
+            mm[1] = _str_upper_bound(hi)
+    return stats
+
+
 def _stage_rows(path: str, iterator: Iterator) -> FileCommit:
     """Task-side: stream the partition into one staged JSONL file.
     Returns a message naming the file — publishing is the driver's
@@ -121,7 +157,11 @@ def _stage_rows(path: str, iterator: Iterator) -> FileCommit:
             out.flush()
             os.fsync(out.fileno())
             out.close()
-    return FileCommit(staged=staged, rows=rows, stats=stats if staged else None)
+    return FileCommit(
+        staged=staged,
+        rows=rows,
+        stats=_trunc_bounds(stats) if staged else None,
+    )
 
 
 def _rename_parts(path: str, messages) -> dict:
@@ -164,19 +204,58 @@ def _claim_manifest(txn: str, manifest_name: str, doc: dict) -> bool:
         os.remove(tmp)
 
 
-def _unpublish_all(path: str, txn: str) -> None:
-    """Overwrite semantics: physically reclaim every earlier commit.
-    Single-writer by contract — overwrite concurrent with appends is
-    undefined in any log-structured format without a table lock."""
-    for m in glob.glob(os.path.join(txn, "manifest-*.json")):
-        for f in json.load(open(m))["files"]:
+def _seq_of(manifest_name: str) -> int:
+    """The leading sequence number in a manifest file name
+    (``manifest-<digits>...``)."""
+    digits = ""
+    for ch in manifest_name[len("manifest-"):]:
+        if not ch.isdigit():
+            break
+        digits += ch
+    return int(digits) if digits else -1
+
+
+def _next_seq(txn: str) -> int:
+    """1 + the highest sequence ever used — NOT the manifest count:
+    after an overwrite reclaims earlier manifests, a count-based
+    sequence would re-issue low numbers and the new commit would SORT
+    BEFORE the overwrite, corrupting snapshot/change order (review
+    finding, r10)."""
+    seqs = [
+        _seq_of(os.path.basename(m))
+        for m in glob.glob(os.path.join(txn, "manifest-*.json"))
+    ]
+    return max(seqs, default=-1) + 1
+
+
+def _reclaim_invisible(path: str) -> int:
+    """Physically delete manifests (and their files) superseded by the
+    latest ``replaces`` marker. Pure cleanup: these are already
+    invisible to readers, so a crash anywhere in here changes nothing
+    a reader can observe; ``vacuum`` finishes the job later. Returns
+    the number of files removed."""
+    txn = os.path.join(path, _TXN)
+    names = sorted(glob.glob(os.path.join(txn, "manifest-*.json")))
+    docs = [json.load(open(m)) for m in names]
+    cut = 0
+    for i, d in enumerate(docs):
+        if d.get("replaces"):
+            cut = i
+    removed = 0
+    for m, d in zip(names[:cut], docs[:cut]):
+        for f in d["files"]:
             old = os.path.join(path, f)
             if os.path.exists(old):
                 os.remove(old)
+                removed += 1
         os.remove(m)
+        removed += 1
+    return removed
 
 
-def _publish(path: str, messages, manifest_name: str, clear: bool = False) -> bool:
+def _publish(
+    path: str, messages, manifest_name: str, replaces: bool = False
+) -> bool:
     """Driver-side atomic publish: rename staged files to ``part-*``,
     then claim the manifest name put-if-absent (`_claim_manifest`).
     Returns False if the name was already claimed — a replayed
@@ -185,14 +264,25 @@ def _publish(path: str, messages, manifest_name: str, clear: bool = False) -> bo
     use uuid-unique names, so their claims cannot collide: concurrent
     APPEND writers are safe without coordination (append commits
     commute; the sorted-name snapshot order between same-sequence
-    commits is arbitrary but total). Overwrite remains single-writer
-    by contract."""
+    commits is arbitrary but total).
+
+    ``replaces=True`` is the ATOMIC truncate (overwrite / compaction /
+    streaming complete-mode): the new manifest carries a generation
+    marker that makes every earlier commit invisible the instant the
+    claim lands — readers see the old table or the new one, never a
+    mixture and never an empty window (the r10 review found the
+    previous delete-then-claim order could expose an empty table and
+    lose it entirely on a mid-commit crash). Physical reclamation of
+    the superseded files happens AFTER the claim and is crash-safe
+    cleanup."""
     txn = os.path.join(path, _TXN)
     os.makedirs(txn, exist_ok=True)
-    if clear:
-        _unpublish_all(path, txn)
     doc = _rename_parts(path, messages)
+    if replaces:
+        doc["replaces"] = True
     if _claim_manifest(txn, manifest_name, doc):
+        if replaces:
+            _reclaim_invisible(path)
         return True
     for f in doc["files"]:
         os.remove(os.path.join(path, f))
@@ -260,7 +350,11 @@ def _stage_batches(path: str, iterator: Iterator) -> FileCommit:
     finally:
         if writer is not None:
             writer.close()
-    return FileCommit(staged=staged, rows=rows, stats=stats if staged else None)
+    return FileCommit(
+        staged=staged,
+        rows=rows,
+        stats=_trunc_bounds(stats) if staged else None,
+    )
 
 
 class TxnFilesDataSource(DataSource):
@@ -282,7 +376,7 @@ class TxnFilesDataSource(DataSource):
         return TxnFilesWriter(self._path(), overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> "TxnFilesStreamWriter":  # noqa: ANN001
-        return TxnFilesStreamWriter(self._path())
+        return TxnFilesStreamWriter(self._path(), truncate=overwrite)
 
 
 class TxnFilesWriter(DataSourceWriter):
@@ -297,16 +391,17 @@ class TxnFilesWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         # sequence-numbered manifest names give the sorted-name order a
-        # SNAPSHOT meaning (read_snapshot): seq = #existing manifests.
-        # Single-writer assumption, documented — real log-structured
-        # formats arbitrate this slot with put-if-absent/CAS on the
-        # same name, which is exactly where this scheme extends.
-        seq = len(glob.glob(os.path.join(self.path, _TXN, "manifest-*.json")))
+        # SNAPSHOT meaning (read_snapshot); the sequence is max+1 over
+        # every name ever used (see _next_seq), and a concurrent append
+        # taking the same number is harmless (uuid-unique names;
+        # append commits commute, the order between them is arbitrary
+        # but total).
+        seq = _next_seq(os.path.join(self.path, _TXN))
         _publish(
             self.path,
             messages,
             f"manifest-{seq:010d}-{uuid.uuid4().hex[:8]}.json",
-            clear=self.overwrite,
+            replaces=self.overwrite,
         )
 
     def abort(self, messages) -> None:
@@ -315,10 +410,21 @@ class TxnFilesWriter(DataSourceWriter):
 
 class TxnFilesStreamWriter(DataSourceStreamWriter):
     """Streaming writer: one manifest per micro-batch, keyed by
-    batchId so replays are detected and discarded (exactly-once)."""
+    batchId so replays are detected and discarded (exactly-once).
 
-    def __init__(self, path: str) -> None:
+    OWNERSHIP CONTRACT (same as Spark's built-in file sink and its
+    ``_spark_metadata`` log): a streaming table belongs to ONE query
+    lineage — its checkpoint. A different query (fresh checkpoint)
+    restarts batchIds at 0 and its batches would be discarded as
+    replays of the first query's; start new queries on new paths, or
+    consume the old table and overwrite. ``truncate=True`` (Spark
+    passes it for ``outputMode("complete")``) makes each batch a
+    ``replaces`` commit: the sink holds the latest complete state
+    instead of accumulating every batch's copy (r10 review finding)."""
+
+    def __init__(self, path: str, truncate: bool = False) -> None:
         self.path = path
+        self.truncate = truncate
 
     def write(self, iterator: Iterator) -> FileCommit:
         return _stage_rows(self.path, iterator)
@@ -331,7 +437,12 @@ class TxnFilesStreamWriter(DataSourceStreamWriter):
         # no TOCTOU: even if a replay slips past the exists-check, the
         # put-if-absent claim inside _publish loses the race and this
         # batch's parts are deleted — the first commit stands alone
-        _publish(self.path, messages, os.path.basename(manifest))
+        _publish(
+            self.path,
+            messages,
+            os.path.basename(manifest),
+            replaces=self.truncate,
+        )
 
     def abort(self, messages, batchId: int) -> None:
         _discard(self.path, messages)
@@ -360,7 +471,7 @@ class TxnParquetDataSource(DataSource):
         return TxnParquetWriter(self._path(), overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> "TxnParquetStreamWriter":  # noqa: ANN001
-        return TxnParquetStreamWriter(self._path())
+        return TxnParquetStreamWriter(self._path(), truncate=overwrite)
 
 
 class TxnParquetWriter(DataSourceArrowWriter, TxnFilesWriter):
@@ -382,21 +493,35 @@ def _manifests(path: str) -> list[str]:
     return sorted(glob.glob(os.path.join(path, _TXN, "manifest-*.json")))
 
 
+def _visible_log(path: str) -> list[dict]:
+    """The readable manifest log in snapshot order: everything from
+    the LATEST ``replaces`` marker onward (a truncate commit starts a
+    new generation; earlier manifests may still be on disk awaiting
+    reclamation but are invisible by rule). One tiny json-load per
+    manifest — driver-side metadata, not a data scan."""
+    docs = [json.load(open(m)) for m in _manifests(path)]
+    cut = 0
+    for i, d in enumerate(docs):
+        if d.get("replaces"):
+            cut = i
+    return docs[cut:]
+
+
 def committed_files(path: str) -> list[str]:
     """Absolute paths of every committed part file, manifest order."""
     out: list[str] = []
-    for m in _manifests(path):
-        out.extend(os.path.join(path, f) for f in json.load(open(m))["files"])
+    for d in _visible_log(path):
+        out.extend(os.path.join(path, f) for f in d["files"])
     return out
 
 
 def committed_entries(path: str, as_of: int | None = None) -> list[dict]:
     """Per-file manifest entries ({name, rows, stats}) across the first
-    ``as_of`` manifests in snapshot order (all if None). ``name`` is
-    returned absolute."""
+    ``as_of`` visible manifests in snapshot order (all if None).
+    ``name`` is returned absolute."""
     out: list[dict] = []
-    for m in _manifests(path)[: None if as_of is None else as_of]:
-        for e in json.load(open(m))["entries"]:
+    for d in _visible_log(path)[: None if as_of is None else as_of]:
+        for e in d["entries"]:
             out.append({**e, "name": os.path.join(path, e["name"])})
     return out
 
@@ -422,12 +547,14 @@ def read_committed(spark: SparkSession, path: str, schema: str) -> DataFrame:
 def read_snapshot(
     spark: SparkSession, path: str, schema: str, as_of: int
 ) -> DataFrame:
-    """Time travel: the table as of the first ``as_of`` commits. Batch
-    manifests are sequence-numbered and streaming manifests are
+    """Time travel: the table as of the first ``as_of`` VISIBLE
+    commits. Batch manifests are sequence-numbered (monotone across
+    generations — `_next_seq`) and streaming manifests are
     batchId-numbered, so sorted-name order IS commit order within a
-    writer style. ``mode("overwrite")`` (and therefore ``compact``)
-    truncates history — it physically reclaims prior commits' files,
-    like an aggressive VACUUM."""
+    writer style. A ``replaces`` commit (``mode("overwrite")``,
+    ``compact``, ``recluster``, streaming complete-mode) starts a new
+    generation: history before it is truncated, snapshot 1 is the
+    generation's first commit."""
     return _df_from(
         spark,
         [e["name"] for e in committed_entries(path, as_of=as_of)],
@@ -450,30 +577,57 @@ def read_changes(
     files. Valid while history is intact: an overwrite/compaction
     truncates the log (see read_snapshot)."""
     files: list[str] = []
-    for m in _manifests(path)[from_snapshot:to_snapshot]:
-        files.extend(
-            os.path.join(path, f) for f in json.load(open(m))["files"]
-        )
+    for d in _visible_log(path)[from_snapshot:to_snapshot]:
+        files.extend(os.path.join(path, f) for f in d["files"])
     return _df_from(spark, files, schema)
 
 
-def vacuum(path: str) -> int:
-    """Physically remove files invisible to readers: staged leftovers
-    (aborted tasks whose message never reached the driver) and orphaned
-    parts (a crash between publish-rename and manifest write). Safe by
-    the same visibility rule reads use — anything not manifest-listed
-    was never committed. Returns the number of files removed."""
-    listed = {os.path.basename(f) for f in committed_files(path)}
-    removed = 0
+def vacuum(path: str, min_age_s: float = 24 * 3600.0) -> int:
+    """Physically remove files invisible to readers: manifests (and
+    their parts) superseded by a later ``replaces`` generation, staged
+    leftovers (aborted tasks whose message never reached the driver),
+    orphaned parts (a crash between publish-rename and manifest
+    claim), and ``_txn/.tmp-*`` leftovers of a killed claim. Staged /
+    orphaned / tmp files are only removed once older than
+    ``min_age_s`` — an IN-FLIGHT commit legitimately has staged files
+    and freshly renamed parts on disk between its write tasks and its
+    manifest claim, and reaping those would fail or orphan a job that
+    violated no contract (r10 review finding). Superseded manifests
+    carry no age guard: they are invisible by rule the moment the
+    replacing commit landed. Returns the number of files removed."""
+    import time
+
+    removed = _reclaim_invisible(path)  # superseded gens: no age guard
+    cutoff = time.time() - min_age_s
+
+    def _old(p: str) -> bool:
+        try:
+            return os.path.getmtime(p) <= cutoff
+        except OSError:
+            return False
+
     staging = os.path.join(path, _STAGING)
     if os.path.isdir(staging):
         for f in os.listdir(staging):
-            os.remove(os.path.join(staging, f))
-            removed += 1
+            p = os.path.join(staging, f)
+            if _old(p):
+                os.remove(p)
+                removed += 1
+    txn = os.path.join(path, _TXN)
+    if os.path.isdir(txn):
+        for f in os.listdir(txn):
+            if f.startswith(".tmp-"):
+                p = os.path.join(txn, f)
+                if _old(p):
+                    os.remove(p)
+                    removed += 1
+    listed = {os.path.basename(f) for f in committed_files(path)}
     for f in os.listdir(path):
         if f.startswith("part-") and f not in listed:
-            os.remove(os.path.join(path, f))
-            removed += 1
+            p = os.path.join(path, f)
+            if _old(p):
+                os.remove(p)
+                removed += 1
     return removed
 
 

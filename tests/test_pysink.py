@@ -201,6 +201,78 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert s2.count() == 8
 
 
+def test_overwrite_is_atomic_and_orders_after(spark, tmp_path):
+    """The r10 review findings on the overwrite protocol: (a) a
+    replaces commit supersedes earlier manifests the instant it lands
+    — even while they are still on disk, readers must not see them;
+    (b) post-overwrite appends must sort AFTER the overwrite
+    (monotone sequence, not manifest count), keeping snapshot and
+    change windows correct."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnFilesWriter,
+        _visible_log,
+    )
+
+    register(spark)
+    for tag in ("a", "b"):
+        _rows(spark, 2, tag).coalesce(1).write.format("txn_files").mode(
+            "append"
+        ).save(str(tmp_path))
+    # (a) atomic supersede: drive the writer directly so reclamation
+    # can be observed separately from the claim
+    w = TxnFilesWriter(str(tmp_path), overwrite=True)
+    msg = w.write(iter([Row(k=9, v="ow")]))
+    w.commit([msg])
+    assert [r[1] for r in _read_back(spark, tmp_path)] == ["ow"]
+    assert len(_visible_log(str(tmp_path))) == 1
+    # (b) order: the next appends come after the overwrite generation
+    for tag in ("c", "d"):
+        _rows(spark, 1, tag).coalesce(1).write.format("txn_files").mode(
+            "append"
+        ).save(str(tmp_path))
+    s1 = read_snapshot(spark, str(tmp_path), _SCHEMA, as_of=1)
+    assert sorted(r.v for r in s1.collect()) == ["ow"]
+    feed = read_changes(spark, str(tmp_path), _SCHEMA, 1, 3)
+    assert sorted(r.v for r in feed.collect()) == ["c0", "d0"]
+
+
+def test_stream_complete_mode_truncates_per_batch(tmp_path):
+    """outputMode('complete') → Spark passes overwrite=True to
+    streamWriter → each batch is a replaces commit holding the full
+    state; the sink must not accumulate earlier batches' copies."""
+    w = TxnFilesStreamWriter(str(tmp_path), truncate=True)
+    w.commit([w.write(iter([Row(k=1, v="state1")]))], batchId=0)
+    w.commit([w.write(iter([Row(k=1, v="state2"), Row(k=2, v="s2")]))], batchId=1)
+    files = committed_files(str(tmp_path))
+    content = "".join(open(f).read() for f in files)
+    assert "state1" not in content and "state2" in content
+    # replay of the latest batch is still discarded
+    w.commit([w.write(iter([Row(k=1, v="replay")]))], batchId=1)
+    assert committed_files(str(tmp_path)) == files
+
+
+def test_string_zone_maps_truncated_and_sound(spark, tmp_path):
+    """Wide string columns must not bloat manifests: bounds cap at 32
+    chars, the upper bound rounds UP (so pruning stays sound), and a
+    range read over the truncated column still returns exact rows."""
+    register(spark)
+    long_v = spark.sql(
+        "SELECT id AS k, concat('prefix-', lpad(cast(id as string), 6, '0'),"
+        " repeat('x', 500)) AS v FROM range(100)"
+    ).repartitionByRange(4, "v")
+    long_v.write.format("txn_files").mode("append").save(str(tmp_path))
+    for e in committed_entries(str(tmp_path)):
+        lo, hi = e["stats"]["v"]
+        assert len(lo) <= 32 and len(hi) <= 33
+        assert lo <= hi
+    lo_q = "prefix-000010" + "x" * 500
+    hi_q = "prefix-000019" + "x" * 500
+    got = read_committed_between(
+        spark, str(tmp_path), "k bigint, v string", "v", lo_q, hi_q
+    )
+    assert got.count() == 10
+
+
 def test_read_changes_window(spark, tmp_path):
     """The change feed returns exactly the commits in (from, to] —
     commit 1 excluded, commits 2-3 included, nothing beyond."""
@@ -225,12 +297,18 @@ def test_vacuum_removes_only_invisible_files(spark, tmp_path):
     )
     (tmp_path / "part-orphan.jsonl").write_text('{"k": 9, "v": "g"}\n')
     (tmp_path / "_staging" / "stage-left.jsonl").write_text('{"k": 8, "v": "g"}\n')
+    (tmp_path / "_txn" / ".tmp-dead").write_text("{}")
     before = _read_back(spark, tmp_path)
-    assert vacuum(str(tmp_path)) == 2
+    # default age guard protects an in-flight commit's fresh files
+    assert vacuum(str(tmp_path)) == 0
+    assert (tmp_path / "part-orphan.jsonl").exists()
+    # min_age_s=0 reaps everything invisible
+    assert vacuum(str(tmp_path), min_age_s=0) == 3
     assert not (tmp_path / "part-orphan.jsonl").exists()
     assert os.listdir(tmp_path / "_staging") == []
+    assert os.listdir(tmp_path / "_txn") != []  # manifest intact
     assert _read_back(spark, tmp_path) == before
-    assert vacuum(str(tmp_path)) == 0  # idempotent
+    assert vacuum(str(tmp_path), min_age_s=0) == 0  # idempotent
 
 
 def test_recluster_makes_zone_maps_effective(spark, tmp_path):

@@ -58,6 +58,12 @@ DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 #: everything else in the dedup/similarity family at 3.5-5.7x per 10x
 #: decade; these two read 77x/27x because their candidate generators
 #: are declared-dense):
+#: Each entry carries the r10 fair-decade MEASURED ratio as a
+#: regression ceiling: a declared query is exempt from the data-ratio
+#: flag line, but NOT from its own baseline — if it ever exceeds
+#: 2x the declared figure (scaled to the step's data ratio), the
+#: audit fails anyway. Without the ceiling the exemption would mask a
+#: real regression forever (r10 review finding).
 DECLARED_SUPERLINEAR = {
     # Brute-force all-pairs cosine baseline BY DESIGN (its docstring
     # and oracle are all-pairs); the scale paths are q_dedup_near /
@@ -65,13 +71,19 @@ DECLARED_SUPERLINEAR = {
     # decade). A θ=0.4 exact dense-vector similarity join has no known
     # sub-candidate-density algorithm; the baseline exists so the
     # bucketed variants have an exact yardstick.
-    "q_dedup_embedding": "declared all-pairs exact baseline",
+    "q_dedup_embedding": {
+        "reason": "declared all-pairs exact baseline",
+        "fair_decade_ratio": 77.2,
+    },
     # Blocks on (lang, 32-char length bucket): a FIXED key space, so
     # per-block density grows linearly with corpus size and pair work
     # quadratically — declared in its docstring as the precision
     # modality over candidate neighbourhoods; the recall/scale path is
     # MinHash-LSH (q_dedup_near) and prefix-filter (both pass fair).
-    "q_dedup_editdist": "fixed blocking key space, declared precision modality",
+    "q_dedup_editdist": {
+        "reason": "fixed blocking key space, declared precision modality",
+        "fair_decade_ratio": 27.3,
+    },
 }
 
 
@@ -122,13 +134,23 @@ def main() -> int:
             ((b[k] / a[k], k, a[k], b[k]) for k in b if k in a and a[k] > 0),
             reverse=True,
         )
+        def _ceiling(name: str) -> float:
+            # declared baseline measured at a 10x step, scaled to this
+            # step's data ratio, with 2x regression headroom
+            d = DECLARED_SUPERLINEAR[name]
+            return 2.0 * d["fair_decade_ratio"] * (data_ratio / 10.0)
+
         flagged = [
             r for r in ratios
-            if r[0] > data_ratio and r[1] not in DECLARED_SUPERLINEAR
+            if r[0] > data_ratio and (
+                r[1] not in DECLARED_SUPERLINEAR or r[0] > _ceiling(r[1])
+            )
         ]
         declared = [
             r for r in ratios
-            if r[0] > data_ratio and r[1] in DECLARED_SUPERLINEAR
+            if r[0] > data_ratio
+            and r[1] in DECLARED_SUPERLINEAR
+            and r[0] <= _ceiling(r[1])
         ]
         med = statistics.median(r[0] for r in ratios)
         print(f"{lo} -> {hi}: median ratio {med:.2f}, "
@@ -138,11 +160,18 @@ def main() -> int:
         for r, k, ta, tb in ratios[:10]:
             mark = ""
             if r > data_ratio:
-                mark = (
-                    f"  <-- DECLARED ({DECLARED_SUPERLINEAR[k]})"
-                    if k in DECLARED_SUPERLINEAR
-                    else "  <-- SUPERLINEAR"
-                )
+                if k in DECLARED_SUPERLINEAR and r <= _ceiling(k):
+                    mark = (
+                        "  <-- DECLARED "
+                        f"({DECLARED_SUPERLINEAR[k]['reason']})"
+                    )
+                elif k in DECLARED_SUPERLINEAR:
+                    mark = (
+                        "  <-- REGRESSED past declared ceiling "
+                        f"{_ceiling(k):.0f}x"
+                    )
+                else:
+                    mark = "  <-- SUPERLINEAR"
             print(f"  {r:6.2f}  {ta:7.3f}s -> {tb:7.3f}s  {k}{mark}")
         if flagged:
             rc = 1
