@@ -22,8 +22,11 @@ scales with executors while the commit stays O(#tasks) metadata.
 * ``overwrite=True`` is a GENERATION commit: the new manifest carries
   a ``replaces`` marker that atomically supersedes every earlier
   commit the instant it lands (readers see old table or new, never a
-  mixture or an empty window); superseded files are physically
-  reclaimed afterwards as crash-safe cleanup;
+  mixture or an empty window); superseded files stay on disk until
+  ``vacuum`` reclaims them past a retention window, so a reader that
+  planned its scan on the prior snapshot finishes against intact
+  files (ADVICE r10: reclaiming inside the commit would yank files
+  out from under an in-flight read);
 * the streaming ``commit(messages, batchId)`` is IDEMPOTENT: a
   replayed micro-batch (restart between sink-commit and checkpoint
   advance — the classic at-least-once window) finds
@@ -168,13 +171,23 @@ def _rename_parts(path: str, messages) -> dict:
     """Rename staged files to ``part-*`` and build the manifest body.
     Crash after this but before the manifest claim leaves
     renamed-but-unmanifested parts — garbage to readers (they only
-    trust manifests), reclaimable by ``vacuum`` or any overwrite."""
+    trust manifests), reclaimable by ``vacuum``. Each part is touched
+    at rename time: ``os.replace`` preserves the STAGED-WRITE mtime,
+    and vacuum's orphan age guard must key off how long the part has
+    been renamed-but-unmanifested, not how long ago a slow job's tasks
+    wrote it — otherwise a commit whose tasks staged more than
+    ``min_age_s`` before the driver reached publish could have its
+    freshly renamed parts reaped in the rename→claim window, leaving
+    the subsequently claimed manifest referencing missing files
+    (ADVICE r10)."""
     files, entries, total = [], [], 0
     for msg in messages:
         if msg is None or msg.staged is None:
             continue
         final = os.path.basename(msg.staged).replace("stage-", "part-", 1)
-        os.replace(os.path.join(path, msg.staged), os.path.join(path, final))
+        dst = os.path.join(path, final)
+        os.replace(os.path.join(path, msg.staged), dst)
+        os.utime(dst)  # rename time, not staged-write time (see above)
         files.append(final)
         entries.append(
             {"name": final, "rows": msg.rows, "stats": msg.stats or {}}
@@ -215,6 +228,40 @@ def _seq_of(manifest_name: str) -> int:
     return int(digits) if digits else -1
 
 
+def _style_of(manifest_name: str) -> str:
+    """The writer style a manifest name encodes: batch names carry a
+    ``-<uuid8>`` suffix after the sequence digits, streaming names are
+    bare zero-padded batchIds."""
+    rest = manifest_name[len("manifest-"):]
+    i = 0
+    while i < len(rest) and rest[i].isdigit():
+        i += 1
+    return "batch" if rest[i:i + 1] == "-" else "stream"
+
+
+def _check_style(path: str, style: str) -> None:
+    """Refuse to interleave batch and streaming commits in one
+    generation: batch manifests are sequence-numbered, streaming ones
+    are batchId-numbered, and ``_seq_of``/sorted-name order would
+    silently conflate the two numberings, corrupting snapshot and
+    change-feed order (ADVICE r10). Only the VISIBLE generation
+    matters — a ``replaces`` batch commit legitimately takes over a
+    streaming table (its max+1 sequence sorts after every batchId at
+    equal digit width), after which the table is batch-styled and a
+    restarted stream is told to use a fresh path."""
+    others = {
+        _style_of(os.path.basename(m)) for m, _ in _visible(path)
+    } - {style}
+    if others:
+        raise ValueError(
+            f"{path} is a {others.pop()}-written txn table; refusing a "
+            f"{style} commit — mixing writer styles would interleave "
+            "sequence numbers with batchIds and corrupt snapshot order. "
+            "Write to a fresh path, or take the table over with a batch "
+            "mode('overwrite') commit."
+        )
+
+
 def _next_seq(txn: str) -> int:
     """1 + the highest sequence ever used — NOT the manifest count:
     after an overwrite reclaims earlier manifests, a count-based
@@ -228,12 +275,19 @@ def _next_seq(txn: str) -> int:
     return max(seqs, default=-1) + 1
 
 
-def _reclaim_invisible(path: str) -> int:
+def _reclaim_invisible(path: str, min_age_s: float = 0.0) -> int:
     """Physically delete manifests (and their files) superseded by the
-    latest ``replaces`` marker. Pure cleanup: these are already
-    invisible to readers, so a crash anywhere in here changes nothing
-    a reader can observe; ``vacuum`` finishes the job later. Returns
-    the number of files removed."""
+    latest ``replaces`` marker — but only once the replacing commit is
+    at least ``min_age_s`` old. Superseded files are invisible to NEW
+    listings the instant the replacing claim lands, yet a reader that
+    planned its scan on the prior snapshot still holds their paths; a
+    retention window lets such in-flight reads finish against intact
+    files (ADVICE r10 — this is why commits never reclaim inline;
+    only ``vacuum`` calls this). Crash-safe: everything here is
+    already invisible, so dying mid-way changes nothing a reader of
+    the log can observe. Returns the number of files removed."""
+    import time
+
     txn = os.path.join(path, _TXN)
     names = sorted(glob.glob(os.path.join(txn, "manifest-*.json")))
     docs = [json.load(open(m)) for m in names]
@@ -241,6 +295,15 @@ def _reclaim_invisible(path: str) -> int:
     for i, d in enumerate(docs):
         if d.get("replaces"):
             cut = i
+    if cut == 0:
+        return 0
+    try:
+        # age of the SUPERSEDING commit, not the superseded files: the
+        # retention clock starts when visibility was lost
+        if os.path.getmtime(names[cut]) > time.time() - min_age_s:
+            return 0
+    except OSError:
+        return 0
     removed = 0
     for m, d in zip(names[:cut], docs[:cut]):
         for f in d["files"]:
@@ -273,16 +336,16 @@ def _publish(
     mixture and never an empty window (the r10 review found the
     previous delete-then-claim order could expose an empty table and
     lose it entirely on a mid-commit crash). Physical reclamation of
-    the superseded files happens AFTER the claim and is crash-safe
-    cleanup."""
+    the superseded files is deliberately NOT done here: a reader that
+    listed the prior snapshot's files before the swap may still be
+    scanning them, so deletion is ``vacuum``'s job, behind its
+    retention window (ADVICE r10)."""
     txn = os.path.join(path, _TXN)
     os.makedirs(txn, exist_ok=True)
     doc = _rename_parts(path, messages)
     if replaces:
         doc["replaces"] = True
     if _claim_manifest(txn, manifest_name, doc):
-        if replaces:
-            _reclaim_invisible(path)
         return True
     for f in doc["files"]:
         os.remove(os.path.join(path, f))
@@ -395,12 +458,19 @@ class TxnFilesWriter(DataSourceWriter):
         # every name ever used (see _next_seq), and a concurrent append
         # taking the same number is harmless (uuid-unique names;
         # append commits commute, the order between them is arbitrary
-        # but total).
+        # but total). 20-digit padding matches the streaming batchId
+        # width, so a takeover overwrite's max+1 sequence sorts after
+        # every batchId name for ANY value (equal-width digit strings
+        # compare numerically). Appending batch commits into a
+        # stream-written generation is refused (_check_style); an
+        # overwrite starts a new generation and may take over.
+        if not self.overwrite:
+            _check_style(self.path, "batch")
         seq = _next_seq(os.path.join(self.path, _TXN))
         _publish(
             self.path,
             messages,
-            f"manifest-{seq:010d}-{uuid.uuid4().hex[:8]}.json",
+            f"manifest-{seq:020d}-{uuid.uuid4().hex[:8]}.json",
             replaces=self.overwrite,
         )
 
@@ -434,6 +504,11 @@ class TxnFilesStreamWriter(DataSourceStreamWriter):
         if os.path.exists(manifest):
             _discard(self.path, messages)  # replayed batch: keep the first commit
             return
+        # a stream may never target a batch-written generation — even
+        # in complete mode, because a small batchId's replaces name
+        # would sort BEFORE the batch sequence numbers already on disk
+        # and corrupt the generation cut (_check_style / ADVICE r10)
+        _check_style(self.path, "stream")
         # no TOCTOU: even if a replay slips past the exists-check, the
         # put-if-absent claim inside _publish loses the race and this
         # batch's parts are deleted — the first commit stands alone
@@ -493,18 +568,24 @@ def _manifests(path: str) -> list[str]:
     return sorted(glob.glob(os.path.join(path, _TXN, "manifest-*.json")))
 
 
-def _visible_log(path: str) -> list[dict]:
-    """The readable manifest log in snapshot order: everything from
-    the LATEST ``replaces`` marker onward (a truncate commit starts a
-    new generation; earlier manifests may still be on disk awaiting
-    reclamation but are invisible by rule). One tiny json-load per
-    manifest — driver-side metadata, not a data scan."""
-    docs = [json.load(open(m)) for m in _manifests(path)]
+def _visible(path: str) -> list[tuple[str, dict]]:
+    """(manifest path, doc) pairs of the readable log in snapshot
+    order: everything from the LATEST ``replaces`` marker onward (a
+    truncate commit starts a new generation; earlier manifests may
+    still be on disk awaiting vacuum but are invisible by rule). One
+    tiny json-load per manifest — driver-side metadata, not a data
+    scan."""
+    pairs = [(m, json.load(open(m))) for m in _manifests(path)]
     cut = 0
-    for i, d in enumerate(docs):
+    for i, (_, d) in enumerate(pairs):
         if d.get("replaces"):
             cut = i
-    return docs[cut:]
+    return pairs[cut:]
+
+
+def _visible_log(path: str) -> list[dict]:
+    """The readable manifest docs in snapshot order (see _visible)."""
+    return [d for _, d in _visible(path)]
 
 
 def committed_files(path: str) -> list[str]:
@@ -587,17 +668,19 @@ def vacuum(path: str, min_age_s: float = 24 * 3600.0) -> int:
     their parts) superseded by a later ``replaces`` generation, staged
     leftovers (aborted tasks whose message never reached the driver),
     orphaned parts (a crash between publish-rename and manifest
-    claim), and ``_txn/.tmp-*`` leftovers of a killed claim. Staged /
-    orphaned / tmp files are only removed once older than
-    ``min_age_s`` — an IN-FLIGHT commit legitimately has staged files
-    and freshly renamed parts on disk between its write tasks and its
-    manifest claim, and reaping those would fail or orphan a job that
-    violated no contract (r10 review finding). Superseded manifests
-    carry no age guard: they are invisible by rule the moment the
-    replacing commit landed. Returns the number of files removed."""
+    claim), and ``_txn/.tmp-*`` leftovers of a killed claim. EVERY
+    class honors the ``min_age_s`` retention window: an in-flight
+    commit legitimately has staged files and freshly renamed parts on
+    disk between its write tasks and its manifest claim (parts are
+    re-touched at rename, so the clock measures the rename→claim
+    window, not a slow job's task runtime — ADVICE r10), and a
+    superseded generation's files may still be mid-scan by a reader
+    that planned on the prior snapshot, so their clock starts at the
+    replacing commit (ADVICE r10 — vacuum is the ONLY reclaimer;
+    commits never delete). Returns the number of files removed."""
     import time
 
-    removed = _reclaim_invisible(path)  # superseded gens: no age guard
+    removed = _reclaim_invisible(path, min_age_s)
     cutoff = time.time() - min_age_s
 
     def _old(p: str) -> bool:
@@ -621,7 +704,13 @@ def vacuum(path: str, min_age_s: float = 24 * 3600.0) -> int:
                 if _old(p):
                     os.remove(p)
                     removed += 1
-    listed = {os.path.basename(f) for f in committed_files(path)}
+    # orphans are parts NO manifest on disk references — superseded
+    # generations awaiting their retention window are still manifested
+    # and must not be mistaken for rename-crash garbage (their own
+    # reclamation above removes manifest and parts together)
+    listed = {
+        f for m in _manifests(path) for f in json.load(open(m))["files"]
+    }
     for f in os.listdir(path):
         if f.startswith("part-") and f not in listed:
             p = os.path.join(path, f)

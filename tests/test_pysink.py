@@ -78,11 +78,20 @@ def test_overwrite_unpublishes_previous_commits(spark, tmp_path):
     _rows(spark, 5, "old").coalesce(1).write.format("txn_files").mode("append").save(
         str(tmp_path)
     )
+    old_files = committed_files(str(tmp_path))
     _rows(spark, 2, "new").coalesce(1).write.format("txn_files").mode(
         "overwrite"
     ).save(str(tmp_path))
     assert _read_back(spark, tmp_path) == [(0, "new0"), (1, "new1")]
-    # the old job's parts are physically reclaimed, not just unlisted
+    # superseded parts are unlisted but NOT deleted by the commit: a
+    # reader that planned its scan on the prior snapshot must be able
+    # to finish against intact files (ADVICE r10); vacuum reclaims
+    # them past the retention window
+    assert all(os.path.exists(f) for f in old_files)
+    assert vacuum(str(tmp_path)) == 0  # default retention: too fresh
+    assert all(os.path.exists(f) for f in old_files)
+    assert vacuum(str(tmp_path), min_age_s=0) > 0
+    assert not any(os.path.exists(f) for f in old_files)
     assert len([f for f in os.listdir(tmp_path) if f.startswith("part-")]) == 1
 
 
@@ -347,10 +356,11 @@ def test_compaction_atomic_and_lossless(spark, tmp_path):
     assert n_before > 1
     compact(spark, str(tmp_path), _SCHEMA)
     assert len(committed_files(str(tmp_path))) == 1
-    assert len(os.listdir(tmp_path / "_txn")) == 1  # old commits reclaimed
     after = sorted(map(tuple, read_committed(spark, str(tmp_path), _SCHEMA).collect()))
     assert after == before
-    # physical small files are gone, not just unlisted
+    # the small files linger for in-flight readers until vacuumed
+    assert vacuum(str(tmp_path), min_age_s=0) > 0
+    assert len(os.listdir(tmp_path / "_txn")) == 1  # old commits reclaimed
     assert len([f for f in os.listdir(tmp_path) if f.startswith("part-")]) == 1
 
 
@@ -429,6 +439,196 @@ def test_arrow_stream_sink_multibatch(spark, tmp_path):
     assert _read_back(spark, out) == [(1, "a"), (2, "b"), (3, "c")]
     assert len(os.listdir(out / "_txn")) == 2
     assert all(f.endswith(".parquet") for f in committed_files(str(out)))
+
+
+def test_vacuum_orphan_clock_starts_at_rename(tmp_path):
+    """ADVICE r10: os.replace preserves the staged file's mtime, so a
+    slow job whose tasks staged parts long before the driver reached
+    publish must NOT have its freshly renamed (but not yet manifested)
+    parts reaped by a concurrent vacuum — parts are touched at rename,
+    and the orphan age guard therefore measures the rename→claim
+    window, not task runtime."""
+    import time
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        _rename_parts,
+        _stage_rows,
+    )
+
+    msg = _stage_rows(str(tmp_path), iter([Row(k=1, v="slow")]))
+    staged = tmp_path / msg.staged
+    old = time.time() - 7200  # staged two "hours" ago
+    os.utime(staged, (old, old))
+    doc = _rename_parts(str(tmp_path), [msg])  # crash before claim
+    part = tmp_path / doc["files"][0]
+    assert part.exists()
+    # a vacuum with a 1h retention window runs during the rename→claim
+    # crash window: the part was renamed JUST NOW, so it must survive
+    assert vacuum(str(tmp_path), min_age_s=3600) == 0
+    assert part.exists()
+    # once genuinely old *as an orphan*, it is reclaimed
+    os.utime(part, (old, old))
+    assert vacuum(str(tmp_path), min_age_s=3600) == 1
+    assert not part.exists()
+
+
+def test_writer_style_mixing_rejected(spark, tmp_path):
+    """ADVICE r10: batch manifests are sequence-numbered, streaming
+    manifests batchId-numbered; interleaving them in one generation
+    would conflate the numberings and corrupt snapshot/change order.
+    Appending the other style raises; a batch OVERWRITE legitimately
+    takes over a streaming table (new generation, sequence sorts after
+    every batchId), after which the stream is locked out."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnFilesWriter,
+        _visible_log,
+    )
+
+    register(spark)
+    sw = TxnFilesStreamWriter(str(tmp_path))
+    sw.commit([sw.write(iter([Row(k=1, v="s0")]))], batchId=0)
+    sw.commit([sw.write(iter([Row(k=2, v="s1")]))], batchId=1)
+
+    # batch APPEND into the streaming generation: refused, nothing
+    # staged leaks into the table
+    bw = TxnFilesWriter(str(tmp_path), overwrite=False)
+    msg = bw.write(iter([Row(k=9, v="batch")]))
+    with pytest.raises(ValueError, match="mixing writer styles"):
+        bw.commit([msg])
+    assert sorted(v for _, v in _read_back(spark, tmp_path)) == ["s0", "s1"]
+
+    # maintenance (an overwrite commit) may take the table over — this
+    # is how compact/recluster stay legal on streaming tables
+    compact(spark, str(tmp_path), _SCHEMA)
+    assert sorted(v for _, v in _read_back(spark, tmp_path)) == ["s0", "s1"]
+    assert len(_visible_log(str(tmp_path))) == 1
+
+    # the stream (same checkpoint lineage, next batchId) is now locked
+    # out instead of silently corrupting the batch generation's order
+    msg2 = sw.write(iter([Row(k=3, v="s2")]))
+    with pytest.raises(ValueError, match="mixing writer styles"):
+        sw.commit([msg2], batchId=2)
+    assert sorted(v for _, v in _read_back(spark, tmp_path)) == ["s0", "s1"]
+
+
+def test_concurrent_append_writers_never_lose_a_commit(tmp_path):
+    """VERDICT r10 item 3: the manifest protocol under real writer
+    concurrency. Eight threads append-commit simultaneously through
+    the full writer path; every commit must land (uuid-unique names
+    commute), the visible log holds all eight, and no rows are lost or
+    duplicated."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnFilesWriter,
+        _visible_log,
+    )
+
+    def one(i: int) -> None:
+        w = TxnFilesWriter(str(tmp_path), overwrite=False)
+        w.commit([w.write(iter([Row(k=i, v=f"w{i}")]))])
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(one, range(8)))
+    log = _visible_log(str(tmp_path))
+    assert len(log) == 8
+    assert sum(d["rows"] for d in log) == 8
+    vals = sorted(
+        json.loads(line)["v"]
+        for f in committed_files(str(tmp_path))
+        for line in open(f)
+    )
+    assert vals == [f"w{i}" for i in range(8)]
+
+
+def test_concurrent_same_sequence_commits_are_total(tmp_path):
+    """Deterministic interleaving of the worst race: two appenders and
+    two overwriters all resolve _next_seq BEFORE any claim lands, so
+    all four target the same sequence number. Append claims are
+    uuid-unique and must BOTH survive; overwrite claims both land but
+    exactly ONE generation wins (the later sorted name), and the
+    sequence stays monotone afterwards."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnFilesStreamWriter as W,
+        _next_seq,
+        _publish,
+        _visible_log,
+    )
+    import uuid as _uuid
+
+    txn = str(tmp_path / "_txn")
+    w = W(str(tmp_path))
+    # both appenders freeze the same sequence (interleaving hook: the
+    # seq read happens before either claim)
+    seq = _next_seq(txn)
+    assert seq == 0
+    n1 = f"manifest-{seq:020d}-{_uuid.uuid4().hex[:8]}.json"
+    n2 = f"manifest-{seq:020d}-{_uuid.uuid4().hex[:8]}.json"
+    m1 = w.write(iter([Row(k=1, v="a1")]))
+    m2 = w.write(iter([Row(k=2, v="a2")]))
+    assert _publish(str(tmp_path), [m1], n1) is True
+    assert _publish(str(tmp_path), [m2], n2) is True  # appends commute
+    assert sum(d["rows"] for d in _visible_log(str(tmp_path))) == 2
+
+    # two racing overwriters, same frozen sequence
+    seq2 = _next_seq(txn)
+    assert seq2 == 1  # monotone even after the same-seq double claim
+    o1 = f"manifest-{seq2:020d}-{_uuid.uuid4().hex[:8]}.json"
+    o2 = f"manifest-{seq2:020d}-{_uuid.uuid4().hex[:8]}.json"
+    g1 = w.write(iter([Row(k=3, v="gen1")]))
+    g2 = w.write(iter([Row(k=4, v="gen2")]))
+    assert _publish(str(tmp_path), [g1], o1, replaces=True) is True
+    assert _publish(str(tmp_path), [g2], o2, replaces=True) is True
+    log = _visible_log(str(tmp_path))
+    assert len(log) == 1  # exactly one generation visible
+    winner = max(o1, o2)  # sorted-name order decides, totally
+    content = "".join(open(f).read() for f in committed_files(str(tmp_path)))
+    assert ("gen1" in content) == (winner == o1)
+    assert ("gen2" in content) == (winner == o2)
+    assert _next_seq(txn) == 2
+
+
+def test_stream_crash_between_rename_and_claim_is_exactly_once(
+    tmp_path, monkeypatch
+):
+    """VERDICT r10 item 6: kill the writer INSIDE the publish window —
+    parts renamed, manifest claim never issued — then replay the batch
+    (what a restarted stream does). The replay must commit exactly one
+    copy; the crashed attempt's renamed parts stay invisible orphans
+    until vacuum."""
+    from mapreduceframework_cpp_spark.sources import pysink
+
+    real_claim = pysink._claim_manifest
+    crashes = {"armed": True}
+
+    def claim_with_crash(txn, name, doc):
+        if crashes["armed"]:
+            crashes["armed"] = False
+            raise RuntimeError("injected crash before manifest claim")
+        return real_claim(txn, name, doc)
+
+    monkeypatch.setattr(pysink, "_claim_manifest", claim_with_crash)
+    w = TxnFilesStreamWriter(str(tmp_path))
+    rows = [Row(k=1, v="once")]
+    with pytest.raises(RuntimeError, match="injected crash"):
+        w.commit([w.write(iter(rows))], batchId=0)
+    # crash window state: a renamed part exists, nothing committed
+    orphans = [f for f in os.listdir(tmp_path) if f.startswith("part-")]
+    assert len(orphans) == 1
+    assert committed_files(str(tmp_path)) == []
+    # restart → the source replays batch 0 from the checkpoint
+    w2 = TxnFilesStreamWriter(str(tmp_path))
+    w2.commit([w2.write(iter(rows))], batchId=0)
+    files = committed_files(str(tmp_path))
+    assert len(files) == 1
+    assert open(files[0]).read().count("once") == 1
+    # second replay (restart after the successful commit) still no-ops
+    w2.commit([w2.write(iter(rows))], batchId=0)
+    assert committed_files(str(tmp_path)) == files
+    # the crashed attempt's orphan is invisible and vacuumable
+    assert vacuum(str(tmp_path), min_age_s=0) == 1
+    assert committed_files(str(tmp_path)) == files
+    assert len([f for f in os.listdir(tmp_path) if f.startswith("part-")]) == 1
 
 
 def test_stream_end_to_end_multibatch(spark, tmp_path):

@@ -42,6 +42,7 @@ afterwards (bench.py unconditionally overwrites it next to itself).
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import subprocess
@@ -136,9 +137,16 @@ def main() -> int:
         )
         def _ceiling(name: str) -> float:
             # declared baseline measured at a 10x step, scaled to this
-            # step's data ratio, with 2x regression headroom
+            # step's data ratio by the CONTRACT'S exponent, with 2x
+            # regression headroom. Both declared queries are quadratic
+            # (candidate pairs ~ density^2), so a k-decade step
+            # multiplies the per-decade ratio k times over:
+            # ratio ** log10(data_ratio). A linear scaling
+            # (ratio * data_ratio/10) would false-fail a healthy
+            # quadratic query on a 100x step and over-forgive
+            # sub-decade steps (ADVICE r10).
             d = DECLARED_SUPERLINEAR[name]
-            return 2.0 * d["fair_decade_ratio"] * (data_ratio / 10.0)
+            return 2.0 * d["fair_decade_ratio"] ** math.log10(data_ratio)
 
         flagged = [
             r for r in ratios
