@@ -296,21 +296,21 @@ ROUND10_ROTATION = [
         "q_emb_pca_top",
 ]
 
-#: round-11 window, committed in advance (standing pattern), now
-#: MECHANICALLY derived: tests/test_driver_contract.py asserts this
-#: list equals tools/next_rotation.py::derive_next_window over the
-#: r01-r09 artifacts with ROUND10_ROTATION as the planned round-10
-#: evidence — the first window under the amended policy (VERDICT r9
-#: item 2) that bars terminal rows-only queries from re-confirm slots.
-#: Contents: the eleven r04-tail spills round 10 could not fit (the
-#: six names displaced by the round-10 sink/lakehouse head insertions
-#: in their r04 artifact order, then q_score_calibration onward),
-#: then the r05 cohort in its own artifact order through
-#: q_audience_overlap; the last eleven r05 names
-#: (q_funnel_by_arm..q_feat_impute) spill to round 12. After this
-#: window nothing has pre-r5 latest evidence. Any round-10 red
-#: re-queues at the head per the standing policy.
+#: round-11 window (LIVE). PURELY mechanical:
+#: tests/test_driver_contract.py asserts this list equals
+#: tools/next_rotation.py::derive_next_window over the r01-r09
+#: artifacts with ROUND10_ROTATION as planned round-10 evidence — the
+#: round-11 reader registration (q_sink_format_read, the symmetric
+#: DataSource read half, VERDICT r10 item 4) is the one unproven
+#: name, so the policy itself seats it at the head and the derived
+#: tail shrinks by one (q_audience_overlap → round-12 head). First
+#: window with zero rows-only slots — every slot can yield a hash
+#: row. Contents after the head: the eleven r04-tail spills round 10
+#: could not fit, then the r05 cohort in its own artifact order. Any
+#: round-10 red re-queues at the head per the standing policy
+#: (CORRECTNESS_r10 had none).
 ROUND11_ROTATION = [
+        "q_sink_format_read",
         "q_score_auc",
         "q_score_decile_lift", "q_score_confusion", "q_ab_ztest",
         "q_rank_fusion", "q_annotator_kappa",
@@ -333,19 +333,22 @@ ROUND11_ROTATION = [
         "q_events_power_users", "q_attrib_linear",
         "q_events_changepoint",
         "q_sessions_concurrency", "q_events_pattern_match",
-        "q_events_entropy_rate", "q_audience_overlap",
+        "q_events_entropy_rate",
 ]
 
 #: round-12 window, committed in advance (standing pattern), derived
 #: mechanically: tests/test_driver_contract.py asserts this list
-#: equals tools/next_rotation.py::derive_next_window over the r01-r09
-#: artifacts with ROUND10_ROTATION and ROUND11_ROTATION as the
-#: planned rounds 10-11 evidence. Contents: the r05 tail rounds 10-11
-#: could not fit (q_funnel_by_arm onward in r05 order), then the r06
-#: cohort in its own artifact order through q_survival_km. No
-#: rows-only query holds a slot (amended policy). Any round-10/11 red
-#: re-queues at the head per the standing policy.
+#: equals tools/next_rotation.py::derive_next_window over the
+#: r01-r10 artifacts with ROUND11_ROTATION as the planned round-11
+#: evidence. Contents: q_audience_overlap (displaced from the r11
+#: tail by the q_sink_format_read head insertion), the r05 tail
+#: rounds 10-11 could not fit (q_funnel_by_arm onward in r05 order),
+#: then the r06 cohort in its own artifact order through
+#: q_agg_trimmed (q_survival_km spills to round 13). No rows-only
+#: query holds a slot (amended policy). Any round-11 red re-queues at
+#: the head per the standing policy.
 ROUND12_ROTATION = [
+        "q_audience_overlap",
         "q_funnel_by_arm", "q_events_burstiness", "q_emb_feature_stats",
         "q_emb_outliers",
         "q_emb_quantile_norm", "q_feat_target_encode",
@@ -368,15 +371,15 @@ ROUND12_ROTATION = [
         "q_dedup_prefix_filter",
         "q_text_phrase", "q_skyline", "q_agg_weighted_median",
         "q_bootstrap_ci",
-        "q_agg_trimmed", "q_survival_km",
+        "q_agg_trimmed",
 ]
 
 #: Alias kept so callers/tests address "the live window" uniformly
-#: across rounds. Round 10 is LIVE: CORRECTNESS_r09 came back clean
-#: (48/50 hash-green + 2 rows-only-by-design `err: no_oracle` rows —
-#: zero hash-reds, zero broken queries; both first-row TWS queries and
-#: both multimodal oracle upgrades hash-matched), so the pre-committed
-#: round-10 window runs unmodified.
-VERIFY_ROTATION = ROUND10_ROTATION
+#: across rounds. Round 11 is LIVE: CORRECTNESS_r10 came back clean
+#: (47/50 hash-green + 3 rows-only-by-design `err: no_oracle` legacy
+#: slots — zero hash-reds, zero broken queries; all 8 first-row
+#: sink/lakehouse queries hash-matched), so the pre-committed round-11
+#: window runs with one head insertion (q_sink_format_read).
+VERIFY_ROTATION = ROUND11_ROTATION
 
-registry.reorder(ROUND10_ROTATION)
+registry.reorder(ROUND11_ROTATION)

@@ -311,6 +311,59 @@ def q_sink_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sink_format_read",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 3000 AND 7999
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sink_format_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric DataSource READ half (round-11): the write goes
+    through ``df.write.format("txn_parquet")`` and the read comes back
+    through ``spark.read.format("txn_parquet").load(path)`` — no
+    library helper, no user schema (the manifest carries the committed
+    StructType), with ``option("pushdown", "true")`` so the key-range
+    predicate reaches `_TxnPruningReader.pushFilters` and prunes file
+    listings at the MANIFEST before any byte is read (the filters are
+    all returned residual, so Spark still applies them row-level —
+    pruning is advisory, correctness is not stats-dependent).
+    Range-clustered on l_orderkey so the zone maps are tight;
+    tests/test_pysink.py asserts the partition count actually drops.
+    DECIMAL(18,2) sums on both sides make the totals order-exact."""
+    register(spark)
+    rows = (
+        tbl(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_returnflag", "l_linestatus",
+            "l_quantity", "l_extendedprice",
+        )
+        .repartitionByRange(16, "l_orderkey")
+    )
+    target = scratch_dir("graft_sink_fmt_")
+    rows.write.format("txn_parquet").mode("append").save(target)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    back = (
+        spark.read.format("txn_parquet")
+        .option("pushdown", "true")
+        .load(target)
+        .where(F.col("l_orderkey").between(3000, 7999))
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
     "q_sink_compact",
     oracle="""
     SELECT lang,

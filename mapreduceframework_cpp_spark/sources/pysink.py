@@ -64,11 +64,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamWriter,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
+from pyspark.sql.types import StructType
 
 _STAGING = "_staging"
 _TXN = "_txn"
@@ -317,7 +326,11 @@ def _reclaim_invisible(path: str, min_age_s: float = 0.0) -> int:
 
 
 def _publish(
-    path: str, messages, manifest_name: str, replaces: bool = False
+    path: str,
+    messages,
+    manifest_name: str,
+    replaces: bool = False,
+    schema_json: str | None = None,
 ) -> bool:
     """Driver-side atomic publish: rename staged files to ``part-*``,
     then claim the manifest name put-if-absent (`_claim_manifest`).
@@ -345,6 +358,10 @@ def _publish(
     doc = _rename_parts(path, messages)
     if replaces:
         doc["replaces"] = True
+    if schema_json is not None:
+        # carried so `spark.read.format(...)` needs no user schema —
+        # the manifest is the table's source of truth for shape too
+        doc["schema"] = schema_json
     if _claim_manifest(txn, manifest_name, doc):
         return True
     for f in doc["files"]:
@@ -420,10 +437,162 @@ def _stage_batches(path: str, iterator: Iterator) -> FileCommit:
     )
 
 
-class TxnFilesDataSource(DataSource):
+@dataclass
+class _PartFile(InputPartition):
+    """One committed data file = one scan partition (the manifest's
+    file list IS the split plan; parquet parts additionally row-group
+    split inside pyarrow). Picklable by contract — workers receive it
+    by value."""
+
+    file: str
+    columns: tuple
+
+
+def _prune_range(f) -> tuple[str | None, tuple]:
+    """(column, [lo, hi]) prune window a pushed filter implies, or
+    (None, ...) when the filter cannot prune zone maps. Exclusive
+    comparisons are widened to inclusive — keeping MORE files is
+    always sound, pruning is advisory (the filters are all returned as
+    residual, so Spark re-applies every predicate row-level)."""
+    attr = getattr(f, "attribute", None)
+    if not (isinstance(attr, tuple) and len(attr) == 1):
+        return None, ()
+
+    def ok(x):  # noqa: ANN001 - zone maps hold JSON scalars only
+        return isinstance(x, (int, float, str)) and not isinstance(x, bool)
+
+    col = attr[0]
+    if isinstance(f, EqualTo) and ok(f.value):
+        return col, (f.value, f.value)
+    if isinstance(f, (GreaterThan, GreaterThanOrEqual)) and ok(f.value):
+        return col, (f.value, None)
+    if isinstance(f, (LessThan, LessThanOrEqual)) and ok(f.value):
+        return col, (None, f.value)
+    if isinstance(f, In) and f.values and all(ok(v) for v in f.values):
+        return col, (min(f.values), max(f.values))
+    return None, ()
+
+
+class _TxnReader(DataSourceReader):
+    """Symmetric read half of the sink (`spark.read.format("txn_files"
+    | "txn_parquet").load(path)`): ``partitions()`` lists the VISIBLE
+    manifest log (one partition per committed file — driver-side
+    metadata, never a directory scan), applies zone-map pruning from
+    pushed filters, and ``read()`` streams the file executor-side.
+    Every pushed filter is returned as residual: the stats prune file
+    LISTINGS, Spark still evaluates the predicate row-level, so
+    correctness never depends on the zone maps (same contract as
+    :func:`read_committed_between`). ``option("asOf", n)`` reads the
+    first n visible commits — time travel through the format API."""
+
+    def __init__(self, path: str, schema, as_of: int | None) -> None:  # noqa: ANN001
+        self.path = path
+        self.columns = tuple(schema.fieldNames())
+        self.as_of = as_of
+        self._bounds: dict[str, list] = {}
+
+    def _keep(self, entry: dict) -> bool:
+        for col, (lo, hi) in self._bounds.items():
+            mm = entry["stats"].get(col)
+            if mm is None:
+                continue  # no stats (e.g. all-NULL file): conservative
+            try:
+                if (hi is not None and mm[0] > hi) or (
+                    lo is not None and mm[1] < lo
+                ):
+                    return False
+            except TypeError:
+                continue  # cross-type filter vs stats: keep the file
+        return True
+
+    def partitions(self) -> list[_PartFile]:
+        return [
+            _PartFile(e["name"], self.columns)
+            for e in committed_entries(self.path, as_of=self.as_of)
+            if self._keep(e)
+        ]
+
+    def read(self, partition: _PartFile):  # noqa: ANN201
+        if partition is None:
+            # partitions() may legitimately prune to ZERO files (an
+            # impossible range); Spark then still schedules one task
+            # with a None partition — emit nothing
+            return
+        if partition.file.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(partition.file)
+            want = list(partition.columns)
+            for batch in pf.iter_batches():
+                yield batch if batch.schema.names == want else batch.select(want)
+        else:
+            with open(partition.file) as fh:
+                for line in fh:
+                    d = json.loads(line)
+                    yield tuple(d.get(c) for c in partition.columns)
+
+
+class _TxnPruningReader(_TxnReader):
+    """`_TxnReader` + filter pushdown. Spark REFUSES any reader that
+    merely defines ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false (session-wide,
+    default false), so pruning is a separate class selected by
+    ``option("pushdown", "true")`` — plain reads keep working on
+    vanilla sessions, and a caller who asks for pruning has opted into
+    setting the conf too."""
+
+    def pushFilters(self, filters):  # noqa: ANN001
+        for f in filters:
+            col, rng = _prune_range(f)
+            if col is None:
+                continue
+            lo, hi = rng
+            cur = self._bounds.setdefault(col, [None, None])
+            if lo is not None and (cur[0] is None or lo > cur[0]):
+                cur[0] = lo
+            if hi is not None and (cur[1] is None or hi < cur[1]):
+                cur[1] = hi
+        return filters  # all residual: pruning is listing-level only
+
+
+def _committed_schema(path: str) -> StructType:
+    """The table's schema as recorded by its writers (newest visible
+    manifest that carries one)."""
+    for _, d in reversed(_visible(path)):
+        s = d.get("schema")
+        if s:
+            return StructType.fromJson(json.loads(s))
+    raise ValueError(
+        f"{path} has no committed schema (empty table or pre-schema "
+        "manifests); pass an explicit .schema(...) to read it"
+    )
+
+
+class _TxnReadSupport:
+    """Reader half shared by both sink formats (the staged format is a
+    per-file property; `_TxnReader.read` dispatches on extension)."""
+
+    def schema(self) -> StructType:
+        return _committed_schema(self._path())
+
+    def reader(self, schema) -> _TxnReader:  # noqa: ANN001
+        as_of = self.options.get("asof")  # options arrive lower-cased
+        cls = (
+            _TxnPruningReader
+            if str(self.options.get("pushdown", "")).lower() == "true"
+            else _TxnReader
+        )
+        return cls(
+            self._path(), schema, int(as_of) if as_of is not None else None
+        )
+
+
+class TxnFilesDataSource(_TxnReadSupport, DataSource):
     """``df.write.format("txn_files").mode("append").save(path)`` /
-    ``df.writeStream.format("txn_files").start(path)`` — transactional
-    JSONL file sink with manifest-based atomic commit."""
+    ``df.writeStream.format("txn_files").start(path)`` /
+    ``spark.read.format("txn_files").load(path)`` — transactional
+    JSONL file sink with manifest-based atomic commit and a symmetric
+    manifest-scoped reader."""
 
     @classmethod
     def name(cls) -> str:
@@ -436,18 +605,21 @@ class TxnFilesDataSource(DataSource):
         return path
 
     def writer(self, schema, overwrite: bool) -> "TxnFilesWriter":  # noqa: ANN001
-        return TxnFilesWriter(self._path(), overwrite)
+        return TxnFilesWriter(self._path(), overwrite, schema)
 
     def streamWriter(self, schema, overwrite: bool) -> "TxnFilesStreamWriter":  # noqa: ANN001
-        return TxnFilesStreamWriter(self._path(), truncate=overwrite)
+        return TxnFilesStreamWriter(self._path(), truncate=overwrite, schema=schema)
 
 
 class TxnFilesWriter(DataSourceWriter):
     """Batch writer: one manifest per successful save() job."""
 
-    def __init__(self, path: str, overwrite: bool) -> None:
+    def __init__(
+        self, path: str, overwrite: bool, schema: StructType | None = None
+    ) -> None:
         self.path = path
         self.overwrite = overwrite
+        self.schema_json = schema.json() if schema is not None else None
 
     def write(self, iterator: Iterator) -> FileCommit:
         return _stage_rows(self.path, iterator)
@@ -472,6 +644,7 @@ class TxnFilesWriter(DataSourceWriter):
             messages,
             f"manifest-{seq:020d}-{uuid.uuid4().hex[:8]}.json",
             replaces=self.overwrite,
+            schema_json=self.schema_json,
         )
 
     def abort(self, messages) -> None:
@@ -492,9 +665,15 @@ class TxnFilesStreamWriter(DataSourceStreamWriter):
     ``replaces`` commit: the sink holds the latest complete state
     instead of accumulating every batch's copy (r10 review finding)."""
 
-    def __init__(self, path: str, truncate: bool = False) -> None:
+    def __init__(
+        self,
+        path: str,
+        truncate: bool = False,
+        schema: StructType | None = None,
+    ) -> None:
         self.path = path
         self.truncate = truncate
+        self.schema_json = schema.json() if schema is not None else None
 
     def write(self, iterator: Iterator) -> FileCommit:
         return _stage_rows(self.path, iterator)
@@ -517,18 +696,20 @@ class TxnFilesStreamWriter(DataSourceStreamWriter):
             messages,
             os.path.basename(manifest),
             replaces=self.truncate,
+            schema_json=self.schema_json,
         )
 
     def abort(self, messages, batchId: int) -> None:
         _discard(self.path, messages)
 
 
-class TxnParquetDataSource(DataSource):
+class TxnParquetDataSource(_TxnReadSupport, DataSource):
     """``txn_parquet`` — the Arrow-native form of the sink: identical
     manifest/commit/snapshot/pruning protocol, but tasks receive
     PyArrow RecordBatches (`DataSourceArrowWriter`) and stage columnar
-    PARQUET parts. This is the 100 TB write path: no per-row Python,
-    Arrow-vectorized zone maps, exact typed round trip (timestamps
+    PARQUET parts, and the reader yields RecordBatches back (Arrow
+    both ways — no per-row Python on either side). This is the 100 TB
+    path: vectorized zone maps, exact typed round trip (timestamps
     etc.), and readers get parquet's own row-group skipping UNDER the
     manifest-level file skipping."""
 
@@ -543,10 +724,10 @@ class TxnParquetDataSource(DataSource):
         return path
 
     def writer(self, schema, overwrite: bool) -> "TxnParquetWriter":  # noqa: ANN001
-        return TxnParquetWriter(self._path(), overwrite)
+        return TxnParquetWriter(self._path(), overwrite, schema)
 
     def streamWriter(self, schema, overwrite: bool) -> "TxnParquetStreamWriter":  # noqa: ANN001
-        return TxnParquetStreamWriter(self._path(), truncate=overwrite)
+        return TxnParquetStreamWriter(self._path(), truncate=overwrite, schema=schema)
 
 
 class TxnParquetWriter(DataSourceArrowWriter, TxnFilesWriter):

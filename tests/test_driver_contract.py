@@ -55,24 +55,25 @@ def test_output_columns_are_atomic(name, spark, sf_dir):
 def test_registration_follows_verify_rotation():
     """The verifier checks the first ~50 registered queries per round;
     queries/__init__.py declares the rotation explicitly. Guard that
-    registration actually honors it and that the live round-10 window
-    spends its slots per the standing policy. Round 9 landed with ZERO
-    hash-reds (derived HERE from the frozen CORRECTNESS_r09.json — the
-    only non-green rows are the two rows-only-by-design `no_oracle`
-    sketch queries), so the pre-committed round-10 window runs
-    unmodified. The green fold AND the window derivation are imported
-    from tools/next_rotation.py (ADVICE r4: a local copy of the fold
-    silently diverged from the CLI's policy; round 10 extends the same
-    lesson to the window order itself)."""
+    registration actually honors it and that the live round-11 window
+    spends its slots per the standing policy. Round 10 landed with
+    ZERO hash-reds (derived HERE from the frozen CORRECTNESS_r10.json
+    — the only non-green rows are the three rows-only-by-design
+    `no_oracle` legacy slots), so the pre-committed round-11 window
+    runs with exactly one declared head insertion
+    (q_sink_format_read, the symmetric DataSource reader — VERDICT
+    r10 item 4). The green fold AND the window derivation are
+    imported from tools/next_rotation.py (ADVICE r4: a local copy of
+    the fold silently diverged from the CLI's policy)."""
     import json
     import os
     import sys
 
     from mapreduceframework_cpp_spark.queries import (
-        ROUND8_ROTATION,
         ROUND9_ROTATION,
         ROUND10_ROTATION,
         ROUND11_ROTATION,
+        ROUND12_ROTATION,
         VERIFY_ROTATION,
     )
     from mapreduceframework_cpp_spark.registry import all_oracles
@@ -83,137 +84,96 @@ def test_registration_follows_verify_rotation():
     from tools.next_rotation import derive_next_window, green_set
 
     registered = list(_QUERIES)
-    assert VERIFY_ROTATION is ROUND10_ROTATION  # the live window alias
-    assert registered[: len(ROUND10_ROTATION)] == ROUND10_ROTATION
-    assert len(ROUND10_ROTATION) == 50
-    assert len(set(ROUND10_ROTATION)) == 50
-    assert not set(ROUND10_ROTATION) & set(ROUND9_ROTATION)
-    assert not set(ROUND10_ROTATION) & set(ROUND8_ROTATION)
-    # head slots: the round-10 sink registrations take their first
-    # driver rows, then the two round-9 spills (the newest r03-latest
-    # rows) plus the round-9 tail slots the TWS/multimodal head
-    # insertions displaced — all carrying round-3 driver evidence
-    assert ROUND10_ROTATION[:13] == [
-        "q_sink_python", "q_sink_stream_python",
-        "q_sink_pruned_read", "q_sink_time_travel", "q_sink_compact",
-        "q_sink_changes", "q_sink_parquet", "q_sink_recluster",
-        "q_dedup_bow", "q_text_ngram_topk", "q_dedup_editdist",
-        "q_graph_triangles", "q_ts_ewma",
-    ]
+    assert VERIFY_ROTATION is ROUND11_ROTATION  # the live window alias
+    assert registered[: len(ROUND11_ROTATION)] == ROUND11_ROTATION
+    assert len(ROUND11_ROTATION) == 50
+    assert len(set(ROUND11_ROTATION)) == 50
+    assert not set(ROUND11_ROTATION) & set(ROUND10_ROTATION)
+    assert not set(ROUND11_ROTATION) & set(ROUND9_ROTATION)
 
     oracles = set(all_oracles())
-    # round 9 landed clean: no SQL-oracle row in the live window ran
+    # round 10 landed clean: no SQL-oracle row in its window ran
     # without error yet hash-failed, so there is nothing to re-queue
-    r09 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r09.json")))
+    r10 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r10.json")))
     reds = [
         n
-        for n in ROUND9_ROTATION
-        if n in r09
+        for n in ROUND10_ROTATION
+        if n in r10
         and n in oracles
-        and not r09[n].get("err")
-        and not r09[n].get("hash_match")
+        and not r10[n].get("err")
+        and not r10[n].get("hash_match")
     ]
-    assert reds == [], f"round-9 reds exist — re-queue them: {reds}"
+    assert reds == [], f"round-10 reds exist — re-queue them: {reds}"
 
-    # cumulative evidence through round 9: EVERY registered query is
-    # driver-green — the r9 window carried the two new TWS queries and
-    # the two multimodal oracle upgrades to their first hash rows, so
-    # the drain invariant's fixed point covers the whole registry (288
-    # hash-green + 10 terminally rows-only clean, VERDICT r9)
+    # cumulative evidence through round 10: the ONLY query without a
+    # driver row is the round-11 reader registration, which holds the
+    # round-11 head slot for its first row
     all_rounds = [
         os.path.join(repo_root, f"CORRECTNESS_{r}.json")
         for r in (
-            "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09"
+            "r01", "r02", "r03", "r04", "r05",
+            "r06", "r07", "r08", "r09", "r10",
         )
     ]
     green = green_set(all_rounds, oracles)
     unproven = [q for q in registered if q not in green]
-    # the only unproven queries are the round-10 sink/lakehouse
-    # registrations, which hold the round-10 head slots for their
-    # first driver rows
-    assert unproven == [
-        "q_sink_python", "q_sink_stream_python",
-        "q_sink_pruned_read", "q_sink_time_travel", "q_sink_compact",
-        "q_sink_changes", "q_sink_parquet", "q_sink_recluster",
-    ], unproven
-    assert ROUND10_ROTATION[:8] == unproven
+    assert unproven == ["q_sink_format_read"], unproven
+    assert ROUND11_ROTATION[0] == "q_sink_format_read"
 
-    # every OTHER round-10 slot re-confirms the oldest evidence rows:
-    # r3/r4 driver evidence
-    g34 = green_set(
-        [
-            os.path.join(repo_root, f"CORRECTNESS_{r}.json")
-            for r in ("r03", "r04")
-        ],
-        oracles,
+    # the round-11 window = the PURE mechanical derivation over the
+    # nine pre-r10 artifacts with ROUND10 planned: the round-11 reader
+    # registration is unproven, so the policy itself puts it at the
+    # head, and the derived tail shrinks by one (q_audience_overlap →
+    # the round-12 head). No manual slotting at all.
+    pre_r10 = all_rounds[:-1]
+    derived11, derived11_unproven = derive_next_window(
+        pre_r10, registered, oracles, planned=[ROUND10_ROTATION]
     )
-    assert set(ROUND10_ROTATION[8:]) <= g34
-    # rows-only slots in the round-10 window: the pre-amendment plan
-    # carried five; the two sketch slots were displaced by head
-    # insertions (and correctly never re-queue) — exactly the three
-    # ML/BPE legacy slots remain, and ROUND11+ (derived under the
-    # amended policy) carries none at all
-    assert set(ROUND10_ROTATION) & (set(registered) - oracles) == {
-        "q_emb_kmeans", "q_emb_pca_top", "q_tok_bpe_merges"
-    }
-
-    # the committed round-11 plan is MECHANICAL: exactly what the
-    # amended policy derives from the nine artifacts plus the planned
-    # round-10 window — so the plan cannot drift from the tool, and
-    # (new policy, VERDICT r9 item 2) no terminal rows-only query ever
-    # takes a re-confirm slot again
-    derived, derived_unproven = derive_next_window(
-        all_rounds, registered, oracles, planned=[ROUND10_ROTATION]
-    )
-    assert derived_unproven == []
-    assert ROUND11_ROTATION == derived
-    assert len(set(ROUND11_ROTATION)) == 50
-    assert not set(ROUND11_ROTATION) & set(ROUND10_ROTATION)
-    assert not set(ROUND11_ROTATION) & set(ROUND9_ROTATION)
+    assert derived11_unproven == ["q_sink_format_read"]
+    assert ROUND11_ROTATION == derived11
     rows_only = set(registered) - oracles
     assert not set(ROUND11_ROTATION) & rows_only, (
         "terminal rows-only queries must not hold re-confirm slots"
     )
-    assert ROUND11_ROTATION[:5] == [
-        "q_score_auc",
+    assert ROUND11_ROTATION[:6] == [
+        "q_sink_format_read", "q_score_auc",
         "q_score_decile_lift", "q_score_confusion", "q_ab_ztest",
         "q_rank_fusion",
     ]
 
-    # the committed round-12 plan is equally mechanical: derived with
-    # BOTH planned windows folded in (r10 head insertions + r11), so
-    # all three committed plans chain from the tool with no manual
-    # slotting anywhere
-    from mapreduceframework_cpp_spark.queries import ROUND12_ROTATION
-
+    # the committed round-12 plan is MECHANICAL: derived from all ten
+    # artifacts with the live round-11 window folded in as planned
+    # evidence — the plan cannot drift from the tool
     derived12, derived12_unproven = derive_next_window(
         all_rounds,
         registered,
         oracles,
-        planned=[ROUND10_ROTATION, ROUND11_ROTATION],
+        planned=[ROUND11_ROTATION],
     )
     assert derived12_unproven == []
     assert ROUND12_ROTATION == derived12
+    assert ROUND12_ROTATION[0] == "q_audience_overlap"  # the displaced tail
     assert len(set(ROUND12_ROTATION)) == 50
     assert not set(ROUND12_ROTATION) & set(ROUND10_ROTATION)
     assert not set(ROUND12_ROTATION) & set(ROUND11_ROTATION)
     assert not set(ROUND12_ROTATION) & rows_only
 
-    # drain invariant: after rounds 10+11 run, no SQL-oracle query has
+    # drain invariant: after round 11 runs, no SQL-oracle query has
     # pre-r5 latest evidence, and the r5-latest overflow is exactly
     # the r05 tail that provably cannot fit (the pool is ordered, so
     # overflow = the names AFTER the window's last slot in r05 order)
     latest: dict[str, int] = {}
     r05_order: dict[str, int] = {}
     for i, r in enumerate(
-        ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09")
+        ("r01", "r02", "r03", "r04", "r05",
+         "r06", "r07", "r08", "r09", "r10")
     ):
         rows = json.load(open(os.path.join(repo_root, f"CORRECTNESS_{r}.json")))
         for j, name in enumerate(rows):
             latest[name] = i + 1
             if r == "r05":
                 r05_order[name] = j
-    covered = set(ROUND10_ROTATION) | set(ROUND11_ROTATION)
+    covered = set(ROUND11_ROTATION)
     stale4 = {
         q
         for q, rnd in latest.items()

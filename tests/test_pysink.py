@@ -631,6 +631,106 @@ def test_stream_crash_between_rename_and_claim_is_exactly_once(
     assert len([f for f in os.listdir(tmp_path) if f.startswith("part-")]) == 1
 
 
+def test_format_reader_symmetric_roundtrip(spark, tmp_path):
+    """VERDICT r10 item 4: `spark.read.format("txn_files"|"txn_parquet")`
+    is symmetric with the writer — no library helper, no user schema
+    (the manifest carries the committed StructType), manifest-scoped
+    visibility, asOf time travel through the format API."""
+    register(spark)
+    df = _rows(spark, 100).repartition(4)
+    for fmt, path in (("txn_parquet", tmp_path / "pq"), ("txn_files", tmp_path / "js")):
+        df.write.format(fmt).mode("append").save(str(path))
+        back = spark.read.format(fmt).load(str(path))
+        assert back.schema.simpleString() == "struct<k:bigint,v:string>"
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+        # staged/orphaned files stay invisible through the format API
+        (path / "part-orphan.jsonl").write_text('{"k": 999, "v": "g"}\n')
+        assert spark.read.format(fmt).load(str(path)).count() == 100
+        # asOf: second commit invisible at snapshot 1
+        _rows(spark, 5, "z").coalesce(1).write.format(fmt).mode("append").save(str(path))
+        assert spark.read.format(fmt).option("asOf", 1).load(str(path)).count() == 100
+        assert spark.read.format(fmt).load(str(path)).count() == 105
+
+
+def test_format_reader_pushdown_prunes_partitions(spark, tmp_path):
+    """The pushed key-range must shrink the PLANNED partition list (one
+    partition per committed file) at the manifest, while the result
+    stays exact — and a filter the zone maps cannot serve (no stats /
+    cross-type) keeps files conservatively."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThanOrEqual,
+    )
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnParquetDataSource,
+        committed_entries,
+    )
+
+    register(spark)
+    _rows(spark, 1000).repartitionByRange(10, "k").write.format(
+        "txn_parquet"
+    ).mode("append").save(str(tmp_path))
+    total = len(committed_entries(str(tmp_path)))
+    assert total == 10
+
+    src = TxnParquetDataSource(
+        options={"path": str(tmp_path), "pushdown": "true"}
+    )
+    rd = src.reader(src.schema())
+    residual = rd.pushFilters(
+        [GreaterThanOrEqual(("k",), 200), LessThanOrEqual(("k",), 250),
+         IsNotNull(("k",))]
+    )
+    assert len(list(residual)) == 3  # ALL filters stay residual
+    assert len(rd.partitions()) < total
+
+    rd_eq = src.reader(src.schema())
+    rd_eq.pushFilters([EqualTo(("k",), 42)])
+    assert len(rd_eq.partitions()) == 1
+
+    # impossible range → zero partitions, and the engine read of the
+    # same predicate returns an empty (not failing) result
+    rd_none = src.reader(src.schema())
+    rd_none.pushFilters([GreaterThanOrEqual(("k",), 10_000)])
+    assert rd_none.partitions() == []
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            spark.read.format("txn_parquet")
+            .option("pushdown", "true")
+            .load(str(tmp_path))
+            .where("k between 200 and 250")
+        )
+        assert sorted(r.k for r in got.collect()) == list(range(200, 251))
+        empty = (
+            spark.read.format("txn_parquet")
+            .option("pushdown", "true")
+            .load(str(tmp_path))
+            .where("k > 10000")
+        )
+        assert empty.count() == 0
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+    # cross-type filter vs the stats: conservative, never wrong
+    rd_str = src.reader(src.schema())
+    rd_str.pushFilters([EqualTo(("k",), "not-a-number")])
+    assert len(rd_str.partitions()) == total
+
+
+def test_format_reader_empty_table_requires_schema(spark, tmp_path):
+    register(spark)
+    os.makedirs(tmp_path / "_txn")
+    with pytest.raises(Exception, match="no committed schema"):
+        spark.read.format("txn_files").load(str(tmp_path)).count()
+    # explicit schema unblocks the read
+    got = spark.read.format("txn_files").schema(_SCHEMA).load(str(tmp_path))
+    assert got.count() == 0
+
+
 def test_stream_end_to_end_multibatch(spark, tmp_path):
     """Real writeStream: two input files under maxFilesPerTrigger=1 →
     two micro-batches → two manifests; read-back equals the batch
