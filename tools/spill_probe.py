@@ -294,6 +294,51 @@ def ensure_blowup(fair: bool = False) -> str:
 # child: one query in one freshly-sized JVM
 # ---------------------------------------------------------------------------
 
+def _sink_blowup(spark, sf_dir):  # noqa: ANN001, ANN201
+    """Sink family at the 10x decade (VERDICT r10 item 5): write the
+    blown events table (1M rows, 6 columns) through ``txn_parquet``
+    range-clustered on user_id — per-task Arrow parquet staging + one
+    manifest commit — then read a ~10% user_id range back through the
+    FORMAT API with pushdown, so the hash covers the full
+    write→commit→zone-map-prune→read round trip under whatever memory
+    regime the leg imposes. Extra receipt fields record how many
+    manifest-listed files the pushed range actually skipped at this
+    scale (the write-side repartitionByRange shuffle is also the
+    probe's spill surface on the starved leg)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnParquetDataSource,
+        committed_entries,
+        register,
+        scratch_dir,
+    )
+
+    register(spark)
+    ev = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).repartitionByRange(32, "user_id")
+    target = scratch_dir("spill_sink_")
+    ev.write.format("txn_parquet").mode("append").save(target)
+    total = len(committed_entries(target))
+    lo, hi = 4000, 5499  # ~10% of the blown 0..14999 user span
+    src = TxnParquetDataSource(options={"path": target, "pushdown": "true"})
+    rd = src.reader(src.schema())
+    rd.pushFilters(
+        [GreaterThanOrEqual(("user_id",), lo), LessThanOrEqual(("user_id",), hi)]
+    )
+    kept = len(rd.partitions())
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    back = (
+        spark.read.format("txn_parquet")
+        .option("pushdown", "true")
+        .load(target)
+        .where(F.col("user_id").between(lo, hi))
+    )
+    return back, {"files_total": total, "files_kept_for_range": kept}
+
+
 def child(query: str, sf_dir: str, mem: str, fraction: str,
           shuffle: str | None = None,
           broadcast: str | None = None) -> None:
@@ -334,7 +379,11 @@ def child(query: str, sf_dir: str, mem: str, fraction: str,
     from mapreduceframework_cpp_spark.operators.common import release_persisted
     from mapreduceframework_cpp_spark.registry import all_queries
 
-    df = all_queries()[query](spark, sf_dir)
+    extra: dict = {}
+    if query == "_sink_blowup":
+        df, extra = _sink_blowup(spark, sf_dir)
+    else:
+        df = all_queries()[query](spark, sf_dir)
     cols = [
         F.round(F.col(f.name), 6).alias(f.name)
         if isinstance(f.dataType, (T.DoubleType, T.FloatType))
@@ -366,6 +415,7 @@ def child(query: str, sf_dir: str, mem: str, fraction: str,
         "memoryBytesSpilled": sum(s.get("memoryBytesSpilled", 0) for s in stages),
         "diskBytesSpilled": sum(s.get("diskBytesSpilled", 0) for s in stages),
         "n_stages": len(stages),
+        **extra,
     }
     spark.stop()
     print("SPILL_PROBE_RESULT " + json.dumps(rec))
@@ -470,6 +520,11 @@ def main() -> int:
             + roomy.get("diskBytesSpilled", 0),
             "tight_err": tight.get("err"),
             "roomy_err": roomy.get("err"),
+            **{
+                k: tight[k]
+                for k in ("files_total", "files_kept_for_range")
+                if k in tight
+            },
         }
         if not ok:
             rc = 1
