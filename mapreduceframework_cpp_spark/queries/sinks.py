@@ -364,6 +364,118 @@ def q_sink_format_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sink_merge",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey <= 9999
+    ),
+    s AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey BETWEEN 2000 AND 2999
+      UNION ALL
+      SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey BETWEEN 500 AND 749
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice FROM s
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM t
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+    """,
+)
+def q_sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-pruned MERGE (upsert) into the transactional sink: a
+    range-clustered orders table takes a source of key-range updates
+    (doubled totals for 2000-2999) plus out-of-range inserts; zone
+    maps bound the rewrite to the files intersecting the source's key
+    span (tests/test_pysink.py pins 1-of-10 touched on a narrow
+    merge), and the DELTA commit removes+adds atomically — readers
+    fold adds minus removes, seeing pre- or post-merge only. The
+    oracle restates MERGE as s UNION ALL (t anti s), so a lost
+    update, double insert, dropped survivor row, or leaked removed
+    file all hash-fail. Doubling a DOUBLE is exact, so values compare
+    bit-for-bit."""
+    from mapreduceframework_cpp_spark.sources.pysink import merge_into
+
+    register(spark)
+    orders = tbl(spark, sf_dir, "orders")
+    target_rows = (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .where(F.col("o_orderkey") <= 9999)
+        .repartitionByRange(10, "o_orderkey")
+    )
+    target = scratch_dir("graft_sink_merge_")
+    target_rows.write.format("txn_parquet").mode("append").save(target)
+    schema = "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    source = (
+        orders.where(F.col("o_orderkey").between(2000, 2999))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).cast("double").alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey").between(500, 749)).select(
+                (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+            )
+        )
+    )
+    merge_into(spark, target, schema, source, "o_orderkey")
+    return read_committed(spark, target, schema)
+
+
+@query(
+    "q_sink_stream_read",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_sink_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SOURCE over the sink's manifest log (the read twin of
+    q_sink_stream_python): three ordered batch commits land in a
+    txn_parquet table, then ``spark.readStream.format("txn_parquet")``
+    tails the log under availableNow — offsets are manifest names, so
+    the micro-batch consumes exactly the commits since the checkpoint
+    (tests pin restart exactly-once and the append-only guard). The
+    aggregate of everything the stream delivered must equal the
+    table-direct oracle: a dropped commit, re-emitted file, or a
+    staged/orphan leak into the stream hash-fails. Parquet parts come
+    back as Arrow RecordBatches — no per-row Python on the read."""
+    from mapreduceframework_cpp_spark.streaming.stream import run_to_memory
+
+    register(spark)
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    target = scratch_dir("graft_sink_tail_")
+    for part in (
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang").isin("de", "fr")),
+        docs.where(
+            (~F.col("lang").isin("en", "de", "fr")) | F.col("lang").isNull()
+        ),
+    ):
+        part.write.format("txn_parquet").mode("append").save(target)
+    tailed = run_to_memory(
+        spark.readStream.format("txn_parquet").load(target),
+        name="q_sink_stream_read_sink",
+    )
+    return tailed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
     "q_sink_compact",
     oracle="""
     SELECT lang,

@@ -66,6 +66,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
@@ -331,6 +332,7 @@ def _publish(
     manifest_name: str,
     replaces: bool = False,
     schema_json: str | None = None,
+    removes: list[str] | None = None,
 ) -> bool:
     """Driver-side atomic publish: rename staged files to ``part-*``,
     then claim the manifest name put-if-absent (`_claim_manifest`).
@@ -362,6 +364,12 @@ def _publish(
         # carried so `spark.read.format(...)` needs no user schema —
         # the manifest is the table's source of truth for shape too
         doc["schema"] = schema_json
+    if removes:
+        # a DELTA commit (merge_into): atomically unpublish the files
+        # this commit rewrote — visibility folds adds minus removes,
+        # so readers see pre-merge or post-merge, never a mixture; the
+        # removed bytes await vacuum like any superseded generation
+        doc["removes"] = sorted(removes)
     if _claim_manifest(txn, manifest_name, doc):
         return True
     for f in doc["files"]:
@@ -518,18 +526,25 @@ class _TxnReader(DataSourceReader):
             # impossible range); Spark then still schedules one task
             # with a None partition — emit nothing
             return
-        if partition.file.endswith(".parquet"):
-            import pyarrow.parquet as pq
+        yield from _read_part(partition)
 
-            pf = pq.ParquetFile(partition.file)
-            want = list(partition.columns)
-            for batch in pf.iter_batches():
-                yield batch if batch.schema.names == want else batch.select(want)
-        else:
-            with open(partition.file) as fh:
-                for line in fh:
-                    d = json.loads(line)
-                    yield tuple(d.get(c) for c in partition.columns)
+
+def _read_part(partition: _PartFile):  # noqa: ANN201
+    """Executor-side scan of one committed file — parquet parts stream
+    back as Arrow RecordBatches (projected to the read columns), JSONL
+    parts as tuples; shared by the batch and streaming readers."""
+    if partition.file.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.file)
+        want = list(partition.columns)
+        for batch in pf.iter_batches():
+            yield batch if batch.schema.names == want else batch.select(want)
+    else:
+        with open(partition.file) as fh:
+            for line in fh:
+                d = json.loads(line)
+                yield tuple(d.get(c) for c in partition.columns)
 
 
 class _TxnPruningReader(_TxnReader):
@@ -555,6 +570,76 @@ class _TxnPruningReader(_TxnReader):
         return filters  # all residual: pruning is listing-level only
 
 
+class _TxnStreamReader(DataSourceStreamReader):
+    """Streaming SOURCE over the manifest log
+    (``spark.readStream.format("txn_files"|"txn_parquet").load(path)``):
+    each micro-batch consumes the manifests that landed since the last
+    checkpointed offset — the tail-the-log CDC consumption shape
+    (Delta's streaming source over its transaction log), giving a
+    downstream pipeline incremental exactly-once ingest off a table
+    other jobs keep appending to.
+
+    The offset is the last consumed manifest NAME — names are totally
+    ordered and every new commit sorts after all existing ones (batch
+    sequences are max+1 over every number on disk; streaming batchIds
+    are monotone per the ownership contract), so (start, end] windows
+    are stable under replay, and ``partitions(start, end)`` re-derives
+    the same file list deterministically for checkpoint recovery. The
+    log must be APPEND-ONLY while streamed: a ``replaces`` commit
+    (overwrite / compact / recluster) or a delta commit (merge
+    ``removes``) inside the window raises rather than silently
+    re-emitting rewritten rows — the same posture as Delta's streaming
+    source without ignoreChanges. An initial ``replaces`` manifest
+    (a table born by overwrite) is fine: nothing precedes it."""
+
+    def __init__(self, path: str, schema) -> None:  # noqa: ANN001
+        self.path = path
+        self.columns = tuple(schema.fieldNames())
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        ms = _manifests(self.path)
+        return {"last": os.path.basename(ms[-1]) if ms else ""}
+
+    def partitions(self, start: dict, end: dict) -> list[_PartFile]:
+        lo, hi = start["last"], end["last"]
+        names = [os.path.basename(m) for m in _manifests(self.path)]
+        parts: list[_PartFile] = []
+        for name in names:
+            if not (lo < name <= hi):
+                continue
+            doc = json.load(open(os.path.join(self.path, _TXN, name)))
+            if doc.get("replaces") and name != names[0]:
+                raise ValueError(
+                    f"{self.path}: a replaces commit ({name}) landed "
+                    "inside the streamed window — the streaming source "
+                    "requires an append-only log; re-stream from a "
+                    "fresh checkpoint after maintenance ops"
+                )
+            if doc.get("removes"):
+                raise ValueError(
+                    f"{self.path}: a delta commit ({name}) landed inside "
+                    "the streamed window — merge rewrites are not "
+                    "re-emittable as appends; re-stream from a fresh "
+                    "checkpoint"
+                )
+            parts.extend(
+                _PartFile(os.path.join(self.path, f), self.columns)
+                for f in doc["files"]
+            )
+        return parts
+
+    def read(self, partition: _PartFile):  # noqa: ANN201
+        if partition is None:
+            return  # an empty (start == end) window plans no files
+        yield from _read_part(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: the manifest log is the table's own
+
+
 def _committed_schema(path: str) -> StructType:
     """The table's schema as recorded by its writers (newest visible
     manifest that carries one)."""
@@ -569,8 +654,13 @@ def _committed_schema(path: str) -> StructType:
 
 
 class _TxnReadSupport:
-    """Reader half shared by both sink formats (the staged format is a
-    per-file property; `_TxnReader.read` dispatches on extension)."""
+    """Reader half + shared options plumbing for both sink formats
+    (the staged format is a per-file property; `_TxnReader.read`
+    dispatches on extension)."""
+
+    def _removes(self) -> list[str] | None:
+        raw = self.options.get("removes")
+        return json.loads(raw) if raw else None
 
     def schema(self) -> StructType:
         return _committed_schema(self._path())
@@ -585,6 +675,9 @@ class _TxnReadSupport:
         return cls(
             self._path(), schema, int(as_of) if as_of is not None else None
         )
+
+    def streamReader(self, schema) -> _TxnStreamReader:  # noqa: ANN001
+        return _TxnStreamReader(self._path(), schema)
 
 
 class TxnFilesDataSource(_TxnReadSupport, DataSource):
@@ -605,21 +698,35 @@ class TxnFilesDataSource(_TxnReadSupport, DataSource):
         return path
 
     def writer(self, schema, overwrite: bool) -> "TxnFilesWriter":  # noqa: ANN001
-        return TxnFilesWriter(self._path(), overwrite, schema)
+        return TxnFilesWriter(self._path(), overwrite, schema, self._removes())
 
     def streamWriter(self, schema, overwrite: bool) -> "TxnFilesStreamWriter":  # noqa: ANN001
         return TxnFilesStreamWriter(self._path(), truncate=overwrite, schema=schema)
 
 
 class TxnFilesWriter(DataSourceWriter):
-    """Batch writer: one manifest per successful save() job."""
+    """Batch writer: one manifest per successful save() job.
+    ``removes`` (JSON list of part basenames via
+    ``option("removes", ...)``) turns the commit into a DELTA commit —
+    the atomic add+remove a file-pruned MERGE needs; mutually
+    exclusive with overwrite (which already replaces everything)."""
 
     def __init__(
-        self, path: str, overwrite: bool, schema: StructType | None = None
+        self,
+        path: str,
+        overwrite: bool,
+        schema: StructType | None = None,
+        removes: list[str] | None = None,
     ) -> None:
+        if overwrite and removes:
+            raise ValueError(
+                "removes is meaningless on an overwrite commit — the "
+                "generation marker already unpublishes every file"
+            )
         self.path = path
         self.overwrite = overwrite
         self.schema_json = schema.json() if schema is not None else None
+        self.removes = removes
 
     def write(self, iterator: Iterator) -> FileCommit:
         return _stage_rows(self.path, iterator)
@@ -645,6 +752,7 @@ class TxnFilesWriter(DataSourceWriter):
             f"manifest-{seq:020d}-{uuid.uuid4().hex[:8]}.json",
             replaces=self.overwrite,
             schema_json=self.schema_json,
+            removes=self.removes,
         )
 
     def abort(self, messages) -> None:
@@ -724,7 +832,7 @@ class TxnParquetDataSource(_TxnReadSupport, DataSource):
         return path
 
     def writer(self, schema, overwrite: bool) -> "TxnParquetWriter":  # noqa: ANN001
-        return TxnParquetWriter(self._path(), overwrite, schema)
+        return TxnParquetWriter(self._path(), overwrite, schema, self._removes())
 
     def streamWriter(self, schema, overwrite: bool) -> "TxnParquetStreamWriter":  # noqa: ANN001
         return TxnParquetStreamWriter(self._path(), truncate=overwrite, schema=schema)
@@ -769,23 +877,36 @@ def _visible_log(path: str) -> list[dict]:
     return [d for _, d in _visible(path)]
 
 
+def _fold_entries(docs: list[dict]) -> list[dict]:
+    """Fold a manifest log into the LIVE per-file entries: each commit
+    first applies its ``removes`` (a delta commit — MERGE — atomically
+    unpublishes the files it rewrote), then adds its own files.
+    Rewrites always mint fresh uuid names, so a removed name never
+    reappears."""
+    live: dict[str, dict] = {}
+    for d in docs:
+        for r in d.get("removes", ()):
+            live.pop(r, None)
+        for e in d["entries"]:
+            live[e["name"]] = e
+    return list(live.values())
+
+
 def committed_files(path: str) -> list[str]:
-    """Absolute paths of every committed part file, manifest order."""
-    out: list[str] = []
-    for d in _visible_log(path):
-        out.extend(os.path.join(path, f) for f in d["files"])
-    return out
+    """Absolute paths of every committed part file, manifest order
+    (adds minus later removes)."""
+    return [e["name"] for e in committed_entries(path)]
 
 
 def committed_entries(path: str, as_of: int | None = None) -> list[dict]:
-    """Per-file manifest entries ({name, rows, stats}) across the first
-    ``as_of`` visible manifests in snapshot order (all if None).
+    """Per-file manifest entries ({name, rows, stats}) live after the
+    first ``as_of`` visible manifests in snapshot order (all if None).
     ``name`` is returned absolute."""
-    out: list[dict] = []
-    for d in _visible_log(path)[: None if as_of is None else as_of]:
-        for e in d["entries"]:
-            out.append({**e, "name": os.path.join(path, e["name"])})
-    return out
+    docs = _visible_log(path)[: None if as_of is None else as_of]
+    return [
+        {**e, "name": os.path.join(path, e["name"])}
+        for e in _fold_entries(docs)
+    ]
 
 
 def _df_from(spark: SparkSession, files: list[str], schema: str) -> DataFrame:
@@ -863,6 +984,22 @@ def vacuum(path: str, min_age_s: float = 24 * 3600.0) -> int:
 
     removed = _reclaim_invisible(path, min_age_s)
     cutoff = time.time() - min_age_s
+
+    # files unpublished by a DELTA commit (merge_into's removes):
+    # invisible since their remover landed, so the retention clock is
+    # the REMOVING manifest's age — same rule as superseded generations
+    for m in _manifests(path):
+        try:
+            if os.path.getmtime(m) > cutoff:
+                continue
+            doc = json.load(open(m))
+        except OSError:
+            continue
+        for r in doc.get("removes", ()):
+            p = os.path.join(path, r)
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
 
     def _old(p: str) -> bool:
         try:
@@ -946,6 +1083,83 @@ def compact(
     """Small-file compaction: rewrite into ``target_files`` parts (see
     :func:`_rewrite` for the atomicity argument)."""
     _rewrite(spark, path, schema, lambda df: df.coalesce(target_files))
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    source: DataFrame,
+    on,  # noqa: ANN001 - str or list[str]
+    when_matched: str = "update",
+) -> dict:
+    """File-pruned MERGE — upsert (``when_matched="update"``: matched
+    target rows are replaced by the source row, unmatched source rows
+    insert) or delete (``"delete"``: matched target rows vanish,
+    source is only a key set). The 100 TB shape of the op: instead of
+    rewriting the table, the source's key range is compared against
+    the manifest ZONE MAPS and only intersecting files are read,
+    anti-joined, and rewritten; the commit is a DELTA manifest that
+    atomically removes exactly those files and adds their
+    replacements. On a range-clustered table a point-range merge
+    touches O(source span / file span) files — tests assert untouched
+    part names survive the merge verbatim. Readers fold adds minus
+    removes, so they see pre-merge or post-merge, never a mixture;
+    the removed bytes await ``vacuum``'s retention window like any
+    superseded generation.
+
+    Join semantics are plain equi-join (NULL source keys never match —
+    they insert under "update" and no-op under "delete"). Pruning uses
+    the FIRST ``on`` column's zone maps; files without stats for it
+    are rewritten conservatively. Single-writer maintenance op, same
+    contract as compact/recluster (concurrent merges could both
+    remove one file; real formats reject that at commit with conflict
+    detection, which this protocol does not implement).
+
+    Returns ``{"files_touched": ..., "files_total": ...}``."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"unsupported when_matched: {when_matched!r}")
+    import pyspark.sql.functions as F
+
+    on_cols = [on] if isinstance(on, str) else list(on)
+    key = on_cols[0]
+    entries = committed_entries(path)
+    fmt = (
+        "txn_parquet"
+        if entries and entries[0]["name"].endswith(".parquet")
+        else "txn_files"
+    )
+    # two scalars of driver traffic — the span, never the keys
+    b = source.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]  # scalar-probe
+    if b["lo"] is None and when_matched == "delete":
+        return {"files_touched": 0, "files_total": len(entries)}
+    touched = (
+        []
+        if b["lo"] is None
+        else [
+            e
+            for e in entries
+            if e["stats"].get(key) is None
+            or (e["stats"][key][0] <= b["hi"] and b["lo"] <= e["stats"][key][1])
+        ]
+    )
+    tdf = _df_from(spark, [e["name"] for e in touched], schema)
+    cols = [f.name for f in tdf.schema.fields]
+    survivors = tdf.join(
+        source.select(*on_cols).distinct(), on_cols, "left_anti"
+    )
+    rewritten = (
+        source.select(*cols).unionByName(survivors)
+        if when_matched == "update"
+        else survivors
+    )
+    rewritten.write.format(fmt).mode("append").option(
+        "removes",
+        json.dumps(sorted(os.path.basename(e["name"]) for e in touched)),
+    ).save(path)
+    return {"files_touched": len(touched), "files_total": len(entries)}
 
 
 def recluster(

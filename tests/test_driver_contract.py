@@ -117,28 +117,29 @@ def test_registration_follows_verify_rotation():
     ]
     green = green_set(all_rounds, oracles)
     unproven = [q for q in registered if q not in green]
-    assert unproven == ["q_sink_format_read"], unproven
-    assert ROUND11_ROTATION[0] == "q_sink_format_read"
+    assert unproven == [
+        "q_sink_format_read", "q_sink_merge", "q_sink_stream_read",
+    ], unproven
+    assert ROUND11_ROTATION[:3] == unproven
 
     # the round-11 window = the PURE mechanical derivation over the
-    # nine pre-r10 artifacts with ROUND10 planned: the round-11 reader
-    # registration is unproven, so the policy itself puts it at the
-    # head, and the derived tail shrinks by one (q_audience_overlap →
-    # the round-12 head). No manual slotting at all.
+    # nine pre-r10 artifacts with ROUND10 planned: the three round-11
+    # sink registrations are unproven, so the policy itself puts them
+    # at the head, and the derived tail shrinks by three. No manual
+    # slotting at all.
     pre_r10 = all_rounds[:-1]
     derived11, derived11_unproven = derive_next_window(
         pre_r10, registered, oracles, planned=[ROUND10_ROTATION]
     )
-    assert derived11_unproven == ["q_sink_format_read"]
+    assert derived11_unproven == unproven
     assert ROUND11_ROTATION == derived11
     rows_only = set(registered) - oracles
     assert not set(ROUND11_ROTATION) & rows_only, (
         "terminal rows-only queries must not hold re-confirm slots"
     )
     assert ROUND11_ROTATION[:6] == [
-        "q_sink_format_read", "q_score_auc",
-        "q_score_decile_lift", "q_score_confusion", "q_ab_ztest",
-        "q_rank_fusion",
+        "q_sink_format_read", "q_sink_merge", "q_sink_stream_read",
+        "q_score_auc", "q_score_decile_lift", "q_score_confusion",
     ]
 
     # the committed round-12 plan is MECHANICAL: derived from all ten
@@ -152,7 +153,11 @@ def test_registration_follows_verify_rotation():
     )
     assert derived12_unproven == []
     assert ROUND12_ROTATION == derived12
-    assert ROUND12_ROTATION[0] == "q_audience_overlap"  # the displaced tail
+    # the three names the round-11 head insertions displaced
+    assert ROUND12_ROTATION[:3] == [
+        "q_events_pattern_match", "q_events_entropy_rate",
+        "q_audience_overlap",
+    ]
     assert len(set(ROUND12_ROTATION)) == 50
     assert not set(ROUND12_ROTATION) & set(ROUND10_ROTATION)
     assert not set(ROUND12_ROTATION) & set(ROUND11_ROTATION)

@@ -731,6 +731,112 @@ def test_format_reader_empty_table_requires_schema(spark, tmp_path):
     assert got.count() == 0
 
 
+def test_merge_into_prunes_and_upserts(spark, tmp_path):
+    """File-pruned MERGE: on a range-clustered table, an upsert whose
+    source spans a narrow key range rewrites ONLY the intersecting
+    files (untouched part names survive verbatim), the delta commit's
+    removes are applied atomically by readers, removed bytes persist
+    until vacuum, and delete-mode removes matched rows only."""
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.sources.pysink import merge_into
+
+    register(spark)
+    _rows(spark, 1000).repartitionByRange(10, "k").write.format(
+        "txn_parquet"
+    ).mode("append").save(str(tmp_path))
+    before = {os.path.basename(e["name"]) for e in committed_entries(str(tmp_path))}
+
+    upd = spark.range(200, 260).select(
+        F.col("id").alias("k"), F.lit("upd").alias("v")
+    )
+    stats = merge_into(spark, str(tmp_path), _SCHEMA, upd, "k")
+    assert stats["files_total"] == 10
+    assert stats["files_touched"] == 1  # 200..259 sits in one range file
+    after = {os.path.basename(e["name"]) for e in committed_entries(str(tmp_path))}
+    assert len(before & after) == 9  # untouched files survive verbatim
+    back = read_committed(spark, str(tmp_path), _SCHEMA)
+    assert back.count() == 1000
+    assert back.where("v = 'upd'").count() == 60
+    assert back.where("v like 'a%'").count() == 940
+    # removed files persist for in-flight readers until vacuum
+    removed = before - after
+    assert removed and all(
+        os.path.exists(tmp_path / n) for n in removed
+    )
+    assert vacuum(str(tmp_path)) == 0  # retention window
+    assert vacuum(str(tmp_path), min_age_s=0) == len(removed)
+    assert not any(os.path.exists(tmp_path / n) for n in removed)
+    assert read_committed(spark, str(tmp_path), _SCHEMA).count() == 1000
+
+    # inserts: keys beyond the table's range are appended
+    ins = spark.range(5000, 5005).select(
+        F.col("id").alias("k"), F.lit("ins").alias("v")
+    )
+    merge_into(spark, str(tmp_path), _SCHEMA, ins, "k")
+    assert read_committed(spark, str(tmp_path), _SCHEMA).count() == 1005
+
+    # delete mode: matched rows vanish, nothing inserted
+    stats = merge_into(
+        spark, str(tmp_path), _SCHEMA,
+        spark.range(5000, 5010).select(F.col("id").alias("k")),
+        "k", when_matched="delete",
+    )
+    back = read_committed(spark, str(tmp_path), _SCHEMA)
+    assert back.count() == 1000
+    assert back.where("v = 'ins'").count() == 0
+
+
+def test_stream_source_tails_the_log(spark, tmp_path):
+    """Streaming SOURCE over the manifest log: each availableNow run
+    consumes exactly the commits since the checkpointed offset
+    (exactly-once across restarts, empty windows emit nothing), and a
+    maintenance/replaces commit inside the window raises instead of
+    silently re-emitting rewritten rows."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "table"
+    out = tmp_path / "out"
+    chk = tmp_path / "chk"
+
+    def run_once():
+        q = (
+            spark.readStream.format("txn_files")
+            .load(str(src))
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    register(spark)
+    _rows(spark, 3, "a").coalesce(1).write.format("txn_files").mode(
+        "append"
+    ).save(str(src))
+    run_once()
+    assert spark.read.parquet(str(out)).count() == 3
+    # two more commits land; the restarted stream reads ONLY those
+    _rows(spark, 4, "b").coalesce(1).write.format("txn_files").mode(
+        "append"
+    ).save(str(src))
+    _rows(spark, 2, "c").coalesce(1).write.format("txn_files").mode(
+        "append"
+    ).save(str(src))
+    run_once()
+    got = spark.read.parquet(str(out))
+    assert got.count() == 9
+    assert got.where(F.col("v").startswith("a")).count() == 3  # no re-emit
+    run_once()  # empty window: nothing new
+    assert spark.read.parquet(str(out)).count() == 9
+    # a replaces commit breaks append-only: the stream must refuse
+    compact(spark, str(src), _SCHEMA)
+    with pytest.raises(Exception, match="append-only"):
+        run_once()
+
+
 def test_stream_end_to_end_multibatch(spark, tmp_path):
     """Real writeStream: two input files under maxFilesPerTrigger=1 →
     two micro-batches → two manifests; read-back equals the batch
