@@ -476,6 +476,44 @@ def q_sink_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sink_evolve",
+    oracle="""
+    SELECT lang,
+           CASE WHEN lang = 'en' THEN NULL ELSE source END AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_sink_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION on the sink: commit 1 writes the English
+    documents WITHOUT a source column; commit 2 writes the rest with
+    ``source`` added. The format read serves the MERGED schema
+    (manifest schemas folded in commit order, all-nullable), padding
+    pre-evolution files with typed NULLs at scan time — the
+    Iceberg/Delta add-column contract, which at 100 TB is the
+    difference between evolving a table and rewriting it. The oracle
+    emulates the evolution with a CASE (en rows never carried source),
+    so a mis-padded file, dropped column, or wrong null-fill
+    hash-fails."""
+    register(spark)
+    docs = tbl(spark, sf_dir, "documents")
+    target = scratch_dir("graft_sink_evo_")
+    docs.where(F.col("lang") == "en").select(
+        "doc_id", "lang", "n_chars"
+    ).write.format("txn_parquet").mode("append").save(target)
+    docs.where((F.col("lang") != "en") | F.col("lang").isNull()).select(
+        "doc_id", "lang", "n_chars", "source"
+    ).write.format("txn_parquet").mode("append").save(target)
+    back = spark.read.format("txn_parquet").load(target)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
     "q_sink_compact",
     oracle="""
     SELECT lang,

@@ -449,11 +449,14 @@ def _stage_batches(path: str, iterator: Iterator) -> FileCommit:
 class _PartFile(InputPartition):
     """One committed data file = one scan partition (the manifest's
     file list IS the split plan; parquet parts additionally row-group
-    split inside pyarrow). Picklable by contract — workers receive it
-    by value."""
+    split inside pyarrow). Carries the READ schema (json) so the scan
+    can serve SCHEMA EVOLUTION: a file written before a column was
+    added pads it with typed nulls, a widened column casts up.
+    Picklable by contract — workers receive it by value."""
 
     file: str
     columns: tuple
+    schema_json: str = ""
 
 
 def _prune_range(f) -> tuple[str | None, tuple]:
@@ -496,6 +499,7 @@ class _TxnReader(DataSourceReader):
     def __init__(self, path: str, schema, as_of: int | None) -> None:  # noqa: ANN001
         self.path = path
         self.columns = tuple(schema.fieldNames())
+        self.schema_json = schema.json()
         self.as_of = as_of
         self._bounds: dict[str, list] = {}
 
@@ -515,7 +519,7 @@ class _TxnReader(DataSourceReader):
 
     def partitions(self) -> list[_PartFile]:
         return [
-            _PartFile(e["name"], self.columns)
+            _PartFile(e["name"], self.columns, self.schema_json)
             for e in committed_entries(self.path, as_of=self.as_of)
             if self._keep(e)
         ]
@@ -531,15 +535,42 @@ class _TxnReader(DataSourceReader):
 
 def _read_part(partition: _PartFile):  # noqa: ANN201
     """Executor-side scan of one committed file — parquet parts stream
-    back as Arrow RecordBatches (projected to the read columns), JSONL
-    parts as tuples; shared by the batch and streaming readers."""
+    back as Arrow RecordBatches conformed to the READ schema (columns
+    the file predates are padded with typed nulls, widened columns
+    cast up — schema evolution at scan time, the Iceberg/Delta read
+    contract), JSONL parts as tuples (absent keys already yield None);
+    shared by the batch and streaming readers."""
     if partition.file.endswith(".parquet"):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(partition.file)
         want = list(partition.columns)
+        target = None
+        if partition.schema_json:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            target = to_arrow_schema(
+                StructType.fromJson(json.loads(partition.schema_json))
+            )
         for batch in pf.iter_batches():
-            yield batch if batch.schema.names == want else batch.select(want)
+            if target is None:
+                yield batch if batch.schema.names == want else batch.select(want)
+                continue
+            if batch.schema == target:  # fast path: no evolution needed
+                yield batch
+                continue
+            names = batch.schema.names
+            arrays = []
+            for field in target:
+                if field.name in names:
+                    col = batch.column(names.index(field.name))
+                    arrays.append(
+                        col if col.type == field.type else col.cast(field.type)
+                    )
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, type=field.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
     else:
         with open(partition.file) as fh:
             for line in fh:
@@ -595,6 +626,7 @@ class _TxnStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema) -> None:  # noqa: ANN001
         self.path = path
         self.columns = tuple(schema.fieldNames())
+        self.schema_json = schema.json()
 
     def initialOffset(self) -> dict:
         return {"last": ""}
@@ -626,7 +658,7 @@ class _TxnStreamReader(DataSourceStreamReader):
                     "checkpoint"
                 )
             parts.extend(
-                _PartFile(os.path.join(self.path, f), self.columns)
+                _PartFile(os.path.join(self.path, f), self.columns, self.schema_json)
                 for f in doc["files"]
             )
         return parts
@@ -641,12 +673,30 @@ class _TxnStreamReader(DataSourceStreamReader):
 
 
 def _committed_schema(path: str) -> StructType:
-    """The table's schema as recorded by its writers (newest visible
-    manifest that carries one)."""
-    for _, d in reversed(_visible(path)):
+    """The table's schema as recorded by its writers, MERGED across the
+    visible log in commit order (schema evolution): a later commit may
+    add columns (older files pad them with nulls at scan time — see
+    `_read_part`) or widen a column's type (later type wins; older
+    files cast up). Field order is first-appearance, matching how the
+    table grew."""
+    from pyspark.sql.types import StructField
+
+    fields: dict[str, StructField] = {}
+    seen = False
+    for _, d in _visible(path):
         s = d.get("schema")
-        if s:
-            return StructType.fromJson(json.loads(s))
+        if not s:
+            continue
+        seen = True
+        for f in StructType.fromJson(json.loads(s)).fields:
+            # later commit wins the type; everything reads nullable —
+            # a file that predates a column pads it with NULLs, and a
+            # non-nullable field would let codegen read the padding
+            # unchecked (observed: IllegalStateException in
+            # ArrowColumnVector on the evolved column)
+            fields[f.name] = StructField(f.name, f.dataType, True, f.metadata)
+    if seen:
+        return StructType(list(fields.values()))
     raise ValueError(
         f"{path} has no committed schema (empty table or pre-schema "
         "manifests); pass an explicit .schema(...) to read it"

@@ -837,6 +837,49 @@ def test_stream_source_tails_the_log(spark, tmp_path):
         run_once()
 
 
+def test_schema_evolution_add_and_widen(spark, tmp_path):
+    """Schema evolution at scan time: a later commit may ADD a column
+    (files that predate it pad with typed nulls — and the merged
+    schema must be nullable, or codegen reads the padding unchecked)
+    or WIDEN a column (older files cast up). Works on both staged
+    formats; time travel to the pre-evolution snapshot serves the old
+    shape."""
+    import pyspark.sql.functions as F
+
+    register(spark)
+    for fmt, path in (("txn_parquet", tmp_path / "pq"), ("txn_files", tmp_path / "js")):
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit("v1").alias("v")
+        ).coalesce(1).write.format(fmt).mode("append").save(str(path))
+        spark.range(5, 9).select(
+            F.col("id").alias("k"),
+            F.lit("v2").alias("v"),
+            (F.col("id") * 10).alias("w"),
+        ).coalesce(1).write.format(fmt).mode("append").save(str(path))
+        back = spark.read.format(fmt).load(str(path))
+        assert back.schema.simpleString() == "struct<k:bigint,v:string,w:bigint>"
+        assert all(f.nullable for f in back.schema.fields)
+        rows = sorted((r.k, r.w) for r in back.collect())
+        assert rows[:5] == [(i, None) for i in range(5)]
+        assert rows[5:] == [(i, i * 10) for i in range(5, 9)]
+        # the pre-evolution snapshot still reads with the old shape
+        s1 = spark.read.format(fmt).option("asOf", 1).load(str(path))
+        assert s1.columns == ["k", "v", "w"]  # merged shape, null w
+        assert s1.where("w is not null").count() == 0
+
+    # widening: int32 files cast up when a later commit is int64
+    wd = tmp_path / "wide"
+    spark.range(3).select(F.col("id").cast("int").alias("k")).coalesce(1).write.format(
+        "txn_parquet"
+    ).mode("append").save(str(wd))
+    spark.range(3, 5).select(F.col("id").alias("k")).coalesce(1).write.format(
+        "txn_parquet"
+    ).mode("append").save(str(wd))
+    bw = spark.read.format("txn_parquet").load(str(wd))
+    assert bw.schema.simpleString() == "struct<k:bigint>"
+    assert sorted(r.k for r in bw.collect()) == [0, 1, 2, 3, 4]
+
+
 def test_stream_end_to_end_multibatch(spark, tmp_path):
     """Real writeStream: two input files under maxFilesPerTrigger=1 →
     two micro-batches → two manifests; read-back equals the batch
