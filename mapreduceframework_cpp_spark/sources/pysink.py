@@ -37,6 +37,29 @@ scales with executors while the commit stays O(#tasks) metadata.
   directory, so staged/aborted/orphaned files are invisible by
   construction.
 
+Round-11 extensions make the surface symmetric and maintainable:
+
+* ``spark.read.format("txn_files"|"txn_parquet").load(path)`` — a full
+  `DataSourceReader`: one scan partition per committed file, schema
+  served from the manifests (merged across commits = SCHEMA EVOLUTION;
+  older files pad added columns with typed nulls at scan time),
+  ``option("asOf", n)`` time travel, and ``option("pushdown","true")``
+  zone-map file pruning (all filters stay residual — advisory);
+* ``spark.readStream.format(...)`` — a `DataSourceStreamReader` that
+  TAILS the manifest log: offsets are manifest names, each micro-batch
+  consumes exactly the commits since the checkpoint (exactly-once
+  across restarts), and replaces/delta commits in the window raise
+  (append-only contract);
+* :func:`merge_into` — file-pruned MERGE: zone maps bound the rewrite
+  to files intersecting the source key span; the commit is a DELTA
+  manifest (``removes`` + adds applied atomically by readers);
+* batch and streaming writers cannot interleave commits in one
+  generation (sequence numbers vs batchIds share the sorted-name
+  order); a batch overwrite may take a streaming table over;
+* physical reclamation happens ONLY in :func:`vacuum`, behind a
+  retention window measured from when visibility was lost, so readers
+  that planned a scan before a swap/merge finish against intact files.
+
 Cluster notes (local mode shares one filesystem; on a real cluster):
 ``path`` must be shared storage reachable from executors and driver.
 On object stores without atomic rename, the manifest is already the
