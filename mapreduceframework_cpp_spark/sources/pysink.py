@@ -502,8 +502,10 @@ def _prune_range(f) -> tuple[str | None, tuple]:
         return col, (f.value, None)
     if isinstance(f, (LessThan, LessThanOrEqual)) and ok(f.value):
         return col, (None, f.value)
-    if isinstance(f, In) and f.values and all(ok(v) for v in f.values):
-        return col, (min(f.values), max(f.values))
+    if isinstance(f, In) and f.value and all(ok(v) for v in f.value):
+        # the In filter's tuple of literals is its `value` field (same
+        # name as the comparators', NOT `values` — round-11 review bug)
+        return col, (min(f.value), max(f.value))
     return None, ()
 
 
@@ -1031,9 +1033,19 @@ def read_changes(
     re-reading the table (Delta CDF / Iceberg incremental-scan shape).
     O(#manifests in the window) metadata, data reads only the window's
     files. Valid while history is intact: an overwrite/compaction
-    truncates the log (see read_snapshot)."""
+    truncates the log (see read_snapshot), and a DELTA commit (merge
+    ``removes``) inside the window RAISES — its added files are
+    rewrites of earlier commits' rows, so emitting them as appends
+    would double-count every surviving row (same append-only contract
+    the streaming source enforces)."""
     files: list[str] = []
     for d in _visible_log(path)[from_snapshot:to_snapshot]:
+        if d.get("removes"):
+            raise ValueError(
+                f"{path}: a delta commit (merge) lies inside the change "
+                "window — its files rewrite earlier commits' rows and "
+                "cannot be consumed as appends"
+            )
         files.extend(os.path.join(path, f) for f in d["files"])
     return _df_from(spark, files, schema)
 

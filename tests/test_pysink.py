@@ -837,6 +837,61 @@ def test_stream_source_tails_the_log(spark, tmp_path):
         run_once()
 
 
+def test_in_filter_prunes_and_changes_guard(spark, tmp_path):
+    """(round-11 self-review) The In filter's literal tuple is its
+    `value` field — pushFilters must prune from it, not crash; and
+    read_changes must refuse a window containing a delta commit (its
+    files REWRITE earlier rows, so a CDC consumer would double-count
+    survivors)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.datasource import In
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnParquetDataSource,
+        merge_into,
+    )
+
+    register(spark)
+    _rows(spark, 1000).repartitionByRange(10, "k").write.format(
+        "txn_parquet"
+    ).mode("append").save(str(tmp_path))
+    src = TxnParquetDataSource(
+        options={"path": str(tmp_path), "pushdown": "true"}
+    )
+    rd = src.reader(src.schema())
+    rd.pushFilters([In(("k",), (205, 210, 250))])
+    assert len(rd.partitions()) == 1  # all three literals in one file
+    # end-to-end through the engine
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            spark.read.format("txn_parquet")
+            .option("pushdown", "true")
+            .load(str(tmp_path))
+            .where(F.col("k").isin(205, 210, 250))
+        )
+        assert sorted(r.k for r in got.collect()) == [205, 210, 250]
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+    # change windows refuse delta commits
+    _rows(spark, 5, "z").coalesce(1).write.format("txn_parquet").mode(
+        "append"
+    ).save(str(tmp_path))  # commit 2: plain append — fine in a window
+    assert read_changes(spark, str(tmp_path), _SCHEMA, 1, 2).count() == 5
+    merge_into(
+        spark, str(tmp_path), _SCHEMA,
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), F.lit("m").alias("v")
+        ),
+        "k",
+    )  # commit 3: delta
+    with pytest.raises(ValueError, match="delta commit"):
+        read_changes(spark, str(tmp_path), _SCHEMA, 1, 3)
+    # a window BEFORE the delta commit still serves
+    assert read_changes(spark, str(tmp_path), _SCHEMA, 1, 2).count() == 5
+
+
 def test_schema_evolution_add_and_widen(spark, tmp_path):
     """Schema evolution at scan time: a later commit may ADD a column
     (files that predate it pad with typed nulls — and the merged
