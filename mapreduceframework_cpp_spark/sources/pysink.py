@@ -668,7 +668,13 @@ class _TxnStreamReader(DataSourceStreamReader):
             if not (lo < name <= hi):
                 continue
             doc = json.load(open(os.path.join(self.path, _TXN, name)))
-            if doc.get("replaces") and name != names[0]:
+            # a replaces commit is only acceptable as the very first
+            # manifest of a FRESH stream (a table born by overwrite);
+            # a restarted stream (non-empty start offset) must never
+            # accept one — vacuum may have reclaimed the generation it
+            # superseded, making it indistinguishable from a truncate
+            # that invalidates everything already emitted
+            if doc.get("replaces") and not (lo == "" and name == names[0]):
                 raise ValueError(
                     f"{self.path}: a replaces commit ({name}) landed "
                     "inside the streamed window — the streaming source "
