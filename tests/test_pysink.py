@@ -892,6 +892,49 @@ def test_in_filter_prunes_and_changes_guard(spark, tmp_path):
     assert read_changes(spark, str(tmp_path), _SCHEMA, 1, 2).count() == 5
 
 
+def test_delta_retention_clock_is_the_removing_manifest(spark, tmp_path):
+    """Removed-by-merge files are reclaimed on the REMOVING manifest's
+    age, not the parts' own mtimes: an old part removed by a fresh
+    merge must survive the retention window (a reader that planned on
+    the pre-merge snapshot may still be scanning it), and backdating
+    the remover releases it."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        _manifests,
+        merge_into,
+    )
+
+    register(spark)
+    _rows(spark, 100).coalesce(1).write.format("txn_parquet").mode(
+        "append"
+    ).save(str(tmp_path))
+    old_part = committed_files(str(tmp_path))[0]
+    stale = time.time() - 7200
+    os.utime(old_part, (stale, stale))  # the data is two "hours" old
+    merge_into(
+        spark, str(tmp_path), _SCHEMA,
+        spark.range(5).select(F.col("id").alias("k"), F.lit("m").alias("v")),
+        "k",
+    )
+    assert os.path.exists(old_part)  # unlisted, not deleted
+    # fresh remover: the old part survives a 1h retention vacuum even
+    # though its own mtime is ancient
+    assert vacuum(str(tmp_path), min_age_s=3600) == 0
+    assert os.path.exists(old_part)
+    # backdate the removing manifest (visibility was lost long ago)
+    remover = [
+        m for m in _manifests(str(tmp_path))
+        if json.load(open(m)).get("removes")
+    ][0]
+    os.utime(remover, (stale, stale))
+    assert vacuum(str(tmp_path), min_age_s=3600) == 1
+    assert not os.path.exists(old_part)
+    assert read_committed(spark, str(tmp_path), _SCHEMA).count() == 100
+
+
 def test_schema_evolution_add_and_widen(spark, tmp_path):
     """Schema evolution at scan time: a later commit may ADD a column
     (files that predate it pad with typed nulls — and the merged
