@@ -578,9 +578,16 @@ def _read_part(partition: _PartFile):  # noqa: ANN201
             target = to_arrow_schema(
                 StructType.fromJson(json.loads(partition.schema_json))
             )
-        for batch in pf.iter_batches():
+        # COLUMN PRUNING at the file: only the read schema's columns
+        # are decoded (iter_batches preserves the requested order), so
+        # a narrow `.schema(...)` read of a wide table skips the other
+        # column chunks entirely — the ReadSchema story at file level.
+        # Columns the file predates are simply absent here and padded
+        # below.
+        present = [c for c in want if c in pf.schema_arrow.names]
+        for batch in pf.iter_batches(columns=present):
             if target is None:
-                yield batch if batch.schema.names == want else batch.select(want)
+                yield batch
                 continue
             if batch.schema == target:  # fast path: no evolution needed
                 yield batch

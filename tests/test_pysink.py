@@ -892,6 +892,32 @@ def test_in_filter_prunes_and_changes_guard(spark, tmp_path):
     assert read_changes(spark, str(tmp_path), _SCHEMA, 1, 2).count() == 5
 
 
+def test_narrow_schema_read_prunes_columns(spark, tmp_path):
+    """An explicit narrow .schema() on the format read decodes only
+    those parquet column chunks (iter_batches(columns=...)) — the
+    file-level ReadSchema behavior — and still serves exact values, in
+    the requested column order, including a column some files lack."""
+    import pyspark.sql.functions as F
+
+    register(spark)
+    spark.range(100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") * 1.5).alias("x"),
+    ).coalesce(1).write.format("txn_parquet").mode("append").save(str(tmp_path))
+    narrow = spark.read.format("txn_parquet").schema("x double, k bigint").load(
+        str(tmp_path)
+    )
+    assert narrow.columns == ["x", "k"]
+    rows = sorted((r.k, r.x) for r in narrow.collect())
+    assert rows[0] == (0, 0.0) and rows[99] == (99, 148.5)
+    # a requested column absent from the file pads with nulls
+    ghost = spark.read.format("txn_parquet").schema(
+        "k bigint, missing string"
+    ).load(str(tmp_path))
+    assert ghost.where("missing is null").count() == 100
+
+
 def test_delta_retention_clock_is_the_removing_manifest(spark, tmp_path):
     """Removed-by-merge files are reclaimed on the REMOVING manifest's
     age, not the parts' own mtimes: an old part removed by a fresh
