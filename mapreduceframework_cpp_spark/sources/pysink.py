@@ -504,8 +504,14 @@ def _prune_range(f) -> tuple[str | None, tuple]:
         return col, (None, f.value)
     if isinstance(f, In) and f.value and all(ok(v) for v in f.value):
         # the In filter's tuple of literals is its `value` field (same
-        # name as the comparators', NOT `values` — round-11 review bug)
-        return col, (min(f.value), max(f.value))
+        # name as the comparators', NOT `values` — round-11 review
+        # bug). The literals must also be MUTUALLY comparable: a mixed
+        # int/str list would make min() raise at plan time — skip
+        # pruning for such a filter instead (conservative).
+        if all(isinstance(v, (int, float)) for v in f.value) or all(
+            isinstance(v, str) for v in f.value
+        ):
+            return col, (min(f.value), max(f.value))
     return None, ()
 
 
