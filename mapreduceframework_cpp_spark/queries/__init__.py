@@ -300,15 +300,16 @@ ROUND10_ROTATION = [
 #: tests/test_driver_contract.py asserts this list equals
 #: tools/next_rotation.py::derive_next_window over the r01-r09
 #: artifacts with ROUND10_ROTATION as planned round-10 evidence — the
-#: four round-11 sink registrations (q_sink_format_read: the
+#: five round-11 sink registrations (q_sink_format_read: the
 #: symmetric DataSource read half, VERDICT r10 item 4;
 #: q_sink_merge: file-pruned MERGE via delta commits;
 #: q_sink_stream_read: the streaming source tailing the manifest log;
-#: q_sink_evolve: add-column schema evolution served at scan time)
+#: q_sink_evolve: add-column schema evolution served at scan time;
+#: q_sink_pipeline: the source and sink halves composed log-to-log)
 #: are the unproven names, so the policy itself seats them at the
-#: head and the derived tail shrinks by four (q_sessions_concurrency
-#: / q_events_pattern_match / q_events_entropy_rate /
-#: q_audience_overlap → round-12 head). First window with zero
+#: head and the derived tail shrinks by five (q_events_changepoint /
+#: q_sessions_concurrency / q_events_pattern_match /
+#: q_events_entropy_rate / q_audience_overlap → round-12 head). First window with zero
 #: rows-only slots — every slot can yield a hash row. Contents after
 #: the head: the eleven r04-tail spills round 10 could not fit, then
 #: the r05 cohort in its own artifact order. Any round-10 red
@@ -316,7 +317,7 @@ ROUND10_ROTATION = [
 #: none).
 ROUND11_ROTATION = [
         "q_sink_format_read", "q_sink_merge", "q_sink_stream_read",
-        "q_sink_evolve",
+        "q_sink_evolve", "q_sink_pipeline",
         "q_score_auc",
         "q_score_decile_lift", "q_score_confusion", "q_ab_ztest",
         "q_rank_fusion", "q_annotator_kappa",
@@ -337,23 +338,23 @@ ROUND11_ROTATION = [
         "q_events_seasonality",
         "q_user_ltv_percentiles", "q_events_streaks",
         "q_events_power_users", "q_attrib_linear",
-        "q_events_changepoint",
 ]
 
 #: round-12 window, committed in advance (standing pattern), derived
 #: mechanically: tests/test_driver_contract.py asserts this list
 #: equals tools/next_rotation.py::derive_next_window over the
 #: r01-r10 artifacts with ROUND11_ROTATION as the planned round-11
-#: evidence. Contents: the four names the round-11 sink head
-#: insertions displaced (q_sessions_concurrency /
-#: q_events_pattern_match / q_events_entropy_rate /
-#: q_audience_overlap), the r05 tail rounds 10-11 could not fit
-#: (q_funnel_by_arm onward in r05 order), then the r06 cohort in its
-#: own artifact order through q_skyline (q_agg_weighted_median onward
-#: spills to round 13). No rows-only query holds a slot (amended
+#: evidence. Contents: the five names the round-11 sink head
+#: insertions displaced (q_events_changepoint /
+#: q_sessions_concurrency / q_events_pattern_match /
+#: q_events_entropy_rate / q_audience_overlap), the r05 tail rounds
+#: 10-11 could not fit (q_funnel_by_arm onward in r05 order), then
+#: the r06 cohort in its own artifact order through q_text_phrase
+#: (q_skyline onward spills to round 13). No rows-only query holds a slot (amended
 #: policy). Any round-11 red re-queues at the head per the standing
 #: policy.
 ROUND12_ROTATION = [
+        "q_events_changepoint",
         "q_sessions_concurrency",
         "q_events_pattern_match", "q_events_entropy_rate",
         "q_audience_overlap",
@@ -377,7 +378,7 @@ ROUND12_ROTATION = [
         "q_emb_random_projection",
         "q_emb_pair_distance", "q_emb_silhouette", "q_text_bm25",
         "q_dedup_prefix_filter",
-        "q_text_phrase", "q_skyline",
+        "q_text_phrase",
 ]
 
 #: Alias kept so callers/tests address "the live window" uniformly

@@ -514,6 +514,70 @@ def q_sink_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sink_pipeline",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_orderkey <= 11999 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-to-log incremental pipeline — the sink's source and sink
+    halves COMPOSED: three ordered batch commits land in txn table A;
+    ``spark.readStream.format("txn_parquet")`` tails A's manifest log
+    (offsets = manifest names), a stateless filter/projection runs in
+    between, and ``writeStream.format("txn_files")`` commits each
+    micro-batch exactly-once into table B (batchId-keyed manifests).
+    The returned aggregate reads B's committed files only, so the
+    oracle (the same filter straight off the orders table) catches a
+    dropped commit on EITHER log, a replayed batch double-write, or a
+    staged/orphan leak anywhere in the chain. This is the 100 TB
+    pipeline shape: downstream jobs tail upstream tables'
+    transaction logs instead of re-scanning them, with exactly-once
+    delivery at file granularity on both ends."""
+    register(spark)
+    orders = (
+        tbl(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        .where(F.col("o_orderkey") <= 11999)
+    )
+    src_tbl = scratch_dir("graft_sink_pipe_a_")
+    for lo, hi in ((0, 3999), (4000, 7999), (8000, 11999)):
+        orders.where(F.col("o_orderkey").between(lo, hi)).write.format(
+            "txn_parquet"
+        ).mode("append").save(src_tbl)
+    dst_tbl = scratch_dir("graft_sink_pipe_b_")
+    q = (
+        spark.readStream.format("txn_parquet")
+        .load(src_tbl)
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .writeStream.format("txn_files")
+        .option("checkpointLocation", scratch_dir("graft_sink_pipe_chk_"))
+        .trigger(availableNow=True)
+        .start(dst_tbl)
+    )
+    q.awaitTermination()
+    back = read_committed(
+        spark,
+        dst_tbl,
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double",
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
     "q_sink_compact",
     oracle="""
     SELECT lang,

@@ -60,8 +60,8 @@ def test_registration_follows_verify_rotation():
     ZERO hash-reds (derived HERE from the frozen CORRECTNESS_r10.json
     — the only non-green rows are the three rows-only-by-design
     `no_oracle` legacy slots), so the round-11 window is the pure
-    mechanical derivation — the four round-11 sink registrations
-    (reader / merge / stream-read / evolve) are its unproven head.
+    mechanical derivation — the five round-11 sink registrations
+    are its unproven head.
     The green fold AND the window derivation are imported from
     tools/next_rotation.py (ADVICE r4: a local copy of the fold
     silently diverged from the CLI's policy)."""
@@ -106,7 +106,7 @@ def test_registration_follows_verify_rotation():
     assert reds == [], f"round-10 reds exist — re-queue them: {reds}"
 
     # cumulative evidence through round 10: the only queries without a
-    # driver row are the four round-11 sink registrations, which hold
+    # driver row are the five round-11 sink registrations, which hold
     # the round-11 head slots for their first rows
     all_rounds = [
         os.path.join(repo_root, f"CORRECTNESS_{r}.json")
@@ -119,14 +119,14 @@ def test_registration_follows_verify_rotation():
     unproven = [q for q in registered if q not in green]
     assert unproven == [
         "q_sink_format_read", "q_sink_merge", "q_sink_stream_read",
-        "q_sink_evolve",
+        "q_sink_evolve", "q_sink_pipeline",
     ], unproven
-    assert ROUND11_ROTATION[:4] == unproven
+    assert ROUND11_ROTATION[:5] == unproven
 
     # the round-11 window = the PURE mechanical derivation over the
-    # nine pre-r10 artifacts with ROUND10 planned: the three round-11
+    # nine pre-r10 artifacts with ROUND10 planned: the five round-11
     # sink registrations are unproven, so the policy itself puts them
-    # at the head, and the derived tail shrinks by four. No manual
+    # at the head, and the derived tail shrinks by five. No manual
     # slotting at all.
     pre_r10 = all_rounds[:-1]
     derived11, derived11_unproven = derive_next_window(
@@ -140,7 +140,7 @@ def test_registration_follows_verify_rotation():
     )
     assert ROUND11_ROTATION[:6] == [
         "q_sink_format_read", "q_sink_merge", "q_sink_stream_read",
-        "q_sink_evolve", "q_score_auc", "q_score_decile_lift",
+        "q_sink_evolve", "q_sink_pipeline", "q_score_auc",
     ]
 
     # the committed round-12 plan is MECHANICAL: derived from all ten
@@ -154,10 +154,11 @@ def test_registration_follows_verify_rotation():
     )
     assert derived12_unproven == []
     assert ROUND12_ROTATION == derived12
-    # the four names the round-11 head insertions displaced
-    assert ROUND12_ROTATION[:4] == [
-        "q_sessions_concurrency", "q_events_pattern_match",
-        "q_events_entropy_rate", "q_audience_overlap",
+    # the five names the round-11 head insertions displaced
+    assert ROUND12_ROTATION[:5] == [
+        "q_events_changepoint", "q_sessions_concurrency",
+        "q_events_pattern_match", "q_events_entropy_rate",
+        "q_audience_overlap",
     ]
     assert len(set(ROUND12_ROTATION)) == 50
     assert not set(ROUND12_ROTATION) & set(ROUND10_ROTATION)
