@@ -381,12 +381,50 @@ ROUND12_ROTATION = [
         "q_text_phrase",
 ]
 
-#: Alias kept so callers/tests address "the live window" uniformly
-#: across rounds. Round 11 is LIVE: CORRECTNESS_r10 came back clean
-#: (47/50 hash-green + 3 rows-only-by-design `err: no_oracle` legacy
-#: slots — zero hash-reds, zero broken queries; all 8 first-row
-#: sink/lakehouse queries hash-matched), so the pre-committed round-11
-#: window runs with one head insertion (q_sink_format_read).
-VERIFY_ROTATION = ROUND11_ROTATION
+#: round-13 window, committed in advance (standing pattern), derived
+#: mechanically: tests/test_driver_contract.py asserts this list
+#: equals tools/next_rotation.py::derive_next_window over the
+#: r01-r11 artifacts with ROUND12_ROTATION as the planned round-12
+#: evidence. Contents: the r06 overflow round 12 could not fit
+#: (q_skyline onward in r06 order), then the r07 cohort in its own
+#: artifact order. No rows-only query holds a slot. Any round-12 red
+#: re-queues at the head per the standing policy; new round-12
+#: registrations insert at the ROUND12 head and ripple the tail here.
+ROUND13_ROTATION = [
+        "q_skyline",
+        "q_agg_weighted_median", "q_bootstrap_ci", "q_agg_trimmed",
+        "q_survival_km",
+        "q_agg_theilsen", "q_spend_gini", "q_mad_outliers", "q_ks_drift",
+        "q_mannwhitney",
+        "q_geo_nearest_hub", "q_geo_radius_join", "q_incr_join_view",
+        "q_incr_agg_retract",
+        "q_sql_recursive", "q_geo_cell_density", "q_geo_grid_clusters",
+        "q_agg_groupby",
+        "q_agg_global", "q_agg_distinct", "q_distinct_rows", "q_agg_having",
+        "q_agg_rollup",
+        "q_agg_cube", "q_agg_grouping_sets", "q_agg_percentile",
+        "q_tpch_q3_shape",
+        "q_tpch_q5_shape", "q_scalar_subquery", "q_flagship_charcount",
+        "q_join_inner",
+        "q_join_broadcast", "q_join_shuffle_hash", "q_join_left",
+        "q_join_right",
+        "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
+        "q_join_theta_range",
+        "q_join_asof", "q_join_interval", "q_join_salted", "q_dedup_exact",
+        "q_dedup_near",
+        "q_dedup_ngram_jaccard", "q_dedup_embedding", "q_sim_topk",
+        "q_text_stats",
+        "q_text_tokens",
+]
 
-registry.reorder(ROUND11_ROTATION)
+#: Alias kept so callers/tests address "the live window" uniformly
+#: across rounds. Round 12 is LIVE: CORRECTNESS_r11 came back perfect
+#: (50/50 hash-green — zero errs, zero rows-only slots; all five
+#: first-row sink read/merge/stream/evolve/pipeline queries
+#: hash-matched), so the pre-committed round-12 window runs as
+#: derived, draining the r4/r5 evidence tail. New round-12
+#: registrations insert at the head, displacing the tail into
+#: ROUND13_ROTATION.
+VERIFY_ROTATION = ROUND12_ROTATION
+
+registry.reorder(ROUND12_ROTATION)

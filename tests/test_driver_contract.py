@@ -55,13 +55,12 @@ def test_output_columns_are_atomic(name, spark, sf_dir):
 def test_registration_follows_verify_rotation():
     """The verifier checks the first ~50 registered queries per round;
     queries/__init__.py declares the rotation explicitly. Guard that
-    registration actually honors it and that the live round-11 window
-    spends its slots per the standing policy. Round 10 landed with
-    ZERO hash-reds (derived HERE from the frozen CORRECTNESS_r10.json
-    — the only non-green rows are the three rows-only-by-design
-    `no_oracle` legacy slots), so the round-11 window is the pure
-    mechanical derivation — the five round-11 sink registrations
-    are its unproven head.
+    registration actually honors it and that the live round-12 window
+    spends its slots per the standing policy. Round 11 landed PERFECT
+    (derived HERE from the frozen CORRECTNESS_r11.json — 50/50
+    hash-green, zero errs, zero rows-only slots), so the round-12
+    window is the pure mechanical derivation, with any new round-12
+    registrations forming its unproven head.
     The green fold AND the window derivation are imported from
     tools/next_rotation.py (ADVICE r4: a local copy of the fold
     silently diverged from the CLI's policy)."""
@@ -70,10 +69,10 @@ def test_registration_follows_verify_rotation():
     import sys
 
     from mapreduceframework_cpp_spark.queries import (
-        ROUND9_ROTATION,
         ROUND10_ROTATION,
         ROUND11_ROTATION,
         ROUND12_ROTATION,
+        ROUND13_ROTATION,
         VERIFY_ROTATION,
     )
     from mapreduceframework_cpp_spark.registry import all_oracles
@@ -84,120 +83,102 @@ def test_registration_follows_verify_rotation():
     from tools.next_rotation import derive_next_window, green_set
 
     registered = list(_QUERIES)
-    assert VERIFY_ROTATION is ROUND11_ROTATION  # the live window alias
-    assert registered[: len(ROUND11_ROTATION)] == ROUND11_ROTATION
-    assert len(ROUND11_ROTATION) == 50
-    assert len(set(ROUND11_ROTATION)) == 50
-    assert not set(ROUND11_ROTATION) & set(ROUND10_ROTATION)
-    assert not set(ROUND11_ROTATION) & set(ROUND9_ROTATION)
+    assert VERIFY_ROTATION is ROUND12_ROTATION  # the live window alias
+    assert registered[: len(ROUND12_ROTATION)] == ROUND12_ROTATION
+    assert len(ROUND12_ROTATION) == 50
+    assert len(set(ROUND12_ROTATION)) == 50
+    assert not set(ROUND12_ROTATION) & set(ROUND11_ROTATION)
+    assert not set(ROUND12_ROTATION) & set(ROUND10_ROTATION)
 
     oracles = set(all_oracles())
-    # round 10 landed clean: no SQL-oracle row in its window ran
+    # round 11 landed perfect: no SQL-oracle row in its window ran
     # without error yet hash-failed, so there is nothing to re-queue
-    r10 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r10.json")))
+    r11 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r11.json")))
     reds = [
         n
-        for n in ROUND10_ROTATION
-        if n in r10
+        for n in ROUND11_ROTATION
+        if n in r11
         and n in oracles
-        and not r10[n].get("err")
-        and not r10[n].get("hash_match")
+        and not r11[n].get("err")
+        and not r11[n].get("hash_match")
     ]
-    assert reds == [], f"round-10 reds exist — re-queue them: {reds}"
+    assert reds == [], f"round-11 reds exist — re-queue them: {reds}"
 
-    # cumulative evidence through round 10: the only queries without a
-    # driver row are the five round-11 sink registrations, which hold
-    # the round-11 head slots for their first rows
     all_rounds = [
         os.path.join(repo_root, f"CORRECTNESS_{r}.json")
         for r in (
-            "r01", "r02", "r03", "r04", "r05",
-            "r06", "r07", "r08", "r09", "r10",
+            "r01", "r02", "r03", "r04", "r05", "r06",
+            "r07", "r08", "r09", "r10", "r11",
         )
     ]
     green = green_set(all_rounds, oracles)
     unproven = [q for q in registered if q not in green]
-    assert unproven == [
-        "q_sink_format_read", "q_sink_merge", "q_sink_stream_read",
-        "q_sink_evolve", "q_sink_pipeline",
-    ], unproven
-    assert ROUND11_ROTATION[:5] == unproven
 
-    # the round-11 window = the PURE mechanical derivation over the
-    # nine pre-r10 artifacts with ROUND10 planned: the five round-11
-    # sink registrations are unproven, so the policy itself puts them
-    # at the head, and the derived tail shrinks by five. No manual
-    # slotting at all.
-    pre_r10 = all_rounds[:-1]
-    derived11, derived11_unproven = derive_next_window(
-        pre_r10, registered, oracles, planned=[ROUND10_ROTATION]
+    # the round-12 window = the PURE mechanical derivation over the
+    # ten pre-r11 artifacts with ROUND11 planned, which places any
+    # new (unproven) round-12 registrations at the head automatically.
+    # No manual slotting at all.
+    pre_r11 = all_rounds[:-1]
+    derived12, derived12_unproven = derive_next_window(
+        pre_r11, registered, oracles, planned=[ROUND11_ROTATION]
     )
-    assert derived11_unproven == unproven
-    assert ROUND11_ROTATION == derived11
+    assert derived12_unproven == unproven
+    assert ROUND12_ROTATION == derived12
     rows_only = set(registered) - oracles
-    assert not set(ROUND11_ROTATION) & rows_only, (
+    assert not set(ROUND12_ROTATION) & rows_only, (
         "terminal rows-only queries must not hold re-confirm slots"
     )
-    assert ROUND11_ROTATION[:6] == [
-        "q_sink_format_read", "q_sink_merge", "q_sink_stream_read",
-        "q_sink_evolve", "q_sink_pipeline", "q_score_auc",
-    ]
 
-    # the committed round-12 plan is MECHANICAL: derived from all ten
-    # artifacts with the live round-11 window folded in as planned
-    # evidence — the plan cannot drift from the tool
-    derived12, derived12_unproven = derive_next_window(
+    # the committed round-13 plan is MECHANICAL: derived from all
+    # eleven artifacts with the live round-12 window folded in as
+    # planned evidence — the plan cannot drift from the tool
+    derived13, derived13_unproven = derive_next_window(
         all_rounds,
         registered,
         oracles,
-        planned=[ROUND11_ROTATION],
+        planned=[ROUND12_ROTATION],
     )
-    assert derived12_unproven == []
-    assert ROUND12_ROTATION == derived12
-    # the five names the round-11 head insertions displaced
-    assert ROUND12_ROTATION[:5] == [
-        "q_events_changepoint", "q_sessions_concurrency",
-        "q_events_pattern_match", "q_events_entropy_rate",
-        "q_audience_overlap",
-    ]
-    assert len(set(ROUND12_ROTATION)) == 50
-    assert not set(ROUND12_ROTATION) & set(ROUND10_ROTATION)
-    assert not set(ROUND12_ROTATION) & set(ROUND11_ROTATION)
-    assert not set(ROUND12_ROTATION) & rows_only
+    assert derived13_unproven == []
+    assert ROUND13_ROTATION == derived13
+    assert len(set(ROUND13_ROTATION)) == 50
+    assert not set(ROUND13_ROTATION) & set(ROUND11_ROTATION)
+    assert not set(ROUND13_ROTATION) & set(ROUND12_ROTATION)
+    assert not set(ROUND13_ROTATION) & rows_only
 
-    # drain invariant: after round 11 runs, no SQL-oracle query has
-    # pre-r5 latest evidence, and the r5-latest overflow is exactly
-    # the r05 tail that provably cannot fit (the pool is ordered, so
-    # overflow = the names AFTER the window's last slot in r05 order)
+    # drain invariant: after round 12 runs, no SQL-oracle query has
+    # pre-r6 latest evidence, and the r6-latest overflow is exactly
+    # the r06 tail that provably cannot fit (the pool is ordered, so
+    # overflow = the names AFTER the window's last slot in r06 order)
     latest: dict[str, int] = {}
-    r05_order: dict[str, int] = {}
+    r06_order: dict[str, int] = {}
     for i, r in enumerate(
-        ("r01", "r02", "r03", "r04", "r05",
-         "r06", "r07", "r08", "r09", "r10")
+        ("r01", "r02", "r03", "r04", "r05", "r06",
+         "r07", "r08", "r09", "r10", "r11")
     ):
         rows = json.load(open(os.path.join(repo_root, f"CORRECTNESS_{r}.json")))
         for j, name in enumerate(rows):
             latest[name] = i + 1
-            if r == "r05":
-                r05_order[name] = j
-    covered = set(ROUND11_ROTATION)
-    stale4 = {
-        q
-        for q, rnd in latest.items()
-        if rnd <= 4 and q in registered and q in oracles
-    }
-    assert stale4 <= covered, sorted(stale4 - covered)[:10]
+            if r == "r06":
+                r06_order[name] = j
+    covered = set(ROUND12_ROTATION)
     stale5 = {
         q
         for q, rnd in latest.items()
-        if rnd == 5 and q in registered and q in oracles
+        if rnd <= 5 and q in registered and q in oracles
     }
-    spilled = stale5 - covered
-    max_covered_r05 = max(
-        r05_order[q] for q in ROUND11_ROTATION if q in r05_order
+    assert stale5 <= covered, sorted(stale5 - covered)[:10]
+    stale6 = {
+        q
+        for q, rnd in latest.items()
+        if rnd == 6 and q in registered and q in oracles
+    }
+    spilled = stale6 - covered
+    max_covered_r06 = max(
+        (r06_order[q] for q in ROUND12_ROTATION if q in r06_order),
+        default=-1,
     )
-    assert all(r05_order[q] > max_covered_r05 for q in spilled), (
-        "a covered r05 slot was skipped in favor of a newer one",
+    assert all(r06_order[q] > max_covered_r06 for q in spilled), (
+        "a covered r06 slot was skipped in favor of a newer one",
         sorted(spilled)[:10],
     )
 
