@@ -347,20 +347,39 @@ def q_sink_format_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = scratch_dir("graft_sink_fmt_")
     rows.write.format("txn_parquet").mode("append").save(target)
+    # the pushdown conf is session-wide: restore it so the setting
+    # never leaks into later queries in the same harness run (ADVICE
+    # r11 — a leaked true changes every Python DataSource read that
+    # defines pushFilters). The returned frame PLANS (and runs
+    # pushFilters/partitions) inside the guarded window; execution
+    # later replays the already-pruned partition list.
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    back = (
-        spark.read.format("txn_parquet")
-        .option("pushdown", "true")
-        .load(target)
-        .where(F.col("l_orderkey").between(3000, 7999))
-    )
-    return back.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum("l_quantity").cast("double").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_price"),
-    )
+    try:
+        back = (
+            spark.read.format("txn_parquet")
+            .option("pushdown", "true")
+            .load(target)
+            .where(F.col("l_orderkey").between(3000, 7999))
+        )
+        out = back.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        # materialize under the conf, eagerly: the Python DataSource
+        # plans (pushFilters/partitions) at ACTION time, so a lazily
+        # returned frame would re-plan after the finally restored the
+        # conf — and a reader defining pushFilters hard-fails when the
+        # conf is off (the round-11 trap)
+        return out.localCheckpoint()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
 
 
 @query(
@@ -615,3 +634,131 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compact(spark, target, schema)
     return read_committed(spark, target, schema)
+
+
+@query(
+    "q_sink_clustered_read",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(p_size) AS BIGINT) AS sum_size,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_retail
+    FROM part
+    WHERE p_partkey BETWEEN 1000 AND 2999
+    GROUP BY p_brand
+    """,
+)
+def q_sink_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared clustering at write time (round-12): the part table is
+    written through :func:`write_clustered` — one range shuffle on
+    p_partkey, ``option("clusterBy")`` recording the column in the
+    manifest — so every staged file covers a tight key span and the
+    format read's zone-map pushdown prunes the listing without the
+    caller hand-shuffling (tests/test_pysink.py pins the disjoint
+    per-file spans and that recluster() defaults to the recorded
+    column). The key-range read comes back through
+    ``spark.read.format("txn_parquet")`` with pushdown; every filter
+    stays residual, so the hash-verified values never depend on the
+    stats. At 100 TB, writer-declared clustering is what keeps zone
+    maps effective from the FIRST commit instead of only after a
+    maintenance rewrite."""
+    from mapreduceframework_cpp_spark.sources.pysink import write_clustered
+
+    register(spark)
+    rows = tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    target = scratch_dir("graft_sink_clus_")
+    write_clustered(rows, target, "p_partkey", target_files=16)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        back = (
+            spark.read.format("txn_parquet")
+            .option("pushdown", "true")
+            .load(target)
+            .where(F.col("p_partkey").between(1000, 2999))
+        )
+        out = back.groupBy("p_brand").agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("p_size").cast("long").alias("sum_size"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_retail"),
+        )
+        # plan + run under the conf (a reader defining pushFilters
+        # hard-fails when it is off), restore it before returning
+        return out.localCheckpoint()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+@query(
+    "q_sink_skip_changes",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sink_skip_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming across table MAINTENANCE (round-12,
+    ``option("skipChangeCommits", "true")`` — Delta's identically-named
+    opt-in): a checkpointed stream consumes commit 1, a compaction
+    rewrites the table mid-stream, commit 2 lands, and the RESUMED
+    stream skips the compaction's rewrite commit instead of raising
+    (the default posture, still pinned by tests) — delivering commit 2
+    only. The foreachBatch-parquet'd union of both runs must equal the
+    customer table exactly: a re-emitted rewritten row (duplicate) or
+    a dropped commit hash-fails. This is how a 100 TB pipeline keeps
+    its downstream streams alive through OPTIMIZE/compaction cycles
+    without rebuilding every checkpoint."""
+    register(spark)
+    cust = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double")
+    )
+    src = scratch_dir("graft_sink_skipc_src_")
+    out = scratch_dir("graft_sink_skipc_out_")
+    chk = scratch_dir("graft_sink_skipc_chk_")
+    half = cust.agg(F.expr("percentile_approx(c_custkey, 0.5)")).collect()[0][0]  # scalar-probe
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("txn_parquet")
+            .option("skipChangeCommits", "true")
+            .load(src)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    cust.where(F.col("c_custkey") <= half).write.format("txn_parquet").mode(
+        "append"
+    ).save(src)
+    run_once()  # consumes commit 1
+    from mapreduceframework_cpp_spark.sources.pysink import compact
+
+    schema = "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    compact(spark, src, schema)  # maintenance lands mid-stream
+    cust.where(F.col("c_custkey") > half).write.format("txn_parquet").mode(
+        "append"
+    ).save(src)
+    run_once()  # resumes past the compact, delivers commit 2 only
+    back = spark.read.schema(schema).parquet(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_acctbal"),
+    )

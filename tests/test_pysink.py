@@ -514,13 +514,16 @@ def test_writer_style_mixing_rejected(spark, tmp_path):
 def test_concurrent_append_writers_never_lose_a_commit(tmp_path):
     """VERDICT r10 item 3: the manifest protocol under real writer
     concurrency. Eight threads append-commit simultaneously through
-    the full writer path; every commit must land (uuid-unique names
-    commute), the visible log holds all eight, and no rows are lost or
-    duplicated."""
+    the full writer path; every commit must land (slot losers retry at
+    the next sequence), the visible log holds all eight at eight
+    DISTINCT sequence numbers (the r12 invariant that keeps streaming
+    offsets safe), and no rows are lost or duplicated."""
     from concurrent.futures import ThreadPoolExecutor
 
     from mapreduceframework_cpp_spark.sources.pysink import (
         TxnFilesWriter,
+        _manifests,
+        _seq_of,
         _visible_log,
     )
 
@@ -533,6 +536,10 @@ def test_concurrent_append_writers_never_lose_a_commit(tmp_path):
     log = _visible_log(str(tmp_path))
     assert len(log) == 8
     assert sum(d["rows"] for d in log) == 8
+    seqs = sorted(
+        _seq_of(os.path.basename(m)) for m in _manifests(str(tmp_path))
+    )
+    assert seqs == list(range(8))  # one commit per slot, no sharing
     vals = sorted(
         json.loads(line)["v"]
         for f in committed_files(str(tmp_path))
@@ -541,51 +548,57 @@ def test_concurrent_append_writers_never_lose_a_commit(tmp_path):
     assert vals == [f"w{i}" for i in range(8)]
 
 
-def test_concurrent_same_sequence_commits_are_total(tmp_path):
-    """Deterministic interleaving of the worst race: two appenders and
-    two overwriters all resolve _next_seq BEFORE any claim lands, so
-    all four target the same sequence number. Append claims are
-    uuid-unique and must BOTH survive; overwrite claims both land but
-    exactly ONE generation wins (the later sorted name), and the
-    sequence stays monotone afterwards."""
+def test_concurrent_same_sequence_commits_are_total(tmp_path, monkeypatch):
+    """Deterministic interleaving of the worst race: two appenders (and
+    then two overwriters) resolve _next_seq BEFORE either claim lands,
+    so both target the same sequence slot. Round-12 protocol: the slot
+    name is DETERMINISTIC per sequence, the put-if-absent claim gives
+    it to exactly one writer, and the loser retries at the next slot —
+    both commits land at DISTINCT sequences (the r11 uuid-suffixed
+    same-seq siblings, which could permanently drop a commit from a
+    streaming consumer's offset windows, no longer exist)."""
+    from mapreduceframework_cpp_spark.sources import pysink
     from mapreduceframework_cpp_spark.sources.pysink import (
-        TxnFilesStreamWriter as W,
-        _next_seq,
-        _publish,
+        TxnFilesWriter,
+        _manifests,
+        _seq_of,
         _visible_log,
     )
-    import uuid as _uuid
 
-    txn = str(tmp_path / "_txn")
-    w = W(str(tmp_path))
-    # both appenders freeze the same sequence (interleaving hook: the
-    # seq read happens before either claim)
-    seq = _next_seq(txn)
-    assert seq == 0
-    n1 = f"manifest-{seq:020d}-{_uuid.uuid4().hex[:8]}.json"
-    n2 = f"manifest-{seq:020d}-{_uuid.uuid4().hex[:8]}.json"
-    m1 = w.write(iter([Row(k=1, v="a1")]))
-    m2 = w.write(iter([Row(k=2, v="a2")]))
-    assert _publish(str(tmp_path), [m1], n1) is True
-    assert _publish(str(tmp_path), [m2], n2) is True  # appends commute
+    real_next_seq = pysink._next_seq
+    stale = {"values": []}
+
+    def next_seq(txn):
+        if stale["values"]:
+            return stale["values"].pop(0)  # frozen pre-race read
+        return real_next_seq(txn)
+
+    monkeypatch.setattr(pysink, "_next_seq", next_seq)
+
+    w1 = TxnFilesWriter(str(tmp_path), overwrite=False)
+    w1.commit([w1.write(iter([Row(k=1, v="a1")]))])  # claims slot 0
+    # writer 2 froze sequence 0 before writer 1's claim landed: its
+    # claim must LOSE the slot and retry at the real next sequence
+    stale["values"] = [0]
+    w2 = TxnFilesWriter(str(tmp_path), overwrite=False)
+    w2.commit([w2.write(iter([Row(k=2, v="a2")]))])
+    seqs = sorted(_seq_of(os.path.basename(m)) for m in _manifests(str(tmp_path)))
+    assert seqs == [0, 1]  # distinct slots — never a shared sequence
     assert sum(d["rows"] for d in _visible_log(str(tmp_path))) == 2
 
-    # two racing overwriters, same frozen sequence
-    seq2 = _next_seq(txn)
-    assert seq2 == 1  # monotone even after the same-seq double claim
-    o1 = f"manifest-{seq2:020d}-{_uuid.uuid4().hex[:8]}.json"
-    o2 = f"manifest-{seq2:020d}-{_uuid.uuid4().hex[:8]}.json"
-    g1 = w.write(iter([Row(k=3, v="gen1")]))
-    g2 = w.write(iter([Row(k=4, v="gen2")]))
-    assert _publish(str(tmp_path), [g1], o1, replaces=True) is True
-    assert _publish(str(tmp_path), [g2], o2, replaces=True) is True
+    # two racing overwriters: the slot loser retries, both generations
+    # land at distinct sequences, and the LATER one is the visible one
+    o1 = TxnFilesWriter(str(tmp_path), overwrite=True)
+    o1.commit([o1.write(iter([Row(k=3, v="gen1")]))])  # slot 2
+    stale["values"] = [2]
+    o2 = TxnFilesWriter(str(tmp_path), overwrite=True)
+    o2.commit([o2.write(iter([Row(k=4, v="gen2")]))])  # retries to slot 3
+    seqs = sorted(_seq_of(os.path.basename(m)) for m in _manifests(str(tmp_path)))
+    assert seqs == [0, 1, 2, 3]
     log = _visible_log(str(tmp_path))
-    assert len(log) == 1  # exactly one generation visible
-    winner = max(o1, o2)  # sorted-name order decides, totally
+    assert len(log) == 1  # exactly one generation visible: the later
     content = "".join(open(f).read() for f in committed_files(str(tmp_path)))
-    assert ("gen1" in content) == (winner == o1)
-    assert ("gen2" in content) == (winner == o2)
-    assert _next_seq(txn) == 2
+    assert "gen2" in content and "gen1" not in content
 
 
 def test_stream_crash_between_rename_and_claim_is_exactly_once(
@@ -1026,3 +1039,531 @@ def test_stream_end_to_end_multibatch(spark, tmp_path):
     q.awaitTermination()
     assert _read_back(spark, out) == [(1, "a"), (2, "b"), (3, "c")]
     assert len(os.listdir(out / "_txn")) == 2
+
+
+# ---------------------------------------------------------------------------
+# round 12: commit-time OCC, cross-process atomicity, stream maintenance
+# resumption, declared clustering, evolution composition, legacy guards
+# ---------------------------------------------------------------------------
+
+
+def test_racing_merges_exactly_one_wins(spark, tmp_path):
+    """VERDICT r11 item 2: two merges planned against the SAME snapshot
+    with overlapping key spans. The first to commit wins; the second's
+    delta commit finds its removed file already unpublished and raises
+    ConcurrentCommitError instead of silently double-removing. The
+    table ends in the winner's post-merge state; the loser's parts are
+    cleaned up."""
+    from mapreduceframework_cpp_spark.sources.pysink import merge_into
+
+    register(spark)
+    _rows(spark, 1000).repartitionByRange(10, "k").write.format(
+        "txn_parquet"
+    ).mode("append").save(str(tmp_path))
+    entries = committed_entries(str(tmp_path))
+
+    # merge B plans NOW (pre-A snapshot): the files its span overlaps
+    # and the delta commit it would publish
+    b_touched = [
+        e for e in entries
+        if e["stats"]["k"][0] <= 259 and 210 <= e["stats"]["k"][1]
+    ]
+    assert len(b_touched) == 1
+    b_removes = sorted(os.path.basename(e["name"]) for e in b_touched)
+    b_survivors = spark.read.parquet(
+        *[e["name"] for e in b_touched]
+    ).where("k < 210 OR k > 259")
+    b_rewritten = b_survivors.unionByName(
+        spark.range(210, 260).selectExpr("id AS k", "'B' AS v")
+    )
+    b_rewritten = b_rewritten.localCheckpoint()  # materialize pre-race
+
+    # merge A lands first (overlapping span 200..259)
+    upd_a = spark.range(200, 260).selectExpr("id AS k", "'A' AS v")
+    stats = merge_into(spark, str(tmp_path), _SCHEMA, upd_a, "k")
+    assert stats["files_touched"] == 1
+
+    # merge B's planned delta commit must LOSE, loudly
+    with pytest.raises(Exception, match="already removed"):
+        b_rewritten.write.format("txn_parquet").mode("append").option(
+            "removes", json.dumps(b_removes)
+        ).save(str(tmp_path))
+
+    back = read_committed(spark, str(tmp_path), _SCHEMA)
+    assert back.count() == 1000  # never a double-remove
+    assert back.where("v = 'A'").count() == 60  # winner's state intact
+    assert back.where("v = 'B'").count() == 0
+    # the loser's renamed parts were deleted, not leaked: every part on
+    # disk is referenced by some manifest (live or awaiting vacuum)
+    manifested = {
+        f
+        for m in os.listdir(tmp_path / "_txn")
+        for f in json.load(open(tmp_path / "_txn" / m))["files"]
+    }
+    on_disk = {f for f in os.listdir(tmp_path) if f.startswith("part-")}
+    assert on_disk <= manifested
+
+
+def test_merge_vs_compact_race_fails_the_compact(spark, tmp_path):
+    """VERDICT r11 item 2 (second race): a compact/recluster rewrite
+    pins its planning snapshot as the commit's ``basis``; a merge
+    landing mid-rewrite makes the rewrite's commit raise
+    ConcurrentCommitError — publishing it would silently drop the
+    merge. A re-planned compact then succeeds and preserves the
+    merge's rows."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        _latest_manifest,
+        compact,
+        merge_into,
+    )
+
+    register(spark)
+    _rows(spark, 400).repartitionByRange(4, "k").write.format(
+        "txn_parquet"
+    ).mode("append").save(str(tmp_path))
+
+    # the compact plans here: basis = current log head
+    stale_basis = _latest_manifest(str(tmp_path))
+    planned = read_committed(spark, str(tmp_path), _SCHEMA).localCheckpoint()
+
+    # a merge lands mid-rewrite
+    upd = spark.range(100, 120).selectExpr("id AS k", "'M' AS v")
+    merge_into(spark, str(tmp_path), _SCHEMA, upd, "k")
+
+    # the stale-planned compact's commit must refuse
+    with pytest.raises(Exception, match="advanced past"):
+        planned.coalesce(1).write.format("txn_parquet").mode(
+            "overwrite"
+        ).option("basis", stale_basis).save(str(tmp_path))
+    back = read_committed(spark, str(tmp_path), _SCHEMA)
+    assert back.where("v = 'M'").count() == 20  # merge never lost
+
+    # re-planned compact succeeds and keeps the merged state
+    compact(spark, str(tmp_path), _SCHEMA)
+    back = read_committed(spark, str(tmp_path), _SCHEMA)
+    assert back.count() == 400
+    assert back.where("v = 'M'").count() == 20
+
+
+_MP_COMMIT_SRC = """
+import os, sys, time
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import Row
+from mapreduceframework_cpp_spark.sources.pysink import (
+    TxnFilesWriter,
+)
+path, i, mode, gate = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+w = TxnFilesWriter(path, overwrite=(mode == "overwrite"))
+msg = w.write(iter([Row(k=i, v="%s%d" % (mode[0], i))]))
+# barrier: announce readiness, then spin until the parent says go —
+# all processes reach their commit attempt together
+open(os.path.join(gate, "ready-%d" % i), "w").close()
+while not os.path.exists(os.path.join(gate, "go")):
+    time.sleep(0.01)
+w.commit([msg])
+"""
+
+
+def test_cross_process_append_race_is_atomic(tmp_path):
+    """VERDICT r11 item 3: the put-if-absent manifest claim's atomicity
+    across PROCESSES (os.link EEXIST on a real filesystem), not just
+    thread-level serialization. Eight separate interpreters stage,
+    barrier, then commit simultaneously; all eight must land at eight
+    distinct sequences with no lost or duplicated rows."""
+    import os as _os
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        _manifests,
+        _seq_of,
+        _visible_log,
+    )
+
+    table = tmp_path / "table"
+    gate = tmp_path / "gate"
+    table.mkdir()
+    gate.mkdir()
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _MP_COMMIT_SRC,
+             str(table), str(i), "append", str(gate)],
+            cwd=repo_root,
+        )
+        for i in range(8)
+    ]
+    deadline = _time.time() + 120
+    while len([f for f in _os.listdir(gate) if f.startswith("ready-")]) < 8:
+        assert _time.time() < deadline, "children never became ready"
+        _time.sleep(0.05)
+    (gate / "go").touch()
+    for p in procs:
+        assert p.wait(timeout=120) == 0
+
+    log = _visible_log(str(table))
+    assert len(log) == 8
+    assert sum(d["rows"] for d in log) == 8
+    seqs = sorted(_seq_of(_os.path.basename(m)) for m in _manifests(str(table)))
+    assert seqs == list(range(8))
+    vals = sorted(
+        json.loads(line)["v"]
+        for f in committed_files(str(table))
+        for line in open(f)
+    )
+    assert vals == [f"a{i}" for i in range(8)]
+
+
+def test_cross_process_overwrite_race_one_generation(tmp_path):
+    """Cross-process sibling of the overwrite generation race: two
+    interpreters overwrite-commit simultaneously; both land (slot
+    losers retry), at distinct sequences, and exactly ONE generation
+    is visible afterwards."""
+    import os as _os
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        _manifests,
+        _seq_of,
+        _visible_log,
+    )
+
+    table = tmp_path / "table"
+    gate = tmp_path / "gate"
+    table.mkdir()
+    gate.mkdir()
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _MP_COMMIT_SRC,
+             str(table), str(i), "overwrite", str(gate)],
+            cwd=repo_root,
+        )
+        for i in range(2)
+    ]
+    deadline = _time.time() + 120
+    while len([f for f in _os.listdir(gate) if f.startswith("ready-")]) < 2:
+        assert _time.time() < deadline, "children never became ready"
+        _time.sleep(0.05)
+    (gate / "go").touch()
+    for p in procs:
+        assert p.wait(timeout=120) == 0
+
+    seqs = sorted(_seq_of(_os.path.basename(m)) for m in _manifests(str(table)))
+    assert seqs == [0, 1]  # both landed, distinct slots
+    log = _visible_log(str(table))
+    assert len(log) == 1  # exactly one visible generation
+    assert sum(d["rows"] for d in log) == 1
+
+
+def test_stream_skip_change_commits_survives_maintenance(spark, tmp_path):
+    """VERDICT r11 item 4: option("skipChangeCommits", "true") — the
+    Delta-parity opt-in that lets a long-lived stream survive table
+    maintenance. A checkpointed stream that consumed commit A resumes
+    AFTER a compact and a later append B: without the option the resume
+    raises (unchanged default); with it, the compact's rewrite commit
+    is skipped and only B is delivered — no duplicates of A's rows."""
+    src = tmp_path / "table"
+    out = tmp_path / "out"
+    chk = tmp_path / "chk"
+
+    def run_once(skip: bool):
+        rs = spark.readStream.format("txn_files")
+        if skip:
+            rs = rs.option("skipChangeCommits", "true")
+        q = (
+            rs.load(str(src))
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    register(spark)
+    _rows(spark, 3, "a").coalesce(1).write.format("txn_files").mode(
+        "append"
+    ).save(str(src))
+    run_once(skip=False)
+    assert spark.read.parquet(str(out)).count() == 3
+
+    compact(spark, str(src), _SCHEMA)  # maintenance lands mid-stream
+    _rows(spark, 4, "b").coalesce(1).write.format("txn_files").mode(
+        "append"
+    ).save(str(src))
+
+    # default posture unchanged: the resume refuses the replaces commit
+    with pytest.raises(Exception, match="append-only"):
+        run_once(skip=False)
+    # opt-in: the compact is skipped, only the new append is delivered
+    run_once(skip=True)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 7  # 3 original + 4 new, zero re-emitted rows
+    assert got.where(F.col("v").startswith("a")).count() == 3
+    assert got.where(F.col("v").startswith("b")).count() == 4
+
+    # a skipped MERGE (delta commit) behaves the same: its rewrites
+    # (and the inserts riding in it) are not delivered — documented
+    # at-least-once-minus-rewrites
+    from mapreduceframework_cpp_spark.sources.pysink import merge_into
+
+    upd = spark.range(0, 2).selectExpr("id AS k", "'m' AS v")
+    merge_into(spark, str(src), _SCHEMA, upd, "k")
+    _rows(spark, 1, "c").coalesce(1).write.format("txn_files").mode(
+        "append"
+    ).save(str(src))
+    run_once(skip=True)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 8
+    assert got.where(F.col("v").startswith("c")).count() == 1
+    assert got.where(F.col("v") == "m").count() == 0
+
+
+def test_write_clustered_declares_and_prunes(spark, tmp_path):
+    """VERDICT r11 item 5: declared clustering at write time.
+    write_clustered range-shuffles on the key and records the column in
+    the manifest; each staged file covers a tight near-disjoint span,
+    so a key-range read prunes without the caller hand-shuffling; and
+    recluster() with no column defaults to the recorded one."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        recluster,
+        table_cluster_by,
+        write_clustered,
+    )
+
+    register(spark)
+    write_clustered(
+        _rows(spark, 1000), str(tmp_path), "k", target_files=8,
+        fmt="txn_parquet",
+    )
+    assert table_cluster_by(str(tmp_path)) == "k"
+    entries = committed_entries(str(tmp_path))
+    assert len(entries) == 8
+    # tight spans: near-disjoint coverage of 0..999, and a point-range
+    # read intersects at most 2 of the 8 files
+    spans = sorted((e["stats"]["k"][0], e["stats"]["k"][1]) for e in entries)
+    assert sum(hi - lo + 1 for lo, hi in spans) <= 1100
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # repartitionByRange: disjoint key ranges
+    hits = [
+        e for e in entries
+        if e["stats"]["k"][0] <= 199 and 100 <= e["stats"]["k"][1]
+    ]
+    assert len(hits) <= 2
+    got = read_committed_between(spark, str(tmp_path), _SCHEMA, "k", 100, 199)
+    assert sorted(r.k for r in got.collect()) == list(range(100, 200))
+
+    # maintenance inherits the declared column — no restating the key
+    recluster(spark, str(tmp_path), _SCHEMA, target_files=4)
+    assert table_cluster_by(str(tmp_path)) == "k"
+    entries = committed_entries(str(tmp_path))
+    assert len(entries) == 4
+    spans = sorted((e["stats"]["k"][0], e["stats"]["k"][1]) for e in entries)
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    assert read_committed(spark, str(tmp_path), _SCHEMA).count() == 1000
+
+    # a table that never declared clustering refuses a column-less
+    # recluster instead of guessing
+    plain = tmp_path / "plain"
+    _rows(spark, 10).coalesce(1).write.format("txn_files").mode(
+        "append"
+    ).save(str(plain))
+    with pytest.raises(ValueError, match="no manifest-recorded clustering"):
+        recluster(spark, str(plain), _SCHEMA)
+
+
+def test_merge_insert_keys_do_not_collapse_pruning(spark, tmp_path):
+    """ADVICE r11: merge_into's prune span is computed over the source
+    keys CLAMPED to the table's global zone-map range — pure-insert
+    keys far outside the table must not widen the span. A merge whose
+    source is 60 in-range updates plus inserts at key+1000000 still
+    touches exactly 1 of 10 files."""
+    from mapreduceframework_cpp_spark.sources.pysink import merge_into
+
+    register(spark)
+    _rows(spark, 1000).repartitionByRange(10, "k").write.format(
+        "txn_parquet"
+    ).mode("append").save(str(tmp_path))
+    source = (
+        spark.range(200, 260).selectExpr("id AS k", "'upd' AS v")
+        .unionByName(
+            spark.range(1000000, 1000050).selectExpr("id AS k", "'ins' AS v")
+        )
+    )
+    stats = merge_into(spark, str(tmp_path), _SCHEMA, source, "k")
+    assert stats["files_total"] == 10
+    assert stats["files_touched"] == 1  # inserts no longer widen it
+    back = read_committed(spark, str(tmp_path), _SCHEMA)
+    assert back.count() == 1050
+    assert back.where("v = 'upd'").count() == 60
+    assert back.where("v = 'ins'").count() == 50
+
+    # stored stats whose type cannot compare against the source key
+    # (e.g. a writer that recorded string bounds) must fall back to a
+    # conservative rewrite of that file, never a plan-time TypeError
+    m = sorted((tmp_path / "_txn").glob("manifest-*.json"))[0]
+    doc = json.loads(m.read_text())
+    victim = None
+    for e in doc["entries"]:
+        if e["stats"]["k"][1] < 100:  # a file far from the next span
+            e["stats"]["k"] = ["aaa", "zzz"]
+            victim = e["name"]
+    assert victim is not None
+    m.write_text(json.dumps(doc))
+    before = {os.path.basename(e["name"]) for e in committed_entries(str(tmp_path))}
+    src2 = spark.range(700, 710).selectExpr("id AS k", "'t2' AS v")
+    stats = merge_into(spark, str(tmp_path), _SCHEMA, src2, "k")
+    after = {os.path.basename(e["name"]) for e in committed_entries(str(tmp_path))}
+    assert victim in before - after  # uncomparable stats: rewritten
+    back = read_committed(spark, str(tmp_path), _SCHEMA)
+    assert back.count() == 1050
+    assert back.where("v = 't2'").count() == 10
+
+
+def test_evolution_pushdown_time_travel_compose(spark, tmp_path):
+    """VERDICT r11 item 6: schema evolution × zone-map pushdown × asOf
+    on ONE table. Commit 1 writes (k, v); commit 2 adds w. Pushdown on
+    k prunes across both generations of files; a filter on the EVOLVED
+    column w keeps pre-evolution files conservatively (they lack w
+    stats) and pads w with NULLs row-level; asOf=1 composed with
+    pushdown serves the merged schema over commit 1 only."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnParquetDataSource,
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    register(spark)
+    spark.range(0, 500).selectExpr("id AS k", "concat('a', id) AS v") \
+        .repartitionByRange(4, "k").write.format("txn_parquet") \
+        .mode("append").save(str(tmp_path))
+    spark.range(500, 1000).selectExpr(
+        "id AS k", "concat('b', id) AS v", "id * 2 AS w"
+    ).repartitionByRange(4, "k").write.format("txn_parquet") \
+        .mode("append").save(str(tmp_path))
+
+    src = TxnParquetDataSource(options={"path": str(tmp_path), "pushdown": "true"})
+    merged = src.schema()
+    assert [f.name for f in merged.fields] == ["k", "v", "w"]
+
+    # pushdown on k prunes across BOTH generations (8 files -> <=2;
+    # repartitionByRange samples boundaries, so the 100-key window may
+    # straddle one file edge)
+    rd = src.reader(merged)
+    rd.pushFilters([GreaterThanOrEqual(("k",), 600), LessThanOrEqual(("k",), 699)])
+    assert 1 <= len(rd.partitions()) <= 2
+
+    # a filter on the evolved column keeps pre-evolution files (no w
+    # stats -> conservative), prunes post-evolution files by stats
+    rd2 = src.reader(merged)
+    rd2.pushFilters([GreaterThanOrEqual(("w",), 1900)])
+    kept = len(rd2.partitions())
+    assert 4 <= kept < 8  # all 4 old files kept + pruned new files
+
+    # end-to-end through the session: evolution + pushdown + asOf
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        full = (
+            spark.read.format("txn_parquet")
+            .option("pushdown", "true")
+            .load(str(tmp_path))
+        )
+        hit = full.where("k BETWEEN 600 AND 699")
+        assert hit.count() == 100
+        assert hit.where("w = k * 2").count() == 100
+        nulls = full.where("k < 500")
+        assert nulls.where("w IS NULL").count() == 500
+        snap = (
+            spark.read.format("txn_parquet")
+            .option("pushdown", "true")
+            .option("asOf", 1)
+            .load(str(tmp_path))
+            .where("k >= 100")
+        )
+        # time travel sees commit 1 only, served under the MERGED
+        # schema: w exists and is NULL-padded on every row
+        assert snap.count() == 400
+        assert snap.where("w IS NULL").count() == 400
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_legacy_width_manifests_refused(spark, tmp_path):
+    """ADVICE r11: sorted-name order is load-bearing, and a 20-digit
+    name sorts BEFORE a legacy 10-digit one even at a higher sequence.
+    Any commit or stream read over a log holding legacy-width names
+    must refuse instead of silently corrupting snapshot order."""
+    from pyspark.sql.types import StructType
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnFilesWriter,
+        _TxnStreamReader,
+        _publish,
+    )
+
+    w = TxnFilesWriter(str(tmp_path), overwrite=False)
+    msg = w.write(iter([Row(k=1, v="legacy")]))
+    assert _publish(
+        str(tmp_path), [msg], "manifest-0000000001-deadbeef.json"
+    )
+
+    w2 = TxnFilesWriter(str(tmp_path), overwrite=False)
+    msg2 = w2.write(iter([Row(k=2, v="new")]))
+    with pytest.raises(ValueError, match="legacy sequence width"):
+        w2.commit([msg2])
+    w2.abort([msg2])
+
+    # overwrite/takeover refuses too: its max+1 name would sort first
+    w3 = TxnFilesWriter(str(tmp_path), overwrite=True)
+    msg3 = w3.write(iter([Row(k=3, v="gen")]))
+    with pytest.raises(ValueError, match="legacy sequence width"):
+        w3.commit([msg3])
+    w3.abort([msg3])
+
+    # the streaming writer and the streaming source refuse as well
+    sw = TxnFilesStreamWriter(str(tmp_path))
+    msg4 = sw.write(iter([Row(k=4, v="s")]))
+    with pytest.raises(ValueError, match="legacy sequence width"):
+        sw.commit([msg4], batchId=0)
+    sw.abort([msg4], batchId=0)
+
+    rd = _TxnStreamReader(str(tmp_path), StructType.fromDDL(_SCHEMA))
+    with pytest.raises(ValueError, match="legacy sequence width"):
+        rd.partitions({"last": ""}, {"last": "manifest-zzz"})
+
+
+def test_stream_refuses_same_sequence_log(tmp_path):
+    """ADVICE r11 (medium): offsets are manifest NAMES, so a log where
+    two batch commits share a sequence number (pre-r12 uuid siblings)
+    can place a never-consumed name at or before a checkpointed offset
+    — silently lost data. The streaming source detects the ambiguity
+    and refuses the log outright."""
+    from pyspark.sql.types import StructType
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnFilesWriter,
+        _TxnStreamReader,
+        _publish,
+    )
+
+    w = TxnFilesWriter(str(tmp_path), overwrite=False)
+    for tag, suffix in (("x", "aaaaaaaa"), ("y", "bbbbbbbb")):
+        msg = w.write(iter([Row(k=1, v=tag)]))
+        assert _publish(
+            str(tmp_path), [msg],
+            f"manifest-{0:020d}-{suffix}.json",
+        )
+    rd = _TxnStreamReader(str(tmp_path), StructType.fromDDL(_SCHEMA))
+    with pytest.raises(ValueError, match="share a sequence"):
+        rd.partitions({"last": ""}, {"last": "manifest-zzz"})
