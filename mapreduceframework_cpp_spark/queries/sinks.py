@@ -762,3 +762,63 @@ def q_sink_skip_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_acctbal"),
     )
+
+
+@query(
+    "q_sink_zorder_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 400 AND 899
+      AND o_orderkey BETWEEN 3000 AND 8999
+    """,
+)
+def q_sink_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER re-clustering on the sink (round-12, the OPTIMIZE
+    ZORDER BY maintenance op): a clustering-hostile orders table is
+    rewritten along the Morton curve of (o_custkey, o_orderkey) —
+    `sources/layout.py::zorder_key`, pure JVM bit arithmetic — in one
+    atomic basis-checked swap, making the manifest zone maps tight on
+    BOTH columns at once; the column list is recorded in the manifest
+    so a column-less recluster() preserves the layout. The
+    two-predicate read comes back through the format API with pushdown
+    pruning file listings on both dimensions (tests pin that each
+    dimension individually skips files — a single-column sort can only
+    ever tighten one). Every filter stays residual, so the
+    hash-verified rows never depend on the stats. At 100 TB the
+    z-curve is what lets a (customer × time)-shaped query skip most
+    files when either predicate alone is unselective."""
+    from mapreduceframework_cpp_spark.sources.pysink import recluster_zorder
+
+    register(spark)
+    rows = (
+        tbl(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartition(16)  # deliberately clustering-hostile layout
+    )
+    target = scratch_dir("graft_sink_zord_")
+    rows.write.format("txn_parquet").mode("append").save(target)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double"
+    )
+    recluster_zorder(
+        spark, target, schema, ["o_custkey", "o_orderkey"], target_files=16
+    )
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        back = (
+            spark.read.format("txn_parquet")
+            .option("pushdown", "true")
+            .load(target)
+            .where(F.col("o_custkey").between(400, 899))
+            .where(F.col("o_orderkey").between(3000, 8999))
+        )
+        # plan + run under the conf (see q_sink_clustered_read)
+        return back.localCheckpoint()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)

@@ -110,6 +110,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -117,6 +118,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -596,12 +598,20 @@ def _prune_range(f) -> tuple[str | None, tuple]:
         return isinstance(x, (int, float, str)) and not isinstance(x, bool)
 
     col = attr[0]
-    if isinstance(f, EqualTo) and ok(f.value):
+    if isinstance(f, (EqualTo, EqualNullSafe)) and ok(f.value):
+        # EqualNullSafe to a NULL literal never reaches here (its value
+        # fails `ok`): zone maps are null-skipping, so a null-match
+        # cannot prune — conservative keep, like any other non-prunable
         return col, (f.value, f.value)
     if isinstance(f, (GreaterThan, GreaterThanOrEqual)) and ok(f.value):
         return col, (f.value, None)
     if isinstance(f, (LessThan, LessThanOrEqual)) and ok(f.value):
         return col, (None, f.value)
+    if isinstance(f, StringStartsWith) and isinstance(f.value, str) and f.value:
+        # every string with this prefix sorts in [prefix, round_up):
+        # the same truncate-and-increment bound the writer uses for
+        # string stats, so the window is sound against them
+        return col, (f.value, _str_upper_bound(f.value))
     if isinstance(f, In) and f.value and all(ok(v) for v in f.value):
         # the In filter's tuple of literals is its `value` field (same
         # name as the comparators', NOT `values` — round-11 review
@@ -899,8 +909,11 @@ class _TxnReadSupport:
         raw = self.options.get("basis")
         return raw if raw is not None else None
 
-    def _cluster_by(self) -> str | None:
-        return self.options.get("clusterby")  # options arrive lower-cased
+    def _cluster_by(self) -> str | list | None:
+        raw = self.options.get("clusterby")  # options arrive lower-cased
+        if raw and raw.lstrip().startswith("["):
+            return json.loads(raw)  # z-order column LIST rides as JSON
+        return raw
 
     def schema(self) -> StructType:
         return _committed_schema(self._path())
@@ -1389,7 +1402,15 @@ def _rewrite(
         .option("basis", basis)
     )
     if cluster_by:
-        w = w.option("clusterBy", cluster_by)
+        # a LIST means z-order clustering over several columns; writer
+        # options are strings, so it rides as JSON (decoded in
+        # _TxnReadSupport._cluster_by)
+        w = w.option(
+            "clusterBy",
+            json.dumps(cluster_by)
+            if isinstance(cluster_by, (list, tuple))
+            else cluster_by,
+        )
     w.save(path)
 
 
@@ -1425,9 +1446,11 @@ def merge_into(
     superseded generation.
 
     Join semantics are plain equi-join (NULL source keys never match —
-    they insert under "update" and no-op under "delete"). Pruning uses
-    the FIRST ``on`` column's zone maps; files without stats for it
-    are rewritten conservatively. Concurrency is OPTIMISTIC (VERDICT
+    they insert under "update" and no-op under "delete"). Pruning
+    intersects EVERY ``on`` column's zone maps (a file disjoint on any
+    key dimension is skipped — on a z-ordered table every dimension
+    prunes); files without stats for a column are conservative on that
+    column. Concurrency is OPTIMISTIC (VERDICT
     r11 item 2): the delta commit validates at claim time that every
     file it removes is still live — two merges racing over overlapping
     spans resolve to exactly one winner, the loser raising
@@ -1441,65 +1464,78 @@ def merge_into(
     import pyspark.sql.functions as F
 
     on_cols = [on] if isinstance(on, str) else list(on)
-    key = on_cols[0]
     entries = committed_entries(path)
     fmt = (
         "txn_parquet"
         if entries and entries[0]["name"].endswith(".parquet")
         else "txn_files"
     )
-    # Prune span: only source keys that can MATCH a stored row bound
-    # the rewrite — keys outside the table's global zone-map range are
-    # pure inserts (they match nothing in any stats-bearing file), so
-    # the span is computed over the source keys CLAMPED to that range.
-    # Without the clamp, a single out-of-range insert key collapses
-    # pruning to the whole table (ADVICE r11: q_sink_merge's +1000000
-    # insert keys rewrote ~8 of 10 files instead of ~1). Files WITHOUT
-    # stats for the key column could hold anything and stay touched
-    # whenever the source has any non-null key.
+    # Prune on EVERY join column's zone maps (round-12): an equi-join
+    # row matches only if ALL key columns match, so a file disjoint
+    # from the source span on ANY column is skipped. Per column, the
+    # span is computed over source keys CLAMPED to the table's global
+    # zone-map range for that column — keys outside it are pure inserts
+    # and match nothing in any stats-bearing file; without the clamp, a
+    # single out-of-range insert key collapses pruning to the whole
+    # table (ADVICE r11: q_sink_merge's +1000000 insert keys rewrote
+    # ~8 of 10 files instead of ~1). Files WITHOUT stats for a column
+    # are conservative on that column.
     from pyspark.sql.types import StringType
 
-    stats_entries = [e for e in entries if e["stats"].get(key) is not None]
-    nostats = [e for e in entries if e["stats"].get(key) is None]
-    clamp = None
-    if stats_entries:
-        try:
-            clamp = (
-                min(e["stats"][key][0] for e in stats_entries),
-                max(e["stats"][key][1] for e in stats_entries),
-            )
-        except TypeError:
-            clamp = None  # mixed-type stats across files: no clamp
-    if clamp is not None and isinstance(clamp[0], str) != isinstance(
-        source.schema[key].dataType, StringType
-    ):
-        clamp = None  # stats type differs from the source key's type
-    in_range = (
-        F.col(key).between(clamp[0], clamp[1])
-        if clamp is not None
-        else F.col(key).isNotNull()
-    )
-    # four scalars of driver traffic in one job — spans, never the keys
-    b = source.agg(
-        F.min(key).alias("glo"),
-        F.max(key).alias("ghi"),
-        F.min(F.when(in_range, F.col(key))).alias("lo"),
-        F.max(F.when(in_range, F.col(key))).alias("hi"),
-    ).collect()[0]  # scalar-probe
-    if b["glo"] is None and when_matched == "delete":
+    clamps: dict[str, tuple | None] = {}
+    aggs = []
+    for c in on_cols:
+        with_stats = [e["stats"][c] for e in entries if e["stats"].get(c)]
+        clamp = None
+        if with_stats:
+            try:
+                clamp = (
+                    min(mm[0] for mm in with_stats),
+                    max(mm[1] for mm in with_stats),
+                )
+            except TypeError:
+                clamp = None  # mixed-type stats across files: no clamp
+        if clamp is not None and isinstance(clamp[0], str) != isinstance(
+            source.schema[c].dataType, StringType
+        ):
+            clamp = None  # stats type differs from the source key type
+        clamps[c] = clamp
+        in_range = (
+            F.col(c).between(clamp[0], clamp[1])
+            if clamp is not None
+            else F.col(c).isNotNull()
+        )
+        aggs.append(F.min(F.when(in_range, F.col(c))).alias(f"_lo_{c}"))
+        aggs.append(F.max(F.when(in_range, F.col(c))).alias(f"_hi_{c}"))
+    matchable = F.lit(True)
+    for c in on_cols:
+        matchable = matchable & F.col(c).isNotNull()
+    aggs.append(F.max(F.when(matchable, F.lit(1))).alias("_any_key"))
+    # 2·|on| + 1 scalars of driver traffic in one job — never the keys
+    b = source.agg(*aggs).collect()[0]  # scalar-probe
+    if b["_any_key"] is None and when_matched == "delete":
         return {"files_touched": 0, "files_total": len(entries)}
 
-    def _intersects(e: dict) -> bool:
+    def _may_match(e: dict, c: str) -> bool:
+        mm = e["stats"].get(c)
+        if mm is None:
+            return True  # no stats for this column: conservative
+        if b[f"_lo_{c}"] is None:
+            return False  # no matchable source key in this col's range
         try:
-            return e["stats"][key][0] <= b["hi"] and b["lo"] <= e["stats"][key][1]
+            return mm[0] <= b[f"_hi_{c}"] and b[f"_lo_{c}"] <= mm[1]
         except TypeError:
             # a source key whose type differs from the stored stats
             # must not raise at plan time — rewrite conservatively
             # (ADVICE r11; same posture as _TxnReader._keep)
             return True
 
-    touched = ([] if b["glo"] is None else list(nostats)) + (
-        [] if b["lo"] is None else [e for e in stats_entries if _intersects(e)]
+    touched = (
+        []
+        if b["_any_key"] is None
+        else [
+            e for e in entries if all(_may_match(e, c) for c in on_cols)
+        ]
     )
     tdf = _df_from(spark, [e["name"] for e in touched], schema)
     cols = [f.name for f in tdf.schema.fields]
@@ -1518,10 +1554,11 @@ def merge_into(
     return {"files_touched": len(touched), "files_total": len(entries)}
 
 
-def table_cluster_by(path: str) -> str | None:
-    """The table's declared clustering column: the latest visible
-    manifest that recorded one wins (an overwrite/recluster may change
-    it). None if no commit ever declared clustering."""
+def table_cluster_by(path: str) -> str | list | None:
+    """The table's declared clustering: the latest visible manifest
+    that recorded one wins (an overwrite/recluster may change it). A
+    string is single-column range clustering; a LIST is z-order over
+    those columns. None if no commit ever declared clustering."""
     col = None
     for d in _visible_log(path):
         col = d.get("cluster_by", col)
@@ -1579,6 +1616,11 @@ def recluster(
                 f"{path} has no manifest-recorded clustering column; "
                 "pass col= explicitly or write via write_clustered"
             )
+    if isinstance(col, (list, tuple)):
+        # the table declared z-order clustering: maintenance keeps it
+        return recluster_zorder(
+            spark, path, schema, list(col), target_files=target_files
+        )
     _rewrite(
         spark,
         path,
@@ -1586,6 +1628,48 @@ def recluster(
         lambda df: df.repartitionByRange(target_files, col),
         cluster_by=col,
     )
+
+
+def recluster_zorder(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    cols: list[str] | None = None,
+    target_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """MULTI-dimensional re-clustering (the OPTIMIZE ZORDER BY
+    maintenance op): rewrite the table along the Morton curve of
+    ``cols`` (`sources/layout.py::zorder_key` — pure JVM bit
+    arithmetic) so per-file zone maps are tight on EVERY listed column
+    at once. A single-column range layout prunes one dimension and
+    leaves the others spanning the full range; the z-curve trades a
+    little tightness per dimension for pruning power on all of them —
+    at 100 TB this is what lets a (customer, time)-style
+    two-predicate query skip most files when either predicate alone is
+    unselective. The column LIST is recorded in the manifest, so a
+    column-less :func:`recluster` preserves the z-order layout.
+    Atomicity, basis OCC, and retention follow :func:`_rewrite`."""
+    if cols is None:
+        recorded = table_cluster_by(path)
+        if not isinstance(recorded, (list, tuple)):
+            raise ValueError(
+                f"{path} has no manifest-recorded z-order columns; "
+                "pass cols= explicitly"
+            )
+        cols = list(recorded)
+
+    def shaper(df: DataFrame) -> DataFrame:
+        from mapreduceframework_cpp_spark.sources.layout import zorder_key
+
+        return (
+            df.withColumn("_z", zorder_key(df, cols, bits=bits))
+            .repartitionByRange(target_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+
+    _rewrite(spark, path, schema, shaper, cluster_by=list(cols))
 
 
 _TMP_DIRS: list[str] = []

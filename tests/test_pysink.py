@@ -1567,3 +1567,128 @@ def test_stream_refuses_same_sequence_log(tmp_path):
     rd = _TxnStreamReader(str(tmp_path), StructType.fromDDL(_SCHEMA))
     with pytest.raises(ValueError, match="share a sequence"):
         rd.partitions({"last": ""}, {"last": "manifest-zzz"})
+
+
+def test_zorder_recluster_prunes_every_dimension(spark, tmp_path):
+    """recluster_zorder rewrites the table along the Morton curve of
+    two INDEPENDENT keys: zone maps become tight on both dimensions at
+    once (each dimension individually skips files — a single-column
+    range layout leaves the second dimension spanning everything), the
+    column LIST is recorded so a column-less recluster() preserves the
+    z-order, and a multi-column merge prunes on BOTH dimensions."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        merge_into,
+        recluster,
+        recluster_zorder,
+        table_cluster_by,
+    )
+
+    register(spark)
+    schema = "k bigint, j bigint, v string"
+    df = spark.range(4096).selectExpr(
+        "id AS k",
+        "pmod(id * 2654435761, 4096) AS j",  # decorrelated second key
+        "concat('r', id) AS v",
+    )
+    df.repartition(16).write.format("txn_parquet").mode("append").save(
+        str(tmp_path)
+    )
+
+    # hostile layout: neither dimension prunes
+    def hits(col, lo, hi):
+        return [
+            e for e in committed_entries(str(tmp_path))
+            if e["stats"][col][0] <= hi and lo <= e["stats"][col][1]
+        ]
+
+    assert len(hits("k", 0, 255)) == 16
+    assert len(hits("j", 0, 255)) == 16
+
+    recluster_zorder(spark, str(tmp_path), schema, ["k", "j"], target_files=16)
+    assert table_cluster_by(str(tmp_path)) == ["k", "j"]
+    assert len(committed_entries(str(tmp_path))) == 16
+    k_hits = len(hits("k", 0, 255))
+    j_hits = len(hits("j", 0, 255))
+    assert k_hits <= 8  # both dimensions now skip files
+    assert j_hits <= 8
+    back = read_committed(spark, str(tmp_path), schema)
+    assert back.count() == 4096  # maintenance moves bytes only
+    assert back.where("v = 'r17'").count() == 1
+
+    # a column-less recluster preserves the recorded z-order layout
+    recluster(spark, str(tmp_path), schema, target_files=8)
+    assert table_cluster_by(str(tmp_path)) == ["k", "j"]
+    assert len(hits("k", 0, 255)) <= 5
+    assert len(hits("j", 0, 255)) <= 5
+    assert read_committed(spark, str(tmp_path), schema).count() == 4096
+
+    # multi-column MERGE prunes on every join dimension: a source
+    # confined to a (k, j) box touches few of the 8 files
+    src_rows = (
+        spark.range(4096)
+        .selectExpr("id AS k", "pmod(id * 2654435761, 4096) AS j")
+        .where("k BETWEEN 0 AND 63 AND j BETWEEN 0 AND 255")
+        .selectExpr("k", "j", "'upd' AS v")
+    )
+    n_src = src_rows.count()
+    assert n_src > 0
+    stats = merge_into(spark, str(tmp_path), schema, src_rows, ["k", "j"])
+    assert stats["files_total"] == 8
+    assert stats["files_touched"] <= 4
+    back = read_committed(spark, str(tmp_path), schema)
+    assert back.count() == 4096
+    assert back.where("v = 'upd'").count() == n_src
+
+
+def test_pushdown_prunes_string_prefix_and_null_safe_eq(spark, tmp_path):
+    """Round-12 filter coverage: StringStartsWith prunes from string
+    zone maps via the same truncate-and-increment upper bound the
+    writer uses, and EqualNullSafe to a non-null literal prunes like
+    EqualTo (a NULL literal cannot prune — zone maps skip nulls)."""
+    from pyspark.sql.datasource import EqualNullSafe, StringStartsWith
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnParquetDataSource,
+    )
+
+    register(spark)
+    df = spark.range(1000).selectExpr(
+        "id AS k",
+        "concat(chr(97 + CAST(id / 125 AS INT)), '_', id) AS s",  # a_0..h_999
+    )
+    df.repartitionByRange(8, "s").write.format("txn_parquet").mode(
+        "append"
+    ).save(str(tmp_path))
+    src = TxnParquetDataSource(
+        options={"path": str(tmp_path), "pushdown": "true"}
+    )
+    rd = src.reader(src.schema())
+    rd.pushFilters([StringStartsWith(("s",), "c_")])
+    assert len(rd.partitions()) <= 2  # one prefix bucket (plus an edge)
+
+    rd2 = src.reader(src.schema())
+    rd2.pushFilters([EqualNullSafe(("s",), "e_600")])
+    assert len(rd2.partitions()) == 1
+
+    # a NULL-safe NULL match keeps everything (cannot prune soundly)
+    rd3 = src.reader(src.schema())
+    rd3.pushFilters([EqualNullSafe(("s",), None)])
+    assert len(rd3.partitions()) == 8
+
+    # correctness end-to-end under the session conf
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        got = (
+            spark.read.format("txn_parquet")
+            .option("pushdown", "true")
+            .load(str(tmp_path))
+            .where("s LIKE 'c\\_%' ESCAPE '\\\\'")
+            .count()
+        )
+        assert got == 125
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
