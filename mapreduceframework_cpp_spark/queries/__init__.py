@@ -344,21 +344,22 @@ ROUND11_ROTATION = [
 #: tests/test_driver_contract.py asserts this list equals
 #: tools/next_rotation.py::derive_next_window over the r01-r10
 #: artifacts with ROUND11_ROTATION as the planned round-11 evidence.
-#: Contents: the three round-12 registrations (unproven head), the
+#: Contents: the four round-12 registrations (unproven head), the
 #: five names the round-11 sink head insertions displaced
 #: (q_events_changepoint / q_sessions_concurrency /
 #: q_events_pattern_match / q_events_entropy_rate /
 #: q_audience_overlap), the r05 tail rounds 10-11 could not fit
 #: (q_funnel_by_arm onward in r05 order), then the r06 cohort in its
-#: own artifact order through q_emb_silhouette (q_text_bm25 onward
-#: spills to round 13). No rows-only query holds a slot (amended
-#: policy). Any round-11 red would re-queue at the head per the
-#: standing policy (r11 landed 50/50 — none did).
+#: own artifact order through q_emb_pair_distance (q_emb_silhouette
+#: onward spills to round 13). No rows-only query holds a slot
+#: (amended policy). Any round-11 red would re-queue at the head per
+#: the standing policy (r11 landed 50/50 — none did).
 ROUND12_ROTATION = [
         # round-12 registrations (sink clustering, stream-across-
-        # maintenance, z-order): unproven, so the policy heads them
+        # maintenance, z-order, deletion vectors): unproven, so the
+        # policy heads them
         "q_sink_clustered_read", "q_sink_skip_changes",
-        "q_sink_zorder_read",
+        "q_sink_zorder_read", "q_sink_delete_vectors",
         "q_events_changepoint",
         "q_sessions_concurrency",
         "q_events_pattern_match", "q_events_entropy_rate",
@@ -381,20 +382,22 @@ ROUND12_ROTATION = [
         "q_graph_degree_dist",
         "q_basket_pairs", "q_equidepth_hist", "q_rolling_dau",
         "q_emb_random_projection",
-        "q_emb_pair_distance", "q_emb_silhouette",
+        "q_emb_pair_distance",
 ]
 
 #: round-13 window, committed in advance (standing pattern), derived
 #: mechanically: tests/test_driver_contract.py asserts this list
 #: equals tools/next_rotation.py::derive_next_window over the
 #: r01-r11 artifacts with ROUND12_ROTATION as the planned round-12
-#: evidence. Contents: the three names the round-12 head insertions
-#: displaced (q_text_bm25 / q_dedup_prefix_filter / q_text_phrase),
-#: the r06 overflow round 12 could not fit (q_skyline onward in r06
-#: order), then the r07 cohort in its own artifact order (q_sim_topk
-#: onward spills to round 14). No rows-only query holds a slot. Any
-#: round-12 red re-queues at the head per the standing policy.
+#: evidence. Contents: the four names the round-12 head insertions
+#: displaced (q_emb_silhouette / q_text_bm25 / q_dedup_prefix_filter /
+#: q_text_phrase), the r06 overflow round 12 could not fit (q_skyline
+#: onward in r06 order), then the r07 cohort in its own artifact order
+#: (q_dedup_embedding onward spills to round 14). No rows-only query
+#: holds a slot. Any round-12 red re-queues at the head per the
+#: standing policy.
 ROUND13_ROTATION = [
+        "q_emb_silhouette",
         "q_text_bm25", "q_dedup_prefix_filter", "q_text_phrase",
         "q_skyline",
         "q_agg_weighted_median", "q_bootstrap_ci", "q_agg_trimmed",
@@ -417,7 +420,7 @@ ROUND13_ROTATION = [
         "q_join_theta_range",
         "q_join_asof", "q_join_interval", "q_join_salted", "q_dedup_exact",
         "q_dedup_near",
-        "q_dedup_ngram_jaccard", "q_dedup_embedding",
+        "q_dedup_ngram_jaccard",
 ]
 
 #: Alias kept so callers/tests address "the live window" uniformly

@@ -822,3 +822,65 @@ def q_sink_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
         else:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+@query(
+    "q_sink_delete_vectors",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_orderkey <= 19999
+      AND NOT (o_orderstatus = 'F' AND o_orderkey <= 7999)
+      AND NOT (o_orderkey BETWEEN 12000 AND 12499)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE (round-12 — the Delta DV / Iceberg
+    position-delete shape): two `delete_where` calls commit (file, row
+    position) parquet sidecars instead of rewriting data files — the
+    base parts stay byte-identical (merge-on-read), and every reader
+    anti-joins the positions away via the parquet scan's
+    ``_metadata.row_index`` (one distributed anti-join, no per-row
+    Python; tests pin that helpers, the format API, time travel, merge
+    inputs, and compaction all observe the masks, that re-deletes
+    no-op, and that the commit OCC-fails if a concurrent rewrite
+    replaced a masked file). The oracle restates both deletes as
+    NOT(predicate) conjunctions, so a row that escapes its mask, a
+    double-masked survivor, or a position mis-addressing hash-fails.
+    At 100 TB this is how point/predicate deletes (GDPR erasure, bad
+    batch retraction) cost a position list, not a table rewrite."""
+    from mapreduceframework_cpp_spark.sources.pysink import delete_where
+
+    register(spark)
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, o_orderpriority string, "
+        "o_totalprice double"
+    )
+    rows = (
+        tbl(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        .where(F.col("o_orderkey") <= 19999)
+        .repartitionByRange(10, "o_orderkey")
+    )
+    target = scratch_dir("graft_sink_dv_")
+    rows.write.format("txn_parquet").mode("append").save(target)
+    delete_where(
+        spark, target, schema,
+        "o_orderstatus = 'F' AND o_orderkey <= 7999",
+    )
+    delete_where(
+        spark, target, schema, "o_orderkey BETWEEN 12000 AND 12499"
+    )
+    back = read_committed(spark, target, schema)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

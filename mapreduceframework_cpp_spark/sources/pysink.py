@@ -76,7 +76,16 @@ Round-12 extensions close the concurrency and maintenance gaps:
   maintenance commits by skipping them (Delta parity; default raises);
 * ``option("clusterBy", col)`` records the clustering column in the
   manifest; :func:`write_clustered` applies the range shuffle and
-  :func:`recluster` defaults to the recorded column.
+  :func:`recluster` defaults to the recorded column;
+* :func:`recluster_zorder` rewrites along the Morton curve of several
+  columns so zone maps prune EVERY listed dimension; merge pruning
+  intersects all join columns' zone maps;
+* :func:`delete_where` — deletion-vector (merge-on-read) DELETE: a
+  (file, row-position) parquet sidecar under ``_dv/`` plus one manifest
+  commit masks matched rows at scan time instead of rewriting files;
+  every reader (helpers, format API, time travel, merge input) applies
+  visible DVs; compaction bakes them in and retires them; the commit
+  OCC-validates its target files are still live.
 
 Cluster notes (local mode shares one filesystem; on a real cluster):
 ``path`` must be shared storage reachable from executors and driver.
@@ -383,7 +392,10 @@ def _latest_manifest(path: str) -> str:
 
 
 def _validate_batch_commit(
-    path: str, removes: list[str] | None, basis: str | None
+    path: str,
+    removes: list[str] | None,
+    basis: str | None,
+    dv_targets: list[str] | None = None,
 ) -> None:
     """Commit-time OCC validation (VERDICT r11 item 2 — the check real
     formats run before publishing): a DELTA commit may only remove
@@ -393,7 +405,11 @@ def _validate_batch_commit(
     ``basis`` (maintenance rewrites: compact/recluster) requires the
     log head to still be that basis — ANY commit landing mid-rewrite
     conflicts, because the rewrite's output was derived from the old
-    snapshot and publishing it would silently drop the interloper."""
+    snapshot and publishing it would silently drop the interloper.
+    ``dv_targets`` are the files a deletion-vector commit masks: if one
+    was rewritten/removed mid-plan, its replacement still CONTAINS the
+    rows this delete matched, so publishing would silently lose the
+    delete — conflict, same as Delta's DV commit check."""
     if removes:
         gone = sorted(set(removes) - _live_names(path))
         if gone:
@@ -401,6 +417,15 @@ def _validate_batch_commit(
                 f"{path}: files this commit removes were already removed "
                 f"or superseded by a concurrent commit: {gone[:3]}… — "
                 "re-plan the merge against the current snapshot"
+            )
+    if dv_targets:
+        gone = sorted(set(dv_targets) - _live_names(path))
+        if gone:
+            raise ConcurrentCommitError(
+                f"{path}: files this deletion-vector commit masks were "
+                f"rewritten or removed by a concurrent commit: {gone[:3]}… "
+                "— their replacements still hold the matched rows; "
+                "re-plan the delete against the current snapshot"
             )
     if basis is not None:
         head = _latest_manifest(path)
@@ -410,6 +435,41 @@ def _validate_batch_commit(
                 f"snapshot ({basis!r} → {head!r}) — a commit landed "
                 "mid-rewrite; re-plan against the current snapshot"
             )
+
+
+def _claim_slot_commit(
+    path: str,
+    doc: dict,
+    removes: list[str] | None = None,
+    basis: str | None = None,
+    dv_targets: list[str] | None = None,
+    cleanup=None,  # noqa: ANN001 - zero-arg callable
+) -> None:
+    """The batch commit loop: claim a DETERMINISTIC per-sequence
+    manifest name put-if-absent (the Delta version-slot CAS), retrying
+    at the next slot on contention, re-running the OCC validation each
+    attempt. ``cleanup`` undoes this commit's physical artifacts when
+    validation loses (defaults to deleting ``doc['files']``)."""
+    txn = os.path.join(path, _TXN)
+    os.makedirs(txn, exist_ok=True)
+    while True:
+        # order matters: resolve the slot BEFORE validating, so a
+        # commit landing between the two steps either bumps the fold
+        # the validation reads (seq already accounts for it) or takes
+        # this slot and forces the retry's re-validation — no
+        # interleaving can slip an unvalidated conflict through
+        seq = _next_seq(txn)
+        try:
+            _validate_batch_commit(path, removes, basis, dv_targets)
+        except ConcurrentCommitError:
+            if cleanup is not None:
+                cleanup()
+            else:
+                for f in doc.get("files", ()):
+                    os.remove(os.path.join(path, f))
+            raise
+        if _claim_manifest(txn, f"manifest-{seq:020d}-c.json", doc):
+            return
 
 
 def _reclaim_invisible(path: str, min_age_s: float = 0.0) -> int:
@@ -447,6 +507,11 @@ def _reclaim_invisible(path: str, min_age_s: float = 0.0) -> int:
             old = os.path.join(path, f)
             if os.path.exists(old):
                 os.remove(old)
+                removed += 1
+        if d.get("dv"):
+            dv = os.path.join(path, d["dv"])
+            if os.path.exists(dv):
+                shutil.rmtree(dv, ignore_errors=True)
                 removed += 1
         os.remove(m)
         removed += 1
@@ -576,12 +641,15 @@ class _PartFile(InputPartition):
     file list IS the split plan; parquet parts additionally row-group
     split inside pyarrow). Carries the READ schema (json) so the scan
     can serve SCHEMA EVOLUTION: a file written before a column was
-    added pads it with typed nulls, a widened column casts up.
+    added pads it with typed nulls, a widened column casts up — and
+    the visible deletion-vector dataset PATHS (positions stay on disk;
+    each executor loads only its own file's slice, parquet-filtered).
     Picklable by contract — workers receive it by value."""
 
     file: str
     columns: tuple
     schema_json: str = ""
+    dvs: tuple = ()
 
 
 def _prune_range(f) -> tuple[str | None, tuple]:
@@ -659,8 +727,9 @@ class _TxnReader(DataSourceReader):
         return True
 
     def partitions(self) -> list[_PartFile]:
+        dvs = tuple(committed_dvs(self.path, as_of=self.as_of))
         return [
-            _PartFile(e["name"], self.columns, self.schema_json)
+            _PartFile(e["name"], self.columns, self.schema_json, dvs)
             for e in committed_entries(self.path, as_of=self.as_of)
             if self._keep(e)
         ]
@@ -682,8 +751,30 @@ def _read_part(partition: _PartFile):  # noqa: ANN201
     contract), JSONL parts as tuples (absent keys already yield None);
     shared by the batch and streaming readers."""
     if partition.file.endswith(".parquet"):
+        import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        dead = None
+        if partition.dvs:
+            import pyarrow.dataset as pads
+
+            # merge-on-read: load ONLY this file's deletion positions
+            # (parquet-filtered on the file column), vectorized mask.
+            # Each DV path is a directory dataset; union them.
+            dvds = pads.dataset(
+                [pads.dataset(p) for p in partition.dvs]
+            )
+            dvt = dvds.to_table(
+                filter=pads.field("_dv_file")
+                == os.path.basename(partition.file),
+                columns=["_dv_pos"],
+            )
+            if dvt.num_rows:
+                dead = np.unique(
+                    dvt.column("_dv_pos").to_numpy(zero_copy_only=False)
+                )
+        row_offset = 0
 
         pf = pq.ParquetFile(partition.file)
         want = list(partition.columns)
@@ -702,6 +793,18 @@ def _read_part(partition: _PartFile):  # noqa: ANN201
         # below.
         present = [c for c in want if c in pf.schema_arrow.names]
         for batch in pf.iter_batches(columns=present):
+            if dead is not None:
+                # positions are file-absolute; iter_batches preserves
+                # row order, so the running offset addresses each batch
+                keep = ~np.isin(
+                    np.arange(row_offset, row_offset + batch.num_rows),
+                    dead,
+                )
+                row_offset += batch.num_rows
+                if not keep.all():
+                    batch = batch.filter(pa.array(keep))
+            else:
+                row_offset += batch.num_rows
             if target is None:
                 yield batch
                 continue
@@ -846,6 +949,16 @@ class _TxnStreamReader(DataSourceStreamReader):
                     "the streamed window — merge rewrites are not "
                     "re-emittable as appends; re-stream from a fresh "
                     "checkpoint, or opt into "
+                    'option("skipChangeCommits", "true")'
+                )
+            if doc.get("dv"):
+                if self.skip_changes:
+                    continue
+                raise ValueError(
+                    f"{self.path}: a deletion-vector commit ({name}) "
+                    "landed inside the streamed window — it retracts "
+                    "rows an append-only feed already emitted; "
+                    "re-stream from a fresh checkpoint, or opt into "
                     'option("skipChangeCommits", "true")'
                 )
             parts.extend(
@@ -1036,21 +1149,9 @@ class TxnFilesWriter(DataSourceWriter):
             doc["removes"] = sorted(self.removes)
         if self.cluster_by:
             doc["cluster_by"] = self.cluster_by
-        while True:
-            # order matters: resolve the slot BEFORE validating, so a
-            # commit landing between the two steps either bumps the
-            # fold the validation reads (seq already accounts for it)
-            # or takes this slot and forces the retry's re-validation —
-            # no interleaving can slip an unvalidated conflict through
-            seq = _next_seq(txn)
-            try:
-                _validate_batch_commit(self.path, self.removes, self.basis)
-            except ConcurrentCommitError:
-                for f in doc["files"]:
-                    os.remove(os.path.join(self.path, f))
-                raise
-            if _claim_manifest(txn, f"manifest-{seq:020d}-c.json", doc):
-                return
+        _claim_slot_commit(
+            self.path, doc, removes=self.removes, basis=self.basis
+        )
 
     def abort(self, messages) -> None:
         _discard(self.path, messages)
@@ -1210,22 +1311,149 @@ def committed_entries(path: str, as_of: int | None = None) -> list[dict]:
     ]
 
 
-def _df_from(spark: SparkSession, files: list[str], schema: str) -> DataFrame:
+def committed_dvs(path: str, as_of: int | None = None) -> list[str]:
+    """Absolute paths of the deletion-vector datasets visible after the
+    first ``as_of`` commits (all if None), commit order. A rewrite
+    (merge/compact/recluster) mints fresh part names, so DV rows
+    addressing a removed file become inert automatically; a
+    ``replaces`` generation cut drops older DVs entirely (the rewrite
+    read the masked table, so the deletes are baked into its output)."""
+    docs = _visible_log(path)[: None if as_of is None else as_of]
+    return [os.path.join(path, d["dv"]) for d in docs if d.get("dv")]
+
+
+def _mask_deleted(spark: SparkSession, df: DataFrame, dvs: list[str]) -> DataFrame:
+    """Apply deletion vectors to a parquet scan: anti-join on the
+    (file basename, row position) address served by the scan's
+    ``_metadata`` struct — one distributed anti-join, no per-row
+    Python, and Catalyst/AQE broadcast the (small) DV side. This is
+    merge-on-read: the base files are untouched; masked rows vanish at
+    scan time."""
+    import pyspark.sql.functions as F
+
+    pos = spark.read.parquet(*dvs).select("_dv_file", "_dv_pos").distinct()
+    keyed = df.withColumns(
+        {
+            "_dv_file": F.substring_index(
+                F.col("_metadata.file_path"), "/", -1
+            ),
+            "_dv_pos": F.col("_metadata.row_index"),
+        }
+    )
+    return keyed.join(pos, ["_dv_file", "_dv_pos"], "left_anti").drop(
+        "_dv_file", "_dv_pos"
+    )
+
+
+def _df_from(
+    spark: SparkSession,
+    files: list[str],
+    schema: str,
+    dvs: list[str] | None = None,
+) -> DataFrame:
     """Dispatch on the staged format (a table is homogeneous: its
-    writer style fixes the extension)."""
+    writer style fixes the extension); parquet scans apply any visible
+    deletion vectors (merge-on-read)."""
     if not files:
         return spark.createDataFrame([], schema)
     if files[0].endswith(".parquet"):
-        return spark.read.schema(schema).parquet(*files)
+        df = spark.read.schema(schema).parquet(*files)
+        return _mask_deleted(spark, df, dvs) if dvs else df
     return spark.read.schema(schema).json(files)
+
+
+def delete_where(
+    spark: SparkSession, path: str, schema: str, condition
+) -> dict:  # noqa: ANN001 - condition: str or Column
+    """Deletion-vector DELETE (merge-on-read — Delta DVs / Iceberg
+    position deletes): instead of rewriting every file holding a
+    matched row (the merge_into copy-on-write path), write ONE sidecar
+    parquet dataset of (file basename, row position) addresses under
+    ``_dv/`` and commit a manifest pointing at it. Readers anti-join
+    the positions away at scan time, so a point delete on a 100 TB
+    table costs the matched files' position lists, not a rewrite; a
+    later compact/recluster reads the masked table and bakes the
+    deletes in, retiring the DV with its generation.
+
+    Addresses come from the parquet scan's ``_metadata.row_index``
+    (stable per file), so this is parquet-table-only — the JSONL form
+    has no row addressing and refuses. Already-deleted rows are
+    excluded before matching, so re-running a delete is a no-op commit.
+    Concurrency is OPTIMISTIC: the commit validates that every masked
+    file is still live — a merge/compact that rewrote one mid-plan
+    wins and this delete raises :class:`ConcurrentCommitError` (the
+    replacement file still holds the matched rows; silently publishing
+    would lose the delete).
+
+    Returns ``{"files_masked": ..., "rows_deleted": ...}``."""
+    import pyspark.sql.functions as F
+
+    entries = committed_entries(path)
+    if not entries:
+        return {"files_masked": 0, "rows_deleted": 0}
+    if not entries[0]["name"].endswith(".parquet"):
+        raise ValueError(
+            f"{path}: deletion vectors need parquet row addressing "
+            "(_metadata.row_index); JSONL tables delete via "
+            "merge_into(when_matched='delete')"
+        )
+    _check_seq_width(path)
+    _check_style(path, "batch")
+    scan = spark.read.schema(schema).parquet(*[e["name"] for e in entries])
+    keyed = scan.withColumns(
+        {
+            "_dv_file": F.substring_index(
+                F.col("_metadata.file_path"), "/", -1
+            ),
+            "_dv_pos": F.col("_metadata.row_index"),
+        }
+    )
+    dvs = committed_dvs(path)
+    if dvs:
+        prior = spark.read.parquet(*dvs).select("_dv_file", "_dv_pos")
+        keyed = keyed.join(prior, ["_dv_file", "_dv_pos"], "left_anti")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    matches = keyed.where(cond).select("_dv_file", "_dv_pos")
+    dv_rel = os.path.join("_dv", f"dv-{uuid.uuid4().hex[:12]}")
+    dv_abs = os.path.join(path, dv_rel)
+    matches.write.parquet(dv_abs)
+    # tiny driver stats: one row per MASKED FILE (bounded by the file
+    # count, never the row count) — the same cardinality the manifest
+    # must carry anyway for OCC validation
+    per_file = (
+        spark.read.parquet(dv_abs)
+        .groupBy("_dv_file")
+        .count()
+        .collect()
+    )  # scalar-probe
+    if not per_file:
+        shutil.rmtree(dv_abs, ignore_errors=True)
+        return {"files_masked": 0, "rows_deleted": 0}
+    targets = sorted(r["_dv_file"] for r in per_file)
+    n_rows = int(sum(r["count"] for r in per_file))
+    doc = {
+        "files": [],
+        "rows": 0,
+        "entries": [],
+        "dv": dv_rel,
+        "dv_targets": targets,
+        "dv_rows": n_rows,
+    }
+    _claim_slot_commit(
+        path,
+        doc,
+        dv_targets=targets,
+        cleanup=lambda: shutil.rmtree(dv_abs, ignore_errors=True),
+    )
+    return {"files_masked": len(targets), "rows_deleted": n_rows}
 
 
 def read_committed(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read back ONLY manifest-listed files (staged/aborted files are
-    invisible). Manifest listing is a driver-side metadata read — the
-    same shape as a table format reading its log, O(#manifests), not a
-    data scan."""
-    return _df_from(spark, committed_files(path), schema)
+    invisible), with visible deletion vectors applied. Manifest listing
+    is a driver-side metadata read — the same shape as a table format
+    reading its log, O(#manifests), not a data scan."""
+    return _df_from(spark, committed_files(path), schema, committed_dvs(path))
 
 
 def read_snapshot(
@@ -1243,6 +1471,7 @@ def read_snapshot(
         spark,
         [e["name"] for e in committed_entries(path, as_of=as_of)],
         schema,
+        committed_dvs(path, as_of=as_of),
     )
 
 
@@ -1271,6 +1500,12 @@ def read_changes(
                 f"{path}: a delta commit (merge) lies inside the change "
                 "window — its files rewrite earlier commits' rows and "
                 "cannot be consumed as appends"
+            )
+        if d.get("dv"):
+            raise ValueError(
+                f"{path}: a deletion-vector commit lies inside the "
+                "change window — it retracts earlier commits' rows, "
+                "which an append-only feed cannot express"
             )
         files.extend(os.path.join(path, f) for f in d["files"])
     return _df_from(spark, files, schema)
@@ -1346,6 +1581,23 @@ def vacuum(path: str, min_age_s: float = 24 * 3600.0) -> int:
             if _old(p):
                 os.remove(p)
                 removed += 1
+    # deletion-vector datasets no manifest references (a delete whose
+    # commit lost its OCC race and crashed before cleanup, or a killed
+    # job between the DV write and the claim) — same age gate
+    dv_listed = {
+        d.get("dv")
+        for m in _manifests(path)
+        for d in (json.load(open(m)),)
+        if d.get("dv")
+    }
+    dv_root = os.path.join(path, "_dv")
+    if os.path.isdir(dv_root):
+        for f in os.listdir(dv_root):
+            rel = os.path.join("_dv", f)
+            p = os.path.join(dv_root, f)
+            if rel not in dv_listed and _old(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
     return removed
 
 
@@ -1365,7 +1617,7 @@ def read_committed_between(
         mm = e["stats"].get(col)
         if mm is None or (mm[0] <= hi and lo <= mm[1]):
             kept.append(e["name"])
-    df = _df_from(spark, kept, schema)
+    df = _df_from(spark, kept, schema, committed_dvs(path))
     return df.where(df[col].between(lo, hi))
 
 
@@ -1537,7 +1789,12 @@ def merge_into(
             e for e in entries if all(_may_match(e, c) for c in on_cols)
         ]
     )
-    tdf = _df_from(spark, [e["name"] for e in touched], schema)
+    # deletion vectors apply to the rewrite's input, so a merge over a
+    # masked file does not resurrect its deleted rows; the rewrite's
+    # fresh part names retire those DV rows automatically
+    tdf = _df_from(
+        spark, [e["name"] for e in touched], schema, committed_dvs(path)
+    )
     cols = [f.name for f in tdf.schema.fields]
     survivors = tdf.join(
         source.select(*on_cols).distinct(), on_cols, "left_anti"

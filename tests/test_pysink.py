@@ -1692,3 +1692,162 @@ def test_pushdown_prunes_string_prefix_and_null_safe_eq(spark, tmp_path):
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
         else:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_deletion_vectors_merge_on_read(spark, tmp_path):
+    """Round-12 deletion vectors (Delta DV / Iceberg position-delete
+    shape): delete_where commits a (file, row-position) sidecar instead
+    of rewriting files — base parts stay byte-identical, readers
+    anti-join the positions away (helper, pruned-range, format API, and
+    time travel all agree), re-running the delete is a no-op, a merge
+    over a masked file does not resurrect deleted rows, and a compact
+    bakes the deletes in and retires the DV with its generation."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        committed_dvs,
+        compact,
+        delete_where,
+        merge_into,
+    )
+
+    register(spark)
+    _rows(spark, 1000).repartitionByRange(10, "k").write.format(
+        "txn_parquet"
+    ).mode("append").save(str(tmp_path))
+    parts_before = sorted(committed_files(str(tmp_path)))
+
+    stats = delete_where(
+        spark, str(tmp_path), _SCHEMA, "k % 10 = 3 AND k < 300"
+    )
+    assert stats == {"files_masked": 3, "rows_deleted": 30}
+    # merge-on-read: no data file was rewritten
+    assert sorted(committed_files(str(tmp_path))) == parts_before
+    back = read_committed(spark, str(tmp_path), _SCHEMA)
+    assert back.count() == 970
+    assert back.where("k % 10 = 3 AND k < 300").count() == 0
+    # idempotent: already-deleted rows do not match again
+    assert delete_where(
+        spark, str(tmp_path), _SCHEMA, "k % 10 = 3 AND k < 300"
+    ) == {"files_masked": 0, "rows_deleted": 0}
+    # a second delete layers on (both DVs apply)
+    assert delete_where(
+        spark, str(tmp_path), _SCHEMA, "k BETWEEN 500 AND 509"
+    ) == {"files_masked": 1, "rows_deleted": 10}
+    assert read_committed(spark, str(tmp_path), _SCHEMA).count() == 960
+
+    # time travel predates the deletes
+    assert read_snapshot(spark, str(tmp_path), _SCHEMA, as_of=1).count() == 1000
+    # the format API and the pruned-range helper apply DVs too
+    assert spark.read.format("txn_parquet").load(str(tmp_path)).count() == 960
+    got = read_committed_between(spark, str(tmp_path), _SCHEMA, "k", 500, 520)
+    assert sorted(r.k for r in got.collect()) == list(range(510, 521))
+
+    # a merge over a masked file must not resurrect deleted rows, and
+    # its rewrite retires that file's DV rows (fresh part names)
+    upd = spark.range(200, 210).selectExpr("id AS k", "'upd' AS v")
+    merge_into(spark, str(tmp_path), _SCHEMA, upd, "k")
+    back = read_committed(spark, str(tmp_path), _SCHEMA)
+    assert back.count() == 961  # k=203 was deleted; merge re-inserts it
+    assert [r.v for r in back.where("k = 203").collect()] == ["upd"]
+    assert back.where("v = 'r203'").count() == 0
+
+    # compaction reads the masked table: deletes bake in, DVs retire
+    compact(spark, str(tmp_path), _SCHEMA)
+    assert committed_dvs(str(tmp_path)) == []
+    assert read_committed(spark, str(tmp_path), _SCHEMA).count() == 961
+    assert vacuum(str(tmp_path), min_age_s=0) > 0
+    dv_root = tmp_path / "_dv"
+    assert not dv_root.is_dir() or os.listdir(dv_root) == []
+
+    # the JSONL form has no row addressing and must refuse
+    jl = tmp_path / "jsonl"
+    _rows(spark, 10).coalesce(1).write.format("txn_files").mode(
+        "append"
+    ).save(str(jl))
+    with pytest.raises(ValueError, match="row addressing"):
+        delete_where(spark, str(jl), _SCHEMA, "k = 1")
+
+
+def test_deletion_vector_occ_and_stream_guard(spark, tmp_path):
+    """A DV commit planned against a snapshot whose target file a
+    concurrent merge rewrote must raise ConcurrentCommitError (the
+    replacement file still holds the matched rows — publishing would
+    silently lose the delete), deleting its sidecar; and a DV commit
+    inside a streamed window raises without skipChangeCommits, is
+    skipped with it."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        ConcurrentCommitError,
+        _claim_slot_commit,
+        delete_where,
+        merge_into,
+    )
+
+    src = tmp_path / "table"
+    register(spark)
+    _rows(spark, 1000).repartitionByRange(10, "k").write.format(
+        "txn_parquet"
+    ).mode("append").save(str(src))
+
+    # the stale delete plans NOW: it would mask the file holding k=250
+    victim = next(
+        os.path.basename(e["name"])
+        for e in committed_entries(str(src))
+        if e["stats"]["k"][0] <= 250 <= e["stats"]["k"][1]
+    )
+    dv_dir = src / "_dv" / "dv-stale"
+    dv_dir.mkdir(parents=True)
+    marker = dv_dir / "positions.parquet"
+    marker.write_text("placeholder")  # cleanup target, content unread
+    doc = {
+        "files": [], "rows": 0, "entries": [],
+        "dv": os.path.join("_dv", "dv-stale"),
+        "dv_targets": [victim], "dv_rows": 1,
+    }
+
+    # a merge rewrites the victim file before the delete commits
+    upd = spark.range(250, 260).selectExpr("id AS k", "'m' AS v")
+    merge_into(spark, str(src), _SCHEMA, upd, "k")
+
+    import shutil as _shutil
+
+    with pytest.raises(ConcurrentCommitError, match="deletion-vector"):
+        _claim_slot_commit(
+            str(src), doc, dv_targets=[victim],
+            cleanup=lambda: _shutil.rmtree(dv_dir, ignore_errors=True),
+        )
+    assert not dv_dir.exists()  # the loser's sidecar was cleaned up
+    back = read_committed(spark, str(src), _SCHEMA)
+    assert back.count() == 1000
+    assert back.where("v = 'm'").count() == 10  # winner intact
+
+    # streaming across a DV commit: raise by default, skip on opt-in
+    out = tmp_path / "out"
+    chk = tmp_path / "chk"
+
+    def run_once(skip: bool):
+        rs = spark.readStream.format("txn_parquet")
+        if skip:
+            rs = rs.option("skipChangeCommits", "true")
+        q = (
+            rs.load(str(src))
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # initial consume skips the merge's delta commit already in the log
+    run_once(skip=True)
+    n0 = spark.read.parquet(str(out)).count()
+    delete_where(spark, str(src), _SCHEMA, "k BETWEEN 700 AND 709")
+    _rows(spark, 5, "z").coalesce(1).write.format("txn_parquet").mode(
+        "append"
+    ).save(str(src))
+    with pytest.raises(Exception, match="deletion-vector"):
+        run_once(skip=False)
+    run_once(skip=True)
+    got = spark.read.parquet(str(out))
+    assert got.count() == n0 + 5  # only the append; no re-emits
+    assert got.where(F.col("v").startswith("z")).count() == 5
