@@ -80,6 +80,10 @@ Round-12 extensions close the concurrency and maintenance gaps:
 * :func:`recluster_zorder` rewrites along the Morton curve of several
   columns so zone maps prune EVERY listed dimension; merge pruning
   intersects all join columns' zone maps;
+* manifests record per-column NULL counts (Iceberg
+  ``null_value_counts``): pushed IsNull prunes zero-null files,
+  IsNotNull prunes all-null files — null-ness that min/max ranges
+  cannot express;
 * :func:`delete_where` — deletion-vector (merge-on-read) DELETE: a
   (file, row-position) parquet sidecar under ``_dv/`` plus one manifest
   commit masks matched rows at scan time instead of rewriting files;
@@ -125,6 +129,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
@@ -152,13 +158,15 @@ class ConcurrentCommitError(RuntimeError):
 @dataclass
 class FileCommit(WriterCommitMessage):
     """Per-task commit message: the staged file (None for an empty
-    partition), its row count, and per-column min/max zone-map stats
-    (the pruning metadata a lakehouse manifest carries per data
-    file)."""
+    partition), its row count, per-column min/max zone-map stats, and
+    per-column NULL counts (Iceberg's ``null_value_counts`` — what
+    lets IsNull prune files with zero nulls and IsNotNull prune
+    all-null files, which min/max ranges cannot express)."""
 
     staged: str | None
     rows: int
     stats: dict | None = None
+    nulls: dict | None = None
 
 
 _STR_BOUND_LEN = 32
@@ -207,6 +215,7 @@ def _stage_rows(path: str, iterator: Iterator) -> FileCommit:
     rows = 0
     out = None
     stats: dict[str, list] = {}
+    nulls: dict[str, int] = {}
     try:
         for row in iterator:
             if out is None:
@@ -217,6 +226,10 @@ def _stage_rows(path: str, iterator: Iterator) -> FileCommit:
             out.write("\n")
             rows += 1
             for col, v in d.items():
+                if v is None:
+                    nulls[col] = nulls.get(col, 0) + 1
+                    continue
+                nulls.setdefault(col, 0)
                 if (
                     isinstance(v, (int, float, str))
                     and not isinstance(v, bool)
@@ -239,6 +252,7 @@ def _stage_rows(path: str, iterator: Iterator) -> FileCommit:
         staged=staged,
         rows=rows,
         stats=_trunc_bounds(stats) if staged else None,
+        nulls=nulls if staged else None,
     )
 
 
@@ -265,7 +279,12 @@ def _rename_parts(path: str, messages) -> dict:
         os.utime(dst)  # rename time, not staged-write time (see above)
         files.append(final)
         entries.append(
-            {"name": final, "rows": msg.rows, "stats": msg.stats or {}}
+            {
+                "name": final,
+                "rows": msg.rows,
+                "stats": msg.stats or {},
+                "nulls": msg.nulls or {},
+            }
         )
         total += msg.rows
     return {"files": files, "rows": total, "entries": entries}
@@ -593,6 +612,7 @@ def _stage_batches(path: str, iterator: Iterator) -> FileCommit:
     writer = None
     rows = 0
     stats: dict[str, list] = {}
+    nulls: dict[str, int] = {}
     try:
         for batch in iterator:
             if batch.num_rows == 0:
@@ -607,6 +627,7 @@ def _stage_batches(path: str, iterator: Iterator) -> FileCommit:
             writer.write_batch(batch)
             rows += batch.num_rows
             for name, col in zip(batch.schema.names, batch.columns):
+                nulls[name] = nulls.get(name, 0) + col.null_count
                 t = col.type
                 if not (
                     pa.types.is_integer(t)
@@ -632,6 +653,7 @@ def _stage_batches(path: str, iterator: Iterator) -> FileCommit:
         staged=staged,
         rows=rows,
         stats=_trunc_bounds(stats) if staged else None,
+        nulls=nulls if staged else None,
     )
 
 
@@ -711,8 +733,20 @@ class _TxnReader(DataSourceReader):
         self.schema_json = schema.json()
         self.as_of = as_of
         self._bounds: dict[str, list] = {}
+        self._null_only: set = set()
+        self._nonnull_only: set = set()
 
     def _keep(self, entry: dict) -> bool:
+        nulls = entry.get("nulls") or {}
+        for col in self._null_only:
+            # zero recorded nulls: an IsNull predicate matches nothing
+            # in this file (a column MISSING from the counts is
+            # conservative — old manifests, or evolution null-padding)
+            if nulls.get(col) == 0:
+                return False
+        for col in self._nonnull_only:
+            if col in nulls and nulls[col] == entry.get("rows"):
+                return False  # all-null file: IsNotNull matches nothing
         for col, (lo, hi) in self._bounds.items():
             mm = entry["stats"].get(col)
             if mm is None:
@@ -840,6 +874,18 @@ class _TxnPruningReader(_TxnReader):
 
     def pushFilters(self, filters):  # noqa: ANN001
         for f in filters:
+            if isinstance(f, (IsNull, IsNotNull)):
+                attr = getattr(f, "attribute", None)
+                if isinstance(attr, tuple) and len(attr) == 1:
+                    # null-count pruning (Iceberg null_value_counts):
+                    # min/max ranges cannot express null-ness, so these
+                    # ride a separate channel into _keep
+                    (
+                        self._null_only
+                        if isinstance(f, IsNull)
+                        else self._nonnull_only
+                    ).add(attr[0])
+                continue
             col, rng = _prune_range(f)
             if col is None:
                 continue

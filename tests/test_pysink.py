@@ -1851,3 +1851,69 @@ def test_deletion_vector_occ_and_stream_guard(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == n0 + 5  # only the append; no re-emits
     assert got.where(F.col("v").startswith("z")).count() == 5
+
+
+def test_null_count_stats_prune_isnull_filters(spark, tmp_path):
+    """Round-12 null-count zone maps (Iceberg null_value_counts): the
+    writers record per-column null counts, so a pushed IsNull prunes
+    files with ZERO nulls and IsNotNull prunes ALL-null files — classes
+    min/max ranges cannot express. Counts are advisory like every other
+    stat: filters stay residual, missing counts keep the file."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        TxnParquetDataSource,
+    )
+
+    register(spark)
+    schema = "k bigint, v string"
+    # three one-file commits: no-null / all-null / mixed v
+    spark.range(0, 100).selectExpr("id AS k", "concat('a', id) AS v") \
+        .coalesce(1).write.format("txn_parquet").mode("append") \
+        .save(str(tmp_path))
+    spark.range(100, 200).selectExpr("id AS k", "CAST(NULL AS STRING) AS v") \
+        .coalesce(1).write.format("txn_parquet").mode("append") \
+        .save(str(tmp_path))
+    spark.range(200, 300).selectExpr(
+        "id AS k", "IF(id % 2 = 0, concat('m', id), NULL) AS v"
+    ).coalesce(1).write.format("txn_parquet").mode("append").save(str(tmp_path))
+
+    entries = committed_entries(str(tmp_path))
+    assert [e["nulls"]["v"] for e in entries] == [0, 100, 50]
+    assert all(e["nulls"]["k"] == 0 for e in entries)
+
+    src = TxnParquetDataSource(
+        options={"path": str(tmp_path), "pushdown": "true"}
+    )
+    rd = src.reader(src.schema())
+    rd.pushFilters([IsNull(("v",))])
+    assert len(rd.partitions()) == 2  # the no-null file is skipped
+
+    rd2 = src.reader(src.schema())
+    rd2.pushFilters([IsNotNull(("v",))])
+    assert len(rd2.partitions()) == 2  # the all-null file is skipped
+
+    # end-to-end correctness under the session conf
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        df = (
+            spark.read.format("txn_parquet")
+            .option("pushdown", "true")
+            .load(str(tmp_path))
+        )
+        assert df.where("v IS NULL").count() == 150
+        assert df.where("v IS NOT NULL").count() == 150
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+    # the JSONL row path records the same counts
+    jl = tmp_path / "jsonl"
+    spark.range(0, 10).selectExpr(
+        "id AS k", "IF(id < 3, NULL, 'x') AS v"
+    ).coalesce(1).write.format("txn_files").mode("append").save(str(jl))
+    (e,) = committed_entries(str(jl))
+    assert e["nulls"] == {"k": 0, "v": 3}
