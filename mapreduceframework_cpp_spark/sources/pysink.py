@@ -898,6 +898,57 @@ class _TxnPruningReader(_TxnReader):
         return filters  # all residual: pruning is listing-level only
 
 
+class _TxnChangesReader(DataSourceReader):
+    """Change-feed read through the format API
+    (``option("changesFrom", m).option("changesTo", n)``): the rows
+    committed in visible snapshots (m, n] — the same window contract as
+    :func:`read_changes` (Delta CDF / Iceberg incremental-scan shape),
+    with the same refusals: a delta (merge), deletion-vector, or
+    replaces commit inside the window cannot be served as appends and
+    raises at plan time."""
+
+    def __init__(self, path: str, schema, frm: int, to: int) -> None:  # noqa: ANN001
+        self.path = path
+        self.columns = tuple(schema.fieldNames())
+        self.schema_json = schema.json()
+        self.frm = frm
+        self.to = to
+
+    def partitions(self) -> list[_PartFile]:
+        parts: list[_PartFile] = []
+        docs = _visible_log(self.path)
+        if self.frm > 0 and any(d.get("replaces") for d in docs[self.frm:self.to]):
+            raise ValueError(
+                f"{self.path}: a replaces commit lies inside the change "
+                "window — history was truncated; re-baseline the feed"
+            )
+        for d in docs[self.frm:self.to]:
+            if d.get("removes"):
+                raise ValueError(
+                    f"{self.path}: a delta commit (merge) lies inside "
+                    "the change window — its files rewrite earlier "
+                    "commits' rows and cannot be consumed as appends"
+                )
+            if d.get("dv"):
+                raise ValueError(
+                    f"{self.path}: a deletion-vector commit lies inside "
+                    "the change window — it retracts earlier commits' "
+                    "rows, which an append-only feed cannot express"
+                )
+            parts.extend(
+                _PartFile(
+                    os.path.join(self.path, f), self.columns, self.schema_json
+                )
+                for f in d["files"]
+            )
+        return parts
+
+    def read(self, partition: _PartFile):  # noqa: ANN201
+        if partition is None:
+            return  # an empty window plans no files
+        yield from _read_part(partition)
+
+
 class _TxnStreamReader(DataSourceStreamReader):
     """Streaming SOURCE over the manifest log
     (``spark.readStream.format("txn_files"|"txn_parquet").load(path)``):
@@ -1077,8 +1128,22 @@ class _TxnReadSupport:
     def schema(self) -> StructType:
         return _committed_schema(self._path())
 
-    def reader(self, schema) -> _TxnReader:  # noqa: ANN001
+    def reader(self, schema):  # noqa: ANN001, ANN201
         as_of = self.options.get("asof")  # options arrive lower-cased
+        frm = self.options.get("changesfrom")
+        to = self.options.get("changesto")
+        if frm is not None or to is not None:
+            if as_of is not None:
+                raise ValueError(
+                    "asOf and changesFrom/changesTo are mutually "
+                    "exclusive — a change window already pins history"
+                )
+            if frm is None or to is None:
+                raise ValueError(
+                    "a change-feed read needs BOTH changesFrom and "
+                    "changesTo (the (from, to] snapshot window)"
+                )
+            return _TxnChangesReader(self._path(), schema, int(frm), int(to))
         cls = (
             _TxnPruningReader
             if str(self.options.get("pushdown", "")).lower() == "true"
@@ -1973,6 +2038,53 @@ def recluster_zorder(
         )
 
     _rewrite(spark, path, schema, shaper, cluster_by=list(cols))
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY for a txn table: one row per RETAINED manifest
+    (vacuum prunes physical history), in commit order, with the commit
+    kind derived from the protocol markers. Pure driver-side metadata —
+    O(#manifests) tiny JSON loads, no data scan. ``visible`` marks the
+    rows inside the current generation (after the latest ``replaces``
+    cut); invisible rows are retained history awaiting vacuum."""
+    pairs = [
+        (os.path.basename(m), json.load(open(m))) for m in _manifests(path)
+    ]
+    cut = 0
+    for i, (_, d) in enumerate(pairs):
+        if d.get("replaces"):
+            cut = i
+    rows = []
+    for i, (name, d) in enumerate(pairs):
+        kind = (
+            "replace"
+            if d.get("replaces")
+            else "delta"
+            if d.get("removes")
+            else "dv-delete"
+            if d.get("dv")
+            else "append"
+        )
+        cb = d.get("cluster_by")
+        rows.append(
+            (
+                _seq_of(name),
+                name,
+                _style_of(name),
+                kind,
+                len(d.get("files", [])),
+                int(d.get("rows", 0)),
+                int(d.get("dv_rows", 0)),
+                json.dumps(cb) if isinstance(cb, (list, tuple)) else cb,
+                i >= cut,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "seq bigint, manifest string, style string, kind string, "
+        "n_files int, n_rows bigint, dv_rows bigint, cluster_by string, "
+        "visible boolean",
+    )
 
 
 _TMP_DIRS: list[str] = []

@@ -1917,3 +1917,75 @@ def test_null_count_stats_prune_isnull_filters(spark, tmp_path):
     ).coalesce(1).write.format("txn_files").mode("append").save(str(jl))
     (e,) = committed_entries(str(jl))
     assert e["nulls"] == {"k": 0, "v": 3}
+
+
+def test_format_api_change_feed_and_history(spark, tmp_path):
+    """Round-12 API symmetry: the (from, to] change feed is readable
+    through the format API (option("changesFrom"/"changesTo") — same
+    window contract and refusals as read_changes), and table_history()
+    serves DESCRIBE HISTORY off the manifest log (commit kind, counts,
+    clustering, visibility) without touching data files."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        delete_where,
+        table_history,
+        write_clustered,
+    )
+
+    register(spark)
+    for tag, lo in (("a", 0), ("b", 100), ("c", 200)):
+        spark.range(lo, lo + 50).selectExpr(
+            "id AS k", f"concat('{tag}', id) AS v"
+        ).coalesce(1).write.format("txn_parquet").mode("append").save(
+            str(tmp_path)
+        )
+
+    feed = (
+        spark.read.format("txn_parquet")
+        .option("changesFrom", 1)
+        .option("changesTo", 3)
+        .load(str(tmp_path))
+    )
+    got = sorted(r.v for r in feed.collect())
+    assert len(got) == 100
+    assert got[0].startswith("b") and got[-1].startswith("c")
+
+    # an empty window plans no files and returns no rows
+    assert (
+        spark.read.format("txn_parquet")
+        .option("changesFrom", 3)
+        .option("changesTo", 3)
+        .load(str(tmp_path))
+        .count()
+        == 0
+    )
+
+    # asOf and a change window are mutually exclusive
+    with pytest.raises(Exception, match="mutually"):
+        spark.read.format("txn_parquet").option("asOf", 1).option(
+            "changesFrom", 0
+        ).option("changesTo", 1).load(str(tmp_path)).count()
+
+    # a DV commit inside the window refuses (rows retracted)
+    delete_where(spark, str(tmp_path), _SCHEMA, "k BETWEEN 10 AND 19")
+    with pytest.raises(Exception, match="deletion-vector"):
+        spark.read.format("txn_parquet").option("changesFrom", 2).option(
+            "changesTo", 4
+        ).load(str(tmp_path)).count()
+
+    hist = table_history(spark, str(tmp_path)).collect()
+    assert [r.kind for r in hist] == ["append", "append", "append", "dv-delete"]
+    assert [r.seq for r in hist] == [0, 1, 2, 3]
+    assert all(r.visible for r in hist)
+    assert [r.n_rows for r in hist] == [50, 50, 50, 0]
+    assert hist[3].dv_rows == 10
+
+    # a clustered overwrite starts a new generation: history keeps the
+    # retained rows but marks the superseded ones invisible
+    write_clustered(
+        _rows(spark, 40), str(tmp_path), "k", target_files=2,
+        fmt="txn_parquet", mode="overwrite",
+    )
+    hist = table_history(spark, str(tmp_path)).collect()
+    assert [r.visible for r in hist] == [False] * 4 + [True]
+    assert hist[4].kind == "replace"
+    assert hist[4].cluster_by == "k"
