@@ -339,6 +339,42 @@ def _sink_blowup(spark, sf_dir):  # noqa: ANN001, ANN201
     return back, {"files_total": total, "files_kept_for_range": kept}
 
 
+def _dv_blowup(spark, sf_dir):  # noqa: ANN001, ANN201
+    """Deletion-vector family at the 10x decade (round-12): write the
+    blown events table (1M rows) through ``txn_parquet``
+    range-clustered on user_id, ``delete_where`` a ~10% user_id band —
+    the full-table scan + prior-DV anti-join + position-sidecar write
+    all run under whatever memory regime the leg imposes — then read
+    the ENTIRE masked table back through the format API (per-partition
+    parquet-filtered position loads + vectorized numpy batch masks).
+    The hash covers write→delete→mask→read, so a dropped mask, an
+    over-mask, or a position mis-address under memory pressure flips
+    it. Extra receipt fields record the delete's physical footprint."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        delete_where,
+        register,
+        scratch_dir,
+    )
+
+    register(spark)
+    ev = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).repartitionByRange(32, "user_id")
+    target = scratch_dir("spill_dv_")
+    ev.write.format("txn_parquet").mode("append").save(target)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields
+    )
+    stats = delete_where(
+        spark, target, schema, "user_id BETWEEN 4000 AND 5499"
+    )
+    back = spark.read.format("txn_parquet").load(target)
+    return back, {
+        "files_masked": stats["files_masked"],
+        "rows_deleted": stats["rows_deleted"],
+    }
+
+
 def child(query: str, sf_dir: str, mem: str, fraction: str,
           shuffle: str | None = None,
           broadcast: str | None = None) -> None:
@@ -382,6 +418,8 @@ def child(query: str, sf_dir: str, mem: str, fraction: str,
     extra: dict = {}
     if query == "_sink_blowup":
         df, extra = _sink_blowup(spark, sf_dir)
+    elif query == "_dv_blowup":
+        df, extra = _dv_blowup(spark, sf_dir)
     else:
         df = all_queries()[query](spark, sf_dir)
     cols = [
@@ -522,7 +560,10 @@ def main() -> int:
             "roomy_err": roomy.get("err"),
             **{
                 k: tight[k]
-                for k in ("files_total", "files_kept_for_range")
+                for k in (
+                    "files_total", "files_kept_for_range",
+                    "files_masked", "rows_deleted",
+                )
                 if k in tight
             },
         }
