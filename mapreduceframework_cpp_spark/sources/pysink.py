@@ -1535,8 +1535,8 @@ def delete_where(
         spark.read.parquet(dv_abs)
         .groupBy("_dv_file")
         .count()
-        .collect()
-    )  # scalar-probe
+        .collect()  # scalar-probe: one row per masked FILE, never rows
+    )
     if not per_file:
         shutil.rmtree(dv_abs, ignore_errors=True)
         return {"files_masked": 0, "rows_deleted": 0}
