@@ -65,7 +65,7 @@ BLOWUP_DIR = os.path.join(REPO, ".blowup", "sf1.0")
 FAIR_DIR = os.path.join(REPO, ".blowup", "fair", "sf1.0")
 SRC_DIR = "/root/testdata/sf0.1"
 COPIES = 10
-_GEN_VERSION = 1  # bump to force regeneration
+_GEN_VERSION = 2  # bump to force regeneration (v2: fair labels/time)
 
 DEFAULT_QUERIES = [
     "q_dedup_near",
@@ -240,11 +240,53 @@ def _blow_embeddings_fair(src: str, dst: str) -> None:
         c = pdf.copy()
         c["vec_id"] = c["vec_id"] + k * n
         c["embedding"] = list((mat @ q).astype("float32"))
+        # each copy gets a DISJOINT block/cell space: the label column
+        # is a stored IVF cell id, and copying it verbatim makes every
+        # cell 10x denser — the label-blocked pair space (sum of cell
+        # sizes squared) then grows ~100x by CONSTRUCTION, false-
+        # flagging correct blocked-ANN operators (round-12 full-headline
+        # fair audit: q_knn_blocked read 34x). A real 10x corpus grows
+        # the cell COUNT (IVF picks nlist ~ N), not per-cell density.
+        c["label"] = c["label"] + k * (int(pdf["label"].max()) + 1)
         parts.append(c)
     out = pd.concat(parts, ignore_index=True)
     pq.write_table(
         pa.Table.from_pandas(out, schema=schema, preserve_index=False),
         os.path.join(dst, "embeddings.parquet"),
+    )
+
+
+def _blow_events_fair(src: str, dst: str) -> None:
+    """Fair mode: offset ids like the dense form AND shift each copy
+    into a DISJOINT time range (span + 1h apart). The dense form keeps
+    all copies in the source's time window, so any time-window operator
+    (interval joins, sessionization windows) sees per-window density
+    grow 10x and true pair/output space grow ~100x by construction —
+    the round-12 full-headline fair audit false-flagged
+    q_join_interval_binned (14x) exactly this way. Per-copy time shifts
+    keep every intra-copy temporal relation identical while cross-copy
+    windows never overlap: 10x data, 10x true output."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(src, "events.parquet"))
+    schema = t.schema.remove_metadata()
+    pdf = t.to_pandas()
+    n = len(pdf)
+    uid_span = int(pdf["user_id"].max()) + 1
+    stride = (pdf["ts"].max() - pdf["ts"].min()) + pd.Timedelta(hours=1)
+    parts = [pdf]
+    for k in range(1, COPIES):
+        c = pdf.copy()
+        c["event_id"] = c["event_id"] + k * n
+        c["user_id"] = c["user_id"] + k * uid_span
+        c["ts"] = c["ts"] + k * stride
+        parts.append(c)
+    out = pd.concat(parts, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=schema, preserve_index=False),
+        os.path.join(dst, "events.parquet"),
     )
 
 
@@ -279,7 +321,7 @@ def ensure_blowup(fair: bool = False) -> str:
         )
     (_blow_documents_fair if fair else _blow_documents)(SRC_DIR, part)
     (_blow_embeddings_fair if fair else _blow_embeddings)(SRC_DIR, part)
-    _blow_events(SRC_DIR, part)
+    (_blow_events_fair if fair else _blow_events)(SRC_DIR, part)
     with open(os.path.join(part, "_COMPLETE.json"), "w") as f:
         json.dump(want, f)
     if os.path.exists(target):
