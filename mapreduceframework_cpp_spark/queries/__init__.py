@@ -389,14 +389,16 @@ ROUND12_ROTATION = [
 #: mechanically: tests/test_driver_contract.py asserts this list
 #: equals tools/next_rotation.py::derive_next_window over the
 #: r01-r11 artifacts with ROUND12_ROTATION as the planned round-12
-#: evidence. Contents: the four names the round-12 head insertions
-#: displaced (q_emb_silhouette / q_text_bm25 / q_dedup_prefix_filter /
-#: q_text_phrase), the r06 overflow round 12 could not fit (q_skyline
-#: onward in r06 order), then the r07 cohort in its own artifact order
-#: (q_dedup_embedding onward spills to round 14). No rows-only query
-#: holds a slot. Any round-12 red re-queues at the head per the
-#: standing policy.
+#: evidence. Contents: the round-13 registrations (unproven head —
+#: q_sink_checkpoint_read), the four names the round-12 head
+#: insertions displaced (q_emb_silhouette / q_text_bm25 /
+#: q_dedup_prefix_filter / q_text_phrase), the r06 overflow round 12
+#: could not fit (q_skyline onward in r06 order), then the r07 cohort
+#: in its own artifact order (the overflow spills to round 14). No
+#: rows-only query holds a slot. Any round-12 red re-queues at the
+#: head per the standing policy.
 ROUND13_ROTATION = [
+        "q_sink_checkpoint_read",
         "q_emb_silhouette",
         "q_text_bm25", "q_dedup_prefix_filter", "q_text_phrase",
         "q_skyline",
@@ -420,17 +422,53 @@ ROUND13_ROTATION = [
         "q_join_theta_range",
         "q_join_asof", "q_join_interval", "q_join_salted", "q_dedup_exact",
         "q_dedup_near",
+]
+
+#: round-14 window, committed in advance (standing pattern), derived
+#: mechanically: tests/test_driver_contract.py asserts this list
+#: equals tools/next_rotation.py::derive_next_window over the
+#: r01-r12 artifacts with ROUND13_ROTATION as the planned round-13
+#: evidence. Contents: the r07 cohort round 13 could not fit
+#: (q_dedup_ngram_jaccard onward in r07 artifact order), then the r08
+#: cohort in its own artifact order. No rows-only query holds a
+#: slot. Any round-13 red re-queues at the head per the standing
+#: policy; new round-13 registrations insert at the ROUND13 head and
+#: ripple the tail here.
+ROUND14_ROTATION = [
         "q_dedup_ngram_jaccard",
+        "q_dedup_embedding", "q_sim_topk", "q_text_stats",
+        "q_text_tokens",
+        "q_text_quality", "q_text_langid", "q_dedup_clusters",
+        "q_pipeline_e2e",
+        "q_scan_parquet", "q_graph_pagerank", "q_project_expr",
+        "q_filter_pred",
+        "q_case_expr", "q_sort_multi", "q_scan_select_cols",
+        "q_sort_limit",
+        "q_union_all", "q_union_distinct", "q_intersect", "q_except",
+        "q_pivot",
+        "q_unpivot", "q_str_funcs", "q_str_regexp",
+        "q_str_split_explode",
+        "q_date_funcs", "q_math_funcs", "q_json_funcs", "q_array_funcs",
+        "q_str_distance",
+        "q_win_rank", "q_win_topk_group", "q_win_lag_lead",
+        "q_win_running",
+        "q_win_range_frame", "q_win_ntile_pct", "q_stream_tumbling",
+        "q_stream_sliding",
+        "q_stream_session", "q_ts_gapfill", "q_udf_scalar",
+        "q_udaf_grouped",
+        "q_udtf_flatmap", "q_agg_collect", "q_text_repetition",
+        "q_text_contamination",
+        "q_text_length_hist", "q_sample_hash_per_group", "q_mm_frames",
 ]
 
 #: Alias kept so callers/tests address "the live window" uniformly
-#: across rounds. Round 12 is LIVE: CORRECTNESS_r11 came back perfect
-#: (50/50 hash-green — zero errs, zero rows-only slots; all five
-#: first-row sink read/merge/stream/evolve/pipeline queries
-#: hash-matched), so the pre-committed round-12 window runs as
-#: derived, draining the r4/r5 evidence tail. New round-12
+#: across rounds. Round 13 is LIVE: CORRECTNESS_r12 came back perfect
+#: (50/50 hash-green — zero errs, zero rows-only slots; all four
+#: first-row sink clustering/skip-changes/z-order/deletion-vector
+#: queries hash-matched), so the pre-committed round-13 window runs
+#: as derived, draining the r6 evidence tail. New round-13
 #: registrations insert at the head, displacing the tail into
-#: ROUND13_ROTATION.
-VERIFY_ROTATION = ROUND12_ROTATION
+#: ROUND14_ROTATION.
+VERIFY_ROTATION = ROUND13_ROTATION
 
-registry.reorder(ROUND12_ROTATION)
+registry.reorder(ROUND13_ROTATION)

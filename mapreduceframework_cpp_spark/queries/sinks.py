@@ -884,3 +884,74 @@ def q_sink_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@query(
+    "q_sink_checkpoint_read",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_supp,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_sink_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-log CHECKPOINTING (round-13, VERDICT r12 item 2 —
+    Delta's `_last_checkpoint` shape): the supplier table lands in four
+    append commits, then a month's worth of tiny commits is simulated
+    (40 empty-delta manifests — a 10 s-cadence streaming sink's log),
+    :func:`checkpoint` folds the whole log into one ``ckpt-*.json``
+    snapshot, and two more commits land as the tail. The read back
+    through ``spark.read.format("txn_parquet")`` then PLANS from
+    checkpoint + 2-manifest tail instead of json-loading all 46
+    commits (tests/test_pysink.py pins the load count); the
+    hash-verified join against nation proves the checkpointed plan
+    loses nothing. At 100 TB with a long-lived streaming writer, this
+    is the difference between O(interval) and O(#commits-forever)
+    driver metadata per scan plan."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        _claim_manifest,
+        checkpoint,
+    )
+
+    register(spark)
+    supp = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    target = scratch_dir("graft_sink_ckpt_")
+    for lo, hi in ((0, 6), (6, 12), (12, 18), (18, 22)):
+        supp.where(
+            (F.col("s_nationkey") >= lo) & (F.col("s_nationkey") < hi)
+        ).coalesce(1).write.format("txn_parquet").mode("append").save(target)
+    import os as _os
+
+    txn = _os.path.join(target, "_txn")
+    for seq in range(4, 44):
+        _claim_manifest(
+            txn,
+            f"manifest-{seq:020d}-c.json",
+            {"files": [], "rows": 0, "entries": []},
+        )
+    assert checkpoint(target)
+    for lo, hi in ((22, 24), (24, 25)):
+        supp.where(
+            (F.col("s_nationkey") >= lo) & (F.col("s_nationkey") < hi)
+        ).coalesce(1).write.format("txn_parquet").mode("append").save(target)
+
+    back = spark.read.format("txn_parquet").load(target)
+    nation = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        back.join(
+            F.broadcast(nation),
+            back.s_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_supp"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )

@@ -142,6 +142,27 @@ _STAGING = "_staging"
 _TXN = "_txn"
 _SEQ_WIDTH = 20
 
+#: auto-checkpoint cadence: writers fold the log into a ``ckpt-*.json``
+#: snapshot once this many manifests accrue past the latest checkpoint
+#: (VERDICT r12 item 2 — without it, EVERY scan plan json-loads every
+#: manifest since the last ``replaces``; a 10 s-cadence streaming sink
+#: is ~260k manifests/month and per-plan driver cost grows forever).
+#: Delta checkpoints its log every 10 commits for the same reason.
+#: ``option("checkpointInterval", n)`` overrides per writer; 0 disables.
+_CKPT_EVERY = 16
+
+#: diagnostic: manifest/checkpoint json loads performed by this process
+#: (tests pin that a checkpointed K-commit log PLANS in O(interval)
+#: loads, not O(K))
+MANIFEST_LOADS = 0
+
+
+def _load_doc(path: str) -> dict:
+    global MANIFEST_LOADS
+    MANIFEST_LOADS += 1
+    with open(path) as f:
+        return json.load(f)
+
 
 class ConcurrentCommitError(RuntimeError):
     """Optimistic-concurrency conflict at commit time (the Delta/Iceberg
@@ -343,9 +364,7 @@ def _check_style(path: str, style: str) -> None:
     streaming table (its max+1 sequence sorts after every batchId at
     equal digit width), after which the table is batch-styled and a
     restarted stream is told to use a fresh path."""
-    others = {
-        _style_of(os.path.basename(m)) for m, _ in _visible(path)
-    } - {style}
+    others = _fold_state(path)["styles"] - {style}
     if others:
         raise ValueError(
             f"{path} is a {others.pop()}-written txn table; refusing a "
@@ -402,7 +421,7 @@ def _check_seq_width(path: str) -> None:
 
 def _live_names(path: str) -> set[str]:
     """Basenames of the files live in the CURRENT visible fold."""
-    return {e["name"] for e in _fold_entries(_visible_log(path))}
+    return set(_fold_state(path)["entries"])
 
 
 def _latest_manifest(path: str) -> str:
@@ -1021,7 +1040,7 @@ class _TxnStreamReader(DataSourceStreamReader):
         for name in names:
             if not (lo < name <= hi):
                 continue
-            doc = json.load(open(os.path.join(self.path, _TXN, name)))
+            doc = _load_doc(os.path.join(self.path, _TXN, name))
             # a replaces commit is only acceptable as the very first
             # manifest of a FRESH stream (a table born by overwrite);
             # a restarted stream (non-empty start offset) must never
@@ -1079,24 +1098,15 @@ def _committed_schema(path: str) -> StructType:
     add columns (older files pad them with nulls at scan time — see
     `_read_part`) or widen a column's type (later type wins; older
     files cast up). Field order is first-appearance, matching how the
-    table grew."""
-    from pyspark.sql.types import StructField
-
-    fields: dict[str, StructField] = {}
-    seen = False
-    for _, d in _visible(path):
-        s = d.get("schema")
-        if not s:
-            continue
-        seen = True
-        for f in StructType.fromJson(json.loads(s)).fields:
-            # later commit wins the type; everything reads nullable —
-            # a file that predates a column pads it with NULLs, and a
-            # non-nullable field would let codegen read the padding
-            # unchecked (observed: IllegalStateException in
-            # ArrowColumnVector on the evolved column)
-            fields[f.name] = StructField(f.name, f.dataType, True, f.metadata)
-    if seen:
+    table grew. (Why all-nullable: a file that predates a column pads
+    it with NULLs at scan time, and a non-nullable field would let
+    codegen read the padding unchecked — observed
+    IllegalStateException in ArrowColumnVector on the evolved column.
+    The per-commit fold lives in `_merge_schema_fields`, shared with
+    the checkpoint path.) Served from checkpoint + tail
+    (`_fold_state`), not a full log walk."""
+    fields = _fold_state(path)["fields"]
+    if fields:
         return StructType(list(fields.values()))
     raise ValueError(
         f"{path} has no committed schema (empty table or pre-schema "
@@ -1124,6 +1134,11 @@ class _TxnReadSupport:
         if raw and raw.lstrip().startswith("["):
             return json.loads(raw)  # z-order column LIST rides as JSON
         return raw
+
+    def _ckpt_every(self) -> int | None:
+        # writer auto-checkpoint cadence override (0 disables)
+        raw = self.options.get("checkpointinterval")
+        return int(raw) if raw is not None else None
 
     def schema(self) -> StructType:
         return _committed_schema(self._path())
@@ -1181,10 +1196,14 @@ class TxnFilesDataSource(_TxnReadSupport, DataSource):
         return TxnFilesWriter(
             self._path(), overwrite, schema, self._removes(),
             basis=self._basis(), cluster_by=self._cluster_by(),
+            ckpt_every=self._ckpt_every(),
         )
 
     def streamWriter(self, schema, overwrite: bool) -> "TxnFilesStreamWriter":  # noqa: ANN001
-        return TxnFilesStreamWriter(self._path(), truncate=overwrite, schema=schema)
+        return TxnFilesStreamWriter(
+            self._path(), truncate=overwrite, schema=schema,
+            ckpt_every=self._ckpt_every(),
+        )
 
 
 class TxnFilesWriter(DataSourceWriter):
@@ -1208,6 +1227,7 @@ class TxnFilesWriter(DataSourceWriter):
         removes: list[str] | None = None,
         basis: str | None = None,
         cluster_by: str | None = None,
+        ckpt_every: int | None = None,
     ) -> None:
         if overwrite and removes:
             raise ValueError(
@@ -1220,6 +1240,7 @@ class TxnFilesWriter(DataSourceWriter):
         self.removes = removes
         self.basis = basis
         self.cluster_by = cluster_by
+        self.ckpt_every = ckpt_every
 
     def write(self, iterator: Iterator) -> FileCommit:
         return _stage_rows(self.path, iterator)
@@ -1263,6 +1284,7 @@ class TxnFilesWriter(DataSourceWriter):
         _claim_slot_commit(
             self.path, doc, removes=self.removes, basis=self.basis
         )
+        _maybe_checkpoint(self.path, self.ckpt_every)
 
     def abort(self, messages) -> None:
         _discard(self.path, messages)
@@ -1287,10 +1309,12 @@ class TxnFilesStreamWriter(DataSourceStreamWriter):
         path: str,
         truncate: bool = False,
         schema: StructType | None = None,
+        ckpt_every: int | None = None,
     ) -> None:
         self.path = path
         self.truncate = truncate
         self.schema_json = schema.json() if schema is not None else None
+        self.ckpt_every = ckpt_every
 
     def write(self, iterator: Iterator) -> FileCommit:
         return _stage_rows(self.path, iterator)
@@ -1316,6 +1340,7 @@ class TxnFilesStreamWriter(DataSourceStreamWriter):
             replaces=self.truncate,
             schema_json=self.schema_json,
         )
+        _maybe_checkpoint(self.path, self.ckpt_every)
 
     def abort(self, messages, batchId: int) -> None:
         _discard(self.path, messages)
@@ -1345,10 +1370,14 @@ class TxnParquetDataSource(_TxnReadSupport, DataSource):
         return TxnParquetWriter(
             self._path(), overwrite, schema, self._removes(),
             basis=self._basis(), cluster_by=self._cluster_by(),
+            ckpt_every=self._ckpt_every(),
         )
 
     def streamWriter(self, schema, overwrite: bool) -> "TxnParquetStreamWriter":  # noqa: ANN001
-        return TxnParquetStreamWriter(self._path(), truncate=overwrite, schema=schema)
+        return TxnParquetStreamWriter(
+            self._path(), truncate=overwrite, schema=schema,
+            ckpt_every=self._ckpt_every(),
+        )
 
 
 class TxnParquetWriter(DataSourceArrowWriter, TxnFilesWriter):
@@ -1377,7 +1406,7 @@ def _visible(path: str) -> list[tuple[str, dict]]:
     still be on disk awaiting vacuum but are invisible by rule). One
     tiny json-load per manifest — driver-side metadata, not a data
     scan."""
-    pairs = [(m, json.load(open(m))) for m in _manifests(path)]
+    pairs = [(m, _load_doc(m)) for m in _manifests(path)]
     cut = 0
     for i, (_, d) in enumerate(pairs):
         if d.get("replaces"):
@@ -1405,6 +1434,158 @@ def _fold_entries(docs: list[dict]) -> list[dict]:
     return list(live.values())
 
 
+def _ckpt_files(path: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(path, _TXN, "ckpt-*.json")))
+
+
+def _latest_ckpt(path: str) -> dict | None:
+    """The newest checkpoint doc, or None. Checkpoint names carry their
+    ``through`` manifest's digit run, so sorted-name order is fold
+    order (same equal-width numeric-string property the manifests
+    rely on)."""
+    cks = _ckpt_files(path)
+    return _load_doc(cks[-1]) if cks else None
+
+
+def _merge_schema_fields(fields: dict, schema_json: str) -> None:
+    """Fold one commit's schema into the evolving field map (later
+    commit wins the type; everything reads nullable — see
+    `_committed_schema` for why non-nullable evolved fields are a
+    codegen hazard)."""
+    from pyspark.sql.types import StructField
+
+    for f in StructType.fromJson(json.loads(schema_json)).fields:
+        fields[f.name] = StructField(f.name, f.dataType, True, f.metadata)
+
+
+def _fold_state(path: str) -> dict:
+    """The CURRENT-snapshot planning state — latest checkpoint + tail
+    fold (VERDICT r12 item 2). Without a checkpoint this is the same
+    full-log fold `_visible` performs; with one, only the manifests
+    NEWER than the checkpoint's ``through`` head are json-loaded, so a
+    long-lived log (a streaming sink committing for months) plans in
+    O(checkpoint interval) driver metadata instead of O(#commits).
+    A ``replaces`` commit in the tail starts a new generation exactly
+    as the `_visible` cut does: the checkpoint and every earlier tail
+    doc are discarded and the fold restarts at the marker. Returns::
+
+        {"entries": {basename: entry}, "dvs": [rel paths],
+         "cluster_by": str|list|None, "fields": {name: StructField},
+         "styles": set[str], "n": visible-commit count,
+         "head": last manifest basename ("" for an empty log)}
+
+    Checkpoints are DERIVED state: a missing, stale, or concurrently
+    written checkpoint only changes how much tail is folded, never the
+    result (the manifest log remains the sole source of truth)."""
+    ck = _latest_ckpt(path)
+    ms = [os.path.basename(m) for m in _manifests(path)]
+    through = ck["through"] if ck else ""
+    tail = [n for n in ms if n > through]
+    docs = [(n, _load_doc(os.path.join(path, _TXN, n))) for n in tail]
+    cut = -1
+    for i, (_, d) in enumerate(docs):
+        if d.get("replaces"):
+            cut = i
+    if cut >= 0:
+        ck = None  # generation cut: the checkpoint summarizes dead history
+        docs = docs[cut:]
+
+    entries: dict[str, dict] = (
+        {e["name"]: e for e in ck["entries"]} if ck else {}
+    )
+    dvs: list[str] = list(ck["dvs"]) if ck else []
+    cluster_by = ck.get("cluster_by") if ck else None
+    fields: dict = {}
+    if ck and ck.get("schema"):
+        _merge_schema_fields(fields, ck["schema"])
+    styles: set[str] = set(ck.get("styles", ())) if ck else set()
+    n = ck["n"] if ck else 0
+    for name, d in docs:
+        n += 1
+        styles.add(_style_of(name))
+        for r in d.get("removes", ()):
+            entries.pop(r, None)
+        for e in d["entries"]:
+            entries[e["name"]] = e
+        if d.get("dv"):
+            dvs.append(d["dv"])
+        if d.get("cluster_by") is not None:
+            cluster_by = d["cluster_by"]
+        if d.get("schema"):
+            _merge_schema_fields(fields, d["schema"])
+    head = tail[-1] if tail else (through if ck else (ms[-1] if ms else ""))
+    return {
+        "entries": entries,
+        "dvs": dvs,
+        "cluster_by": cluster_by,
+        "fields": fields,
+        "styles": styles,
+        "n": n,
+        "head": head,
+    }
+
+
+def checkpoint(path: str) -> str | None:
+    """Fold the visible log into a ``_txn/ckpt-<digits>.json`` snapshot
+    (Delta's `_last_checkpoint` shape): live entries, visible DV
+    pointers, merged schema, declared clustering, writer styles, and
+    the visible-commit count, keyed to the log head (``through``).
+    Readers then plan from checkpoint + tail (`_fold_state`) instead of
+    re-loading every manifest since the last ``replaces``. Put-if-
+    absent on the head's digit run, so concurrent checkpointers at the
+    same head dedupe and a checkpoint can never clobber a newer one.
+    Commits are untouched — the sequence-slot CAS and the manifests
+    stay the source of truth; a checkpoint is pure derived metadata.
+    Returns the checkpoint basename, or None for an empty log."""
+    st = _fold_state(path)  # itself ckpt+tail: checkpointing is incremental
+    if not st["head"]:
+        return None
+    from pyspark.sql.types import StructField  # noqa: F401 - fromJson dep
+
+    schema_json = (
+        StructType(list(st["fields"].values())).json()
+        if st["fields"]
+        else None
+    )
+    name = f"ckpt-{_digit_run(st['head'])}.json"
+    doc = {
+        "through": st["head"],
+        "n": st["n"],
+        "entries": list(st["entries"].values()),
+        "dvs": st["dvs"],
+        "cluster_by": st["cluster_by"],
+        "schema": schema_json,
+        "styles": sorted(st["styles"]),
+    }
+    _claim_manifest(os.path.join(path, _TXN), name, doc)
+    return name
+
+
+def _maybe_checkpoint(path: str, every: int | None = None) -> None:
+    """Auto-checkpoint from the writer commit paths: once ``every``
+    manifests accrue past the latest checkpoint, write the next one.
+    The accrual count compares digit runs only — no json loads on the
+    fast path beyond the single latest-checkpoint read. Best-effort by
+    design: the commit that triggered this already landed, and a
+    checkpoint is derived state, so an I/O failure here must not fail
+    the job (the next commit simply retries)."""
+    every = _CKPT_EVERY if every is None else every
+    if every <= 0:
+        return
+    try:
+        ck = _latest_ckpt(path)
+        through = _digit_run(ck["through"]) if ck else ""
+        tail_n = sum(
+            1
+            for m in _manifests(path)
+            if _digit_run(os.path.basename(m)) > through
+        )
+        if tail_n >= every:
+            checkpoint(path)
+    except OSError:
+        return  # derived state only — never fail the landed commit
+
+
 def committed_files(path: str) -> list[str]:
     """Absolute paths of every committed part file, manifest order
     (adds minus later removes)."""
@@ -1414,8 +1595,16 @@ def committed_files(path: str) -> list[str]:
 def committed_entries(path: str, as_of: int | None = None) -> list[dict]:
     """Per-file manifest entries ({name, rows, stats}) live after the
     first ``as_of`` visible manifests in snapshot order (all if None).
-    ``name`` is returned absolute."""
-    docs = _visible_log(path)[: None if as_of is None else as_of]
+    ``name`` is returned absolute. The current-snapshot case (the hot
+    planning path every scan takes) is served from checkpoint + tail;
+    ``as_of`` time travel addresses arbitrary history, so it folds the
+    raw visible log — an audit path, priced accordingly."""
+    if as_of is None:
+        return [
+            {**e, "name": os.path.join(path, e["name"])}
+            for e in _fold_state(path)["entries"].values()
+        ]
+    docs = _visible_log(path)[:as_of]
     return [
         {**e, "name": os.path.join(path, e["name"])}
         for e in _fold_entries(docs)
@@ -1428,8 +1617,15 @@ def committed_dvs(path: str, as_of: int | None = None) -> list[str]:
     (merge/compact/recluster) mints fresh part names, so DV rows
     addressing a removed file become inert automatically; a
     ``replaces`` generation cut drops older DVs entirely (the rewrite
-    read the masked table, so the deletes are baked into its output)."""
-    docs = _visible_log(path)[: None if as_of is None else as_of]
+    read the masked table, so the deletes are baked into its output).
+    Current-snapshot reads come from checkpoint + tail (`_fold_state`);
+    ``as_of`` folds the raw log (audit path, same as
+    `committed_entries`)."""
+    if as_of is None:
+        return [
+            os.path.join(path, d) for d in _fold_state(path)["dvs"]
+        ]
+    docs = _visible_log(path)[:as_of]
     return [os.path.join(path, d["dv"]) for d in docs if d.get("dv")]
 
 
@@ -1556,6 +1752,7 @@ def delete_where(
         dv_targets=targets,
         cleanup=lambda: shutil.rmtree(dv_abs, ignore_errors=True),
     )
+    _maybe_checkpoint(path)
     return {"files_masked": len(targets), "rows_deleted": n_rows}
 
 
@@ -1709,6 +1906,15 @@ def vacuum(path: str, min_age_s: float = 24 * 3600.0) -> int:
             if rel not in dv_listed and _old(p):
                 shutil.rmtree(p, ignore_errors=True)
                 removed += 1
+    # superseded checkpoints: only the LATEST one serves reads
+    # (`_latest_ckpt`), so older snapshots are pure garbage once past
+    # the retention window (a reader that resolved the old checkpoint
+    # before a new one landed may still be folding its tail)
+    cks = _ckpt_files(path)
+    for c in cks[:-1]:
+        if _old(c):
+            os.remove(c)
+            removed += 1
     return removed
 
 
@@ -1926,11 +2132,9 @@ def table_cluster_by(path: str) -> str | list | None:
     """The table's declared clustering: the latest visible manifest
     that recorded one wins (an overwrite/recluster may change it). A
     string is single-column range clustering; a LIST is z-order over
-    those columns. None if no commit ever declared clustering."""
-    col = None
-    for d in _visible_log(path):
-        col = d.get("cluster_by", col)
-    return col
+    those columns. None if no commit ever declared clustering. Served
+    from checkpoint + tail (`_fold_state`)."""
+    return _fold_state(path)["cluster_by"]
 
 
 def write_clustered(

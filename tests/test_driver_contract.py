@@ -55,11 +55,11 @@ def test_output_columns_are_atomic(name, spark, sf_dir):
 def test_registration_follows_verify_rotation():
     """The verifier checks the first ~50 registered queries per round;
     queries/__init__.py declares the rotation explicitly. Guard that
-    registration actually honors it and that the live round-12 window
-    spends its slots per the standing policy. Round 11 landed PERFECT
-    (derived HERE from the frozen CORRECTNESS_r11.json — 50/50
-    hash-green, zero errs, zero rows-only slots), so the round-12
-    window is the pure mechanical derivation, with any new round-12
+    registration actually honors it and that the live round-13 window
+    spends its slots per the standing policy. Round 12 landed PERFECT
+    (derived HERE from the frozen CORRECTNESS_r12.json — 50/50
+    hash-green, zero errs, zero rows-only slots), so the round-13
+    window is the pure mechanical derivation, with any new round-13
     registrations forming its unproven head.
     The green fold AND the window derivation are imported from
     tools/next_rotation.py (ADVICE r4: a local copy of the fold
@@ -69,10 +69,10 @@ def test_registration_follows_verify_rotation():
     import sys
 
     from mapreduceframework_cpp_spark.queries import (
-        ROUND10_ROTATION,
         ROUND11_ROTATION,
         ROUND12_ROTATION,
         ROUND13_ROTATION,
+        ROUND14_ROTATION,
         VERIFY_ROTATION,
     )
     from mapreduceframework_cpp_spark.registry import all_oracles
@@ -83,102 +83,102 @@ def test_registration_follows_verify_rotation():
     from tools.next_rotation import derive_next_window, green_set
 
     registered = list(_QUERIES)
-    assert VERIFY_ROTATION is ROUND12_ROTATION  # the live window alias
-    assert registered[: len(ROUND12_ROTATION)] == ROUND12_ROTATION
-    assert len(ROUND12_ROTATION) == 50
-    assert len(set(ROUND12_ROTATION)) == 50
-    assert not set(ROUND12_ROTATION) & set(ROUND11_ROTATION)
-    assert not set(ROUND12_ROTATION) & set(ROUND10_ROTATION)
+    assert VERIFY_ROTATION is ROUND13_ROTATION  # the live window alias
+    assert registered[: len(ROUND13_ROTATION)] == ROUND13_ROTATION
+    assert len(ROUND13_ROTATION) == 50
+    assert len(set(ROUND13_ROTATION)) == 50
+    assert not set(ROUND13_ROTATION) & set(ROUND12_ROTATION)
+    assert not set(ROUND13_ROTATION) & set(ROUND11_ROTATION)
 
     oracles = set(all_oracles())
-    # round 11 landed perfect: no SQL-oracle row in its window ran
+    # round 12 landed perfect: no SQL-oracle row in its window ran
     # without error yet hash-failed, so there is nothing to re-queue
-    r11 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r11.json")))
+    r12 = json.load(open(os.path.join(repo_root, "CORRECTNESS_r12.json")))
     reds = [
         n
-        for n in ROUND11_ROTATION
-        if n in r11
+        for n in ROUND12_ROTATION
+        if n in r12
         and n in oracles
-        and not r11[n].get("err")
-        and not r11[n].get("hash_match")
+        and not r12[n].get("err")
+        and not r12[n].get("hash_match")
     ]
-    assert reds == [], f"round-11 reds exist — re-queue them: {reds}"
+    assert reds == [], f"round-12 reds exist — re-queue them: {reds}"
 
     all_rounds = [
         os.path.join(repo_root, f"CORRECTNESS_{r}.json")
         for r in (
             "r01", "r02", "r03", "r04", "r05", "r06",
-            "r07", "r08", "r09", "r10", "r11",
+            "r07", "r08", "r09", "r10", "r11", "r12",
         )
     ]
     green = green_set(all_rounds, oracles)
     unproven = [q for q in registered if q not in green]
 
-    # the round-12 window = the PURE mechanical derivation over the
-    # ten pre-r11 artifacts with ROUND11 planned, which places any
-    # new (unproven) round-12 registrations at the head automatically.
+    # the round-13 window = the PURE mechanical derivation over the
+    # eleven pre-r12 artifacts with ROUND12 planned, which places any
+    # new (unproven) round-13 registrations at the head automatically.
     # No manual slotting at all.
-    pre_r11 = all_rounds[:-1]
-    derived12, derived12_unproven = derive_next_window(
-        pre_r11, registered, oracles, planned=[ROUND11_ROTATION]
+    pre_r12 = all_rounds[:-1]
+    derived13, derived13_unproven = derive_next_window(
+        pre_r12, registered, oracles, planned=[ROUND12_ROTATION]
     )
-    assert derived12_unproven == unproven
-    assert ROUND12_ROTATION == derived12
+    assert derived13_unproven == unproven
+    assert ROUND13_ROTATION == derived13
     rows_only = set(registered) - oracles
-    assert not set(ROUND12_ROTATION) & rows_only, (
+    assert not set(ROUND13_ROTATION) & rows_only, (
         "terminal rows-only queries must not hold re-confirm slots"
     )
 
-    # the committed round-13 plan is MECHANICAL: derived from all
-    # eleven artifacts with the live round-12 window folded in as
+    # the committed round-14 plan is MECHANICAL: derived from all
+    # twelve artifacts with the live round-13 window folded in as
     # planned evidence — the plan cannot drift from the tool
-    derived13, derived13_unproven = derive_next_window(
+    derived14, derived14_unproven = derive_next_window(
         all_rounds,
         registered,
         oracles,
-        planned=[ROUND12_ROTATION],
+        planned=[ROUND13_ROTATION],
     )
-    assert derived13_unproven == []
-    assert ROUND13_ROTATION == derived13
-    assert len(set(ROUND13_ROTATION)) == 50
-    assert not set(ROUND13_ROTATION) & set(ROUND11_ROTATION)
-    assert not set(ROUND13_ROTATION) & set(ROUND12_ROTATION)
-    assert not set(ROUND13_ROTATION) & rows_only
+    assert derived14_unproven == []
+    assert ROUND14_ROTATION == derived14
+    assert len(set(ROUND14_ROTATION)) == 50
+    assert not set(ROUND14_ROTATION) & set(ROUND12_ROTATION)
+    assert not set(ROUND14_ROTATION) & set(ROUND13_ROTATION)
+    assert not set(ROUND14_ROTATION) & rows_only
 
-    # drain invariant: after round 12 runs, no SQL-oracle query has
-    # pre-r6 latest evidence, and the r6-latest overflow is exactly
-    # the r06 tail that provably cannot fit (the pool is ordered, so
-    # overflow = the names AFTER the window's last slot in r06 order)
+    # drain invariant: after round 13 runs, no SQL-oracle query has
+    # pre-r7 latest evidence, and the r7-latest overflow is exactly
+    # the r07 tail that provably cannot fit (the pool is ordered, so
+    # overflow = the names AFTER the window's last slot in r07 order)
     latest: dict[str, int] = {}
-    r06_order: dict[str, int] = {}
+    r07_order: dict[str, int] = {}
     for i, r in enumerate(
         ("r01", "r02", "r03", "r04", "r05", "r06",
-         "r07", "r08", "r09", "r10", "r11")
+         "r07", "r08", "r09", "r10", "r11", "r12")
     ):
         rows = json.load(open(os.path.join(repo_root, f"CORRECTNESS_{r}.json")))
         for j, name in enumerate(rows):
             latest[name] = i + 1
-            if r == "r06":
-                r06_order[name] = j
-    covered = set(ROUND12_ROTATION)
-    stale5 = {
-        q
-        for q, rnd in latest.items()
-        if rnd <= 5 and q in registered and q in oracles
-    }
-    assert stale5 <= covered, sorted(stale5 - covered)[:10]
+            if r == "r07":
+                r07_order[name] = j
+    covered = set(ROUND13_ROTATION)
     stale6 = {
         q
         for q, rnd in latest.items()
-        if rnd == 6 and q in registered and q in oracles
+        if rnd <= 6 and q in registered and q in oracles
     }
-    spilled = stale6 - covered
-    max_covered_r06 = max(
-        (r06_order[q] for q in ROUND12_ROTATION if q in r06_order),
+    assert stale6 <= covered, sorted(stale6 - covered)[:10]
+    stale7 = {
+        q
+        for q, rnd in latest.items()
+        if rnd == 7 and q in registered and q in oracles
+    }
+    spilled = stale7 - covered
+    max_covered_r07 = max(
+        (r07_order[q] for q in ROUND13_ROTATION if q in r07_order),
         default=-1,
     )
-    assert all(r06_order[q] > max_covered_r06 for q in spilled), (
-        "a covered r06 slot was skipped in favor of a newer one",
+    assert all(r07_order[q] > max_covered_r07 for q in spilled), (
+        "a covered r07 slot was skipped in favor of a newer one",
         sorted(spilled)[:10],
     )
 

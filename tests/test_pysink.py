@@ -1989,3 +1989,174 @@ def test_format_api_change_feed_and_history(spark, tmp_path):
     assert [r.visible for r in hist] == [False] * 4 + [True]
     assert hist[4].kind == "replace"
     assert hist[4].cluster_by == "k"
+
+
+def test_checkpoint_bounds_planning_loads(spark, tmp_path):
+    """VERDICT r12 item 2: a long manifest log must plan from
+    checkpoint + tail, not by json-loading every manifest since the
+    last replaces. Build a 30+-commit log, checkpoint it, and pin the
+    DRIVER-side json-load count of a full read plan to O(tail), while
+    the result stays byte-identical to the raw full fold (a checkpoint
+    is derived state — deleting it may not change any answer)."""
+    import glob as _glob
+
+    from mapreduceframework_cpp_spark.sources import pysink
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        _claim_manifest,
+        checkpoint,
+    )
+
+    register(spark)
+    _rows(spark, 10, "a").coalesce(1).write.format("txn_files").mode(
+        "append"
+    ).save(str(tmp_path))
+    _rows(spark, 10, "b").coalesce(1).write.format("txn_files").mode(
+        "append"
+    ).save(str(tmp_path))
+    # simulate a month of tiny commits (e.g. a 10 s streaming cadence
+    # compacted into this test): empty-delta manifests are legal and
+    # cheap; what matters is the LOG LENGTH, not the data volume
+    txn = tmp_path / "_txn"
+    for seq in range(2, 32):
+        assert _claim_manifest(
+            str(txn),
+            f"manifest-{seq:020d}-c.json",
+            {"files": [], "rows": 0, "entries": []},
+        )
+    name = checkpoint(str(tmp_path))
+    assert name and (txn / name).exists()
+    # three commits land after the checkpoint — the tail
+    for seq in range(32, 35):
+        assert _claim_manifest(
+            str(txn),
+            f"manifest-{seq:020d}-c.json",
+            {"files": [], "rows": 0, "entries": []},
+        )
+
+    pysink.MANIFEST_LOADS = 0
+    rows = _read_back(spark, tmp_path)
+    loads = pysink.MANIFEST_LOADS
+    assert len(rows) == 20
+    # read plan = committed_files + committed_dvs, each one fold_state:
+    # (1 ckpt + 3 tail) x 2 — pin with slack but far under the 35-load
+    # full walk
+    assert loads <= 12, f"planning json-loaded {loads} docs; ckpt unused?"
+
+    # derived-state property: remove the checkpoint -> same answer
+    for c in _glob.glob(str(txn / "ckpt-*.json")):
+        os.remove(c)
+    pysink.MANIFEST_LOADS = 0
+    assert _read_back(spark, tmp_path) == rows
+    assert pysink.MANIFEST_LOADS >= 35  # the raw walk it replaced
+
+
+def test_auto_checkpoint_and_generation_cut(spark, tmp_path):
+    """Writers auto-checkpoint every option("checkpointInterval")
+    commits; a later overwrite (replaces) makes the old-generation
+    checkpoint inert — the fold restarts at the generation marker, so
+    reads serve ONLY post-overwrite data even with a stale checkpoint
+    on disk."""
+    import glob as _glob
+
+    from mapreduceframework_cpp_spark.sources.pysink import checkpoint
+
+    register(spark)
+    for tag in ("a", "b", "c"):
+        _rows(spark, 5, tag).coalesce(1).write.format("txn_files").mode(
+            "append"
+        ).option("checkpointInterval", 2).save(str(tmp_path))
+    cks = _glob.glob(str(tmp_path / "_txn" / "ckpt-*.json"))
+    assert cks, "writer did not auto-checkpoint at the interval"
+    assert len(_read_back(spark, tmp_path)) == 15
+
+    # stale checkpoint vs generation cut: overwrite, then append
+    _rows(spark, 4, "z").coalesce(1).write.format("txn_files").mode(
+        "overwrite"
+    ).save(str(tmp_path))
+    _rows(spark, 3, "y").coalesce(1).write.format("txn_files").mode(
+        "append"
+    ).save(str(tmp_path))
+    got = _read_back(spark, tmp_path)
+    assert len(got) == 7
+    assert {v[:1] for _, v in got} == {"z", "y"}
+
+    # a post-overwrite checkpoint folds the NEW generation only
+    checkpoint(str(tmp_path))
+    assert _read_back(spark, tmp_path) == got
+
+
+def test_checkpoint_carries_schema_clustering_and_dvs(spark, tmp_path):
+    """The checkpoint must preserve every planning input: evolved
+    (merged) schema, declared clustering, and visible deletion
+    vectors — a read served from checkpoint + empty tail returns
+    exactly what the raw log fold returned."""
+    import glob as _glob
+
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        checkpoint,
+        delete_where,
+        table_cluster_by,
+        write_clustered,
+    )
+
+    register(spark)
+    write_clustered(
+        spark.range(100).selectExpr("id AS k", "concat('a', id) AS v"),
+        str(tmp_path), "k", target_files=2, fmt="txn_parquet",
+    )
+    # schema evolution: a later commit adds a column
+    spark.range(100, 120).selectExpr(
+        "id AS k", "concat('b', id) AS v", "id * 2 AS extra"
+    ).coalesce(1).write.format("txn_parquet").mode("append").save(
+        str(tmp_path)
+    )
+    delete_where(
+        spark, str(tmp_path), "k bigint, v string, extra bigint",
+        "k BETWEEN 0 AND 9",
+    )
+
+    df_raw = spark.read.format("txn_parquet").load(str(tmp_path))
+    raw = sorted(map(tuple, df_raw.collect()))
+    assert len(raw) == 110  # 120 minus the 10 DV-masked rows
+    assert df_raw.schema.fieldNames() == ["k", "v", "extra"]
+
+    assert checkpoint(str(tmp_path))
+    df_ck = spark.read.format("txn_parquet").load(str(tmp_path))
+    assert df_ck.schema.fieldNames() == ["k", "v", "extra"]
+    assert sorted(map(tuple, df_ck.collect())) == raw
+    assert table_cluster_by(str(tmp_path)) == "k"
+
+    # and the checkpoint stays inert for as_of time travel (audit path
+    # folds the raw log): snapshot 2 predates the delete
+    from mapreduceframework_cpp_spark.sources.pysink import read_snapshot
+
+    assert (
+        read_snapshot(
+            spark, str(tmp_path),
+            "k bigint, v string, extra bigint", as_of=2,
+        ).count()
+        == 120
+    )
+
+    # derived state: drop the checkpoint, answers unchanged
+    for c in _glob.glob(str(tmp_path / "_txn" / "ckpt-*.json")):
+        os.remove(c)
+    assert sorted(
+        map(tuple, spark.read.format("txn_parquet").load(str(tmp_path)).collect())
+    ) == raw
+
+
+def test_stream_writer_auto_checkpoints(tmp_path):
+    """The streaming commit path auto-checkpoints too — a 10 s-cadence
+    sink is exactly the log this feature exists for."""
+    import glob as _glob
+
+    w = TxnFilesStreamWriter(str(tmp_path), ckpt_every=2)
+    os.makedirs(tmp_path / "_txn", exist_ok=True)
+    for b in range(5):
+        w.commit([], batchId=b)
+    cks = _glob.glob(str(tmp_path / "_txn" / "ckpt-*.json"))
+    assert cks, "stream writer did not auto-checkpoint"
+    doc = json.load(open(sorted(cks)[-1]))
+    assert doc["styles"] == ["stream"]
+    assert doc["n"] >= 2

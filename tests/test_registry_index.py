@@ -17,3 +17,60 @@ def test_registry_index_is_fresh():
         capture_output=True, text=True, cwd=REPO,
     )
     assert p.returncode == 0, p.stdout + p.stderr
+
+
+def test_post_close_driver_artifact_does_not_stale_index(tmp_path):
+    """VERDICT r12 item 1: the driver drops CORRECTNESS_r{N}.json AFTER
+    the round's closing commit — an artifact the committed index cannot
+    have folded. The folds-through marker makes `--check` ignore rounds
+    newer than the committed index (two consecutive rounds opened red
+    over this); a change to a round the index DOES claim still reds."""
+    import json
+    import re
+    import shutil
+
+    work = tmp_path / "repo"
+    work.mkdir()
+    # a minimal clone: the tool only needs the package, tools/, and the
+    # CORRECTNESS artifacts + REGISTRY_INDEX.md at its repo root
+    for name in ("mapreduceframework_cpp_spark", "tools"):
+        shutil.copytree(
+            os.path.join(REPO, name), work / name,
+            ignore=shutil.ignore_patterns("__pycache__"),
+        )
+    for path in sorted(os.listdir(REPO)):
+        if path.startswith("CORRECTNESS_r") and path.endswith(".json"):
+            shutil.copy(os.path.join(REPO, path), work / path)
+    shutil.copy(os.path.join(REPO, "REGISTRY_INDEX.md"),
+                work / "REGISTRY_INDEX.md")
+
+    def check():
+        return subprocess.run(
+            [sys.executable, str(work / "tools" / "registry_index.py"),
+             "--check"],
+            capture_output=True, text=True, cwd=work,
+        ).returncode
+
+    marker = re.search(
+        r"<!-- folds-through: r(\d+) -->",
+        (work / "REGISTRY_INDEX.md").read_text(),
+    )
+    assert marker, "generated index must carry the folds-through marker"
+    folded = int(marker.group(1))
+    assert check() == 0
+
+    # a post-close artifact from a NEWER round must not red the check
+    newer = work / f"CORRECTNESS_r{folded + 1}.json"
+    newer.write_text(json.dumps({
+        "q_flagship_charcount": {"hash_match": True, "spark_rows": 25,
+                                 "err": None},
+    }))
+    assert check() == 0, "post-close driver artifact staled the index"
+
+    # but tampering with a round the index claims still reds
+    claimed = work / f"CORRECTNESS_r{folded:02d}.json"
+    rows = json.loads(claimed.read_text())
+    first = next(iter(rows))
+    rows[first]["hash_match"] = not rows[first].get("hash_match")
+    claimed.write_text(json.dumps(rows))
+    assert check() == 1, "a claimed round's artifact change must red"

@@ -18,6 +18,16 @@ registration change::
     python tools/registry_index.py --check  # exit 1 if file is stale
 
 tests/test_registry_index.py runs --check so a drifted index fails CI.
+
+Round-lifecycle contract (VERDICT r12 item 1 — two consecutive rounds
+opened red because the driver drops CORRECTNESS_r{N}.json AFTER the
+builder's closing commit, an artifact the committed index cannot have
+folded): the generated file records the newest round it folded in a
+``<!-- folds-through: rN -->`` marker, and ``--check`` rebuilds using
+ONLY artifacts from rounds <= that marker. Driver artifacts newer than
+the committed index are invisible to the check (the next round's
+activation regen folds them in); any change to a round the index DOES
+claim, or to the registry itself, still reds as before.
 """
 
 from __future__ import annotations
@@ -34,15 +44,28 @@ sys.path.insert(0, REPO)
 OUT = os.path.join(REPO, "REGISTRY_INDEX.md")
 
 
-def build() -> str:
+def _artifact_rounds() -> list[tuple[int, str]]:
+    out = []
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        out.append((rnd, path))
+    return out
+
+
+def build(max_round: int | None = None) -> str:
     from mapreduceframework_cpp_spark.registry import all_oracles, all_queries
 
     queries = all_queries()
     oracles = set(all_oracles())
 
+    rounds = _artifact_rounds()
+    if max_round is None:
+        max_round = max((rnd for rnd, _ in rounds), default=0)
+
     latest: dict[str, tuple[int, str]] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+    for rnd, path in rounds:
+        if rnd > max_round:
+            continue
         for name, r in json.load(open(path)).items():
             err = r.get("err")
             if r.get("hash_match"):
@@ -75,11 +98,17 @@ def build() -> str:
     hdr = [
         "# Registry index (generated — do not edit)",
         "",
+        f"<!-- folds-through: r{max_round} -->",
+        "",
         f"`python tools/registry_index.py` output over {n} registered "
         f"queries ({n_sql} SQL-oracle, {n - n_sql} rows-only) and "
-        "every CORRECTNESS_r*.json at HEAD. Sorted by family, then "
+        f"every CORRECTNESS_r*.json through round {max_round}. Sorted "
+        "by family, then "
         "query id. `latest` = newest driver round with a row for the "
-        "query; `hash` = hash-green, `rows` = clean rows-only.",
+        "query; `hash` = hash-green, `rows` = clean rows-only. Driver "
+        "artifacts newer than the folds-through marker are ignored by "
+        "`--check` (they arrive after the round's closing commit) and "
+        "fold in at the next activation regen.",
         "",
         "| query | family | source | oracle | latest |",
         "|---|---|---|---|---|",
@@ -103,9 +132,25 @@ def build() -> str:
     return "\n".join(hdr + body + tail) + "\n"
 
 
+def _recorded_max_round() -> int | None:
+    """Parse the folds-through marker from the committed index."""
+    import re
+
+    try:
+        current = open(OUT).read()
+    except OSError:
+        return None
+    m = re.search(r"<!-- folds-through: r(\d+) -->", current)
+    return int(m.group(1)) if m else None
+
+
 def main() -> int:
-    text = build()
     if "--check" in sys.argv:
+        # Rebuild at the committed file's own folds-through round so
+        # post-close driver artifacts (rounds the builder never saw)
+        # cannot red the check. A missing marker (legacy file) folds
+        # everything, reproducing the old behavior.
+        text = build(max_round=_recorded_max_round())
         try:
             current = open(OUT).read()
         except OSError:
@@ -115,6 +160,7 @@ def main() -> int:
             return 1
         print("REGISTRY_INDEX.md is fresh")
         return 0
+    text = build()
     with open(OUT, "w") as f:
         f.write(text)
     print(f"wrote {OUT}")
