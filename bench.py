@@ -372,6 +372,31 @@ def _heavy_check(
     return round(median, 3), median <= _HEAVY_MAX_MEDIAN_RATIO
 
 
+#: ratio above which a query is reported as a mover vs the quiet
+#: reference (the SURVEY log's diff threshold, made mechanical —
+#: VERDICT r12: the hand-summarized mover count was understated)
+_MOVER_RATIO = 1.3
+_MOVER_CAP = 20
+
+
+def _movers(
+    timings: dict[str, float], sf: float | None
+) -> dict[str, float] | None:
+    """EVERY query at >= _MOVER_RATIO x its quiet-reference value,
+    worst first (capped at _MOVER_CAP entries), so the round log's
+    mover list is emitted by the run itself instead of hand-compiled.
+    None when no reference applies (wrong sf / missing file)."""
+    ref = _load_quiet_reference()
+    if ref is None or sf != 0.1:
+        return None
+    out = {
+        n: round(timings[n] / ref[n], 2)
+        for n in timings
+        if n in ref and ref[n] > 0 and timings[n] / ref[n] >= _MOVER_RATIO
+    }
+    return dict(sorted(out.items(), key=lambda kv: -kv[1])[:_MOVER_CAP])
+
+
 def _load_sentinel_bands() -> dict[str, tuple[float, float]] | None:
     """Quiet-box sentinel bands from bench_sentinels.json (or
     $BENCH_SENTINEL_FILE). Returns None — verdict unknown — when the
@@ -455,6 +480,7 @@ def emit(timings: dict[str, float], sf: float | None) -> dict:
         "sentinel_ok": sentinel_ok,
         "heavy_median_ratio": heavy_ratio,
         "heavy_ok": heavy_ok,
+        "movers_over_1p3": _movers(timings, sf),
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(headline))

@@ -390,15 +390,18 @@ ROUND12_ROTATION = [
 #: equals tools/next_rotation.py::derive_next_window over the
 #: r01-r11 artifacts with ROUND12_ROTATION as the planned round-12
 #: evidence. Contents: the round-13 registrations (unproven head —
-#: q_sink_checkpoint_read), the four names the round-12 head
-#: insertions displaced (q_emb_silhouette / q_text_bm25 /
-#: q_dedup_prefix_filter / q_text_phrase), the r06 overflow round 12
-#: could not fit (q_skyline onward in r06 order), then the r07 cohort
-#: in its own artifact order (the overflow spills to round 14). No
-#: rows-only query holds a slot. Any round-12 red re-queues at the
-#: head per the standing policy.
+#: q_sink_checkpoint_read / q_sink_change_feed / q_sink_dv_maintenance
+#: / q_sink_column_mapping, registration order), the four names the
+#: round-12 head insertions displaced (q_emb_silhouette / q_text_bm25
+#: / q_dedup_prefix_filter / q_text_phrase), the r06 overflow round
+#: 12 could not fit (q_skyline onward in r06 order), then the r07
+#: cohort in its own artifact order (the overflow spills to round
+#: 14). No rows-only query holds a slot. Any round-12 red re-queues
+#: at the head per the standing policy.
 ROUND13_ROTATION = [
         "q_sink_checkpoint_read",
+        "q_sink_change_feed", "q_sink_dv_maintenance",
+        "q_sink_column_mapping",
         "q_emb_silhouette",
         "q_text_bm25", "q_dedup_prefix_filter", "q_text_phrase",
         "q_skyline",
@@ -420,8 +423,7 @@ ROUND13_ROTATION = [
         "q_join_right",
         "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
         "q_join_theta_range",
-        "q_join_asof", "q_join_interval", "q_join_salted", "q_dedup_exact",
-        "q_dedup_near",
+        "q_join_asof", "q_join_interval",
 ]
 
 #: round-14 window, committed in advance (standing pattern), derived
@@ -429,12 +431,16 @@ ROUND13_ROTATION = [
 #: equals tools/next_rotation.py::derive_next_window over the
 #: r01-r12 artifacts with ROUND13_ROTATION as the planned round-13
 #: evidence. Contents: the r07 cohort round 13 could not fit
-#: (q_dedup_ngram_jaccard onward in r07 artifact order), then the r08
-#: cohort in its own artifact order. No rows-only query holds a
-#: slot. Any round-13 red re-queues at the head per the standing
-#: policy; new round-13 registrations insert at the ROUND13 head and
-#: ripple the tail here.
+#: (q_join_salted onward in r07 artifact order — the three further
+#: round-13 head insertions rippled q_join_salted / q_dedup_exact /
+#: q_dedup_near here), then the r08 cohort in its own artifact order
+#: (q_text_length_hist / q_sample_hash_per_group / q_mm_frames spill
+#: to round 15). No rows-only query holds a slot. Any round-13 red
+#: re-queues at the head per the standing policy; new round-13
+#: registrations insert at the ROUND13 head and ripple the tail here.
 ROUND14_ROTATION = [
+        "q_join_salted",
+        "q_dedup_exact", "q_dedup_near",
         "q_dedup_ngram_jaccard",
         "q_dedup_embedding", "q_sim_topk", "q_text_stats",
         "q_text_tokens",
@@ -458,7 +464,6 @@ ROUND14_ROTATION = [
         "q_udaf_grouped",
         "q_udtf_flatmap", "q_agg_collect", "q_text_repetition",
         "q_text_contamination",
-        "q_text_length_hist", "q_sample_hash_per_group", "q_mm_frames",
 ]
 
 #: Alias kept so callers/tests address "the live window" uniformly

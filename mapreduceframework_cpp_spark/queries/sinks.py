@@ -955,3 +955,247 @@ def q_sink_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_acctbal"),
         )
     )
+
+
+@query(
+    "q_sink_change_feed",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               CAST(c_acctbal AS DOUBLE) AS acct
+        FROM customer
+    ),
+    f1 AS (SELECT * FROM base WHERE k <= 100),
+    f2 AS (SELECT * FROM base WHERE k > 100),
+    dv_del AS (SELECT * FROM base WHERE acct < 0),
+    f2_live AS (SELECT * FROM f2 WHERE acct >= 0),
+    src AS (
+        SELECT k, seg, acct + 1000 AS acct
+        FROM base WHERE k > 100 AND k <= 120
+    ),
+    changes AS (
+        SELECT k, seg, acct, 'insert' AS ct, 0 AS cv FROM f1
+        UNION ALL SELECT k, seg, acct, 'insert', 1 FROM f2
+        UNION ALL SELECT k, seg, acct, 'delete', 2 FROM dv_del
+        UNION ALL SELECT k, seg, acct, 'delete', 3 FROM f2_live
+        UNION ALL SELECT k, seg, acct, 'insert', 3 FROM src
+        UNION ALL SELECT k, seg, acct, 'insert', 3
+                  FROM f2_live WHERE k NOT BETWEEN 101 AND 120
+    )
+    SELECT ct AS _change_type,
+           CAST(cv AS BIGINT) AS _commit_version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(acct AS DECIMAL(18,2))) AS DOUBLE) AS sum_acct
+    FROM changes
+    GROUP BY ct, cv
+    """,
+)
+def q_sink_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED (round-13, VERDICT r12 item 3 — Delta
+    ``readChangeFeed`` / Iceberg changelog scan): the customer table
+    lands as two single-file appends, a `delete_where` masks the
+    negative balances via a deletion-vector sidecar, and a file-pruned
+    `merge_into` updates a key span (zone maps bound the rewrite to
+    the one file holding those keys). The format-API window read with
+    ``option("readChangeFeed","true")`` then reconstructs ROW-LEVEL
+    history straight from the manifest log — appends as inserts, the
+    DV commit's masked positions as deletes, the merge as its removed
+    file's then-live rows (deletes) plus its rewritten file (inserts)
+    — with no write-time change sidecars. The oracle restates every
+    commit's row set as pure SQL over the source table, so a
+    re-emitted already-deleted row, a lost update pair, a wrong
+    `_commit_version`, or a merge that rewrote the wrong file all
+    hash-fail. At 100 TB this is what lets a downstream CDC consumer
+    tail a maintained table (deletes and merges included) instead of
+    re-snapshotting it."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        delete_where,
+        merge_into,
+    )
+
+    register(spark)
+    base = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("acct"),
+    )
+    target = scratch_dir("graft_sink_cdf_")
+    base.where("k <= 100").coalesce(1).write.format("txn_parquet").mode(
+        "append"
+    ).save(target)
+    base.where("k > 100").coalesce(1).write.format("txn_parquet").mode(
+        "append"
+    ).save(target)
+    schema = "k bigint, seg string, acct double"
+    delete_where(spark, target, schema, "acct < 0")
+    src = base.where("k > 100 AND k <= 120").withColumn(
+        "acct", F.col("acct") + 1000
+    )
+    merge_into(spark, target, schema, src, "k")
+    feed = (
+        spark.read.format("txn_parquet")
+        .option("changesFrom", 0)
+        .option("changesTo", 4)
+        .option("readChangeFeed", "true")
+        .load(target)
+    )
+    return feed.groupBy("_change_type", "_commit_version").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("acct").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_acct"),
+    )
+
+
+@query(
+    "q_sink_dv_maintenance",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM part
+    WHERE NOT (p_size <= 4)
+      AND NOT (p_partkey % 10 = 0)
+    GROUP BY p_brand
+    """,
+)
+def q_sink_dv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV MAINTENANCE short of compaction (round-13, VERDICT r12 item
+    4 — Delta DV coalescing + ``REORG ... APPLY (PURGE)``): the part
+    table lands range-clustered, two `delete_where` calls accrete two
+    position sidecars, `coalesce_dvs` folds them into ONE consolidated
+    dataset (a dv_replaces commit — metadata-only to the change feed),
+    and `purge_deletes(threshold=0.05)` rewrites ONLY the files whose
+    masked fraction exceeds 5%, baking their deletes in while
+    under-threshold files keep their part names and their cheap
+    merge-on-read masks. The final format-API read must see exactly
+    the undeleted rows whichever files the purge chose to rewrite —
+    the oracle restates both deletes as NOT(predicate) conjunctions,
+    so a resurrected row (the classic purge/coalesce race bug), a
+    double-baked delete, or a dropped live position hash-fails. At
+    100 TB: N point deletes cost one anti-join dataset instead of N,
+    and heavily-masked regions stop taxing every scan, all without a
+    full-table rewrite."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        coalesce_dvs,
+        delete_where,
+        purge_deletes,
+    )
+
+    register(spark)
+    rows = (
+        tbl(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+        .withColumn("p_retailprice", F.col("p_retailprice").cast("double"))
+        .repartitionByRange(8, "p_partkey")
+    )
+    target = scratch_dir("graft_sink_dvm_")
+    rows.write.format("txn_parquet").mode("append").save(target)
+    schema = "p_partkey bigint, p_brand string, p_size int, p_retailprice double"
+    delete_where(spark, target, schema, "p_size <= 4")
+    delete_where(spark, target, schema, "p_partkey % 10 = 0")
+    coalesce_dvs(spark, target)
+    purge_deletes(spark, target, schema, threshold=0.05)
+    back = spark.read.format("txn_parquet").load(target)
+    return back.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
+    "q_sink_column_mapping",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+    ),
+    a AS (SELECT * FROM base WHERE k <= 3000),
+    b AS (SELECT * FROM base WHERE k > 3000 AND k <= 6000),
+    full_read AS (
+        SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        WHERE k BETWEEN 1000 AND 4500 AND price >= 1000
+    )
+    SELECT 'full' AS tag,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM full_read
+    UNION ALL
+    SELECT 'asof1' AS tag,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM a
+    """,
+)
+def q_sink_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPING schema evolution (round-13, VERDICT r12 item 6 —
+    the Iceberg/Delta column-mapping shape): the orders table lands
+    range-clustered carrying a doomed ``o_orderpriority`` column, then
+    `rename_column` turns ``o_totalprice`` into ``price`` and
+    `drop_column` tombstones ``o_orderpriority`` — both METADATA-ONLY commits
+    (zero data rewritten; old files keep their frozen physical names,
+    the scan translates logical→physical at plan time). A post-rename
+    append writes under the NEW logical name (staged physically as
+    ``o_totalprice``, proving the physical layer never moves), and the
+    verified read runs the renamed column through zone-map PUSHDOWN
+    (stats are keyed physical; the reader translates) plus a
+    ``price`` predicate, unioned with an ``asOf`` TIME-TRAVEL read of
+    the pre-rename snapshot served under the CURRENT logical schema.
+    A wrong physical translation on either side of the rename
+    boundary, a resurrected dropped column, or time travel serving
+    stale names all hash-fail. At 100 TB a rename/drop costs one
+    manifest, not a table rewrite."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        drop_column,
+        rename_column,
+    )
+
+    register(spark)
+    base = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_orderpriority").alias("o_orderpriority"),
+    )
+    target = scratch_dir("graft_sink_cmap_")
+    base.where("k <= 3000").repartitionByRange(8, "k").write.format(
+        "txn_parquet"
+    ).mode("append").save(target)
+    rename_column(target, "o_totalprice", "price")
+    drop_column(target, "o_orderpriority")
+    base.where("k > 3000 AND k <= 6000").withColumnRenamed(
+        "o_totalprice", "price"
+    ).drop("o_orderpriority").repartitionByRange(4, "k").write.format(
+        "txn_parquet"
+    ).mode("append").save(target)
+
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        full = (
+            spark.read.format("txn_parquet")
+            .option("pushdown", "true")
+            .load(target)
+            .where(F.col("k").between(1000, 4500))
+            .where(F.col("price") >= 1000.0)
+            .localCheckpoint()  # plan + run under the conf (r12 lesson)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+    asof = spark.read.format("txn_parquet").option("asOf", 1).load(target)
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("tag"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+
+    return agg(full, "full").unionByName(agg(asof, "asof1"))

@@ -91,6 +91,22 @@ Round-12 extensions close the concurrency and maintenance gaps:
   visible DVs; compaction bakes them in and retires them; the commit
   OCC-validates its target files are still live.
 
+Round-13 extensions widen change consumption and DV maintenance:
+
+* ``option("readChangeFeed", "true")`` — row-level CHANGE DATA FEED
+  (Delta ``readChangeFeed`` / Iceberg changelog-scan shape) on both the
+  batch window reader (with ``changesFrom``/``changesTo``) and the
+  streaming source: every row carries ``_change_type``
+  (``insert``/``delete``) and ``_commit_version`` (the commit's
+  sequence number). Appends serve inserts; a deletion-vector commit
+  serves its newly masked positions as deletes; a delta commit (merge)
+  serves its removed files' then-live rows as deletes and its added
+  files as inserts (an update is a delete+insert pair — the
+  reconstruct-from-the-log changelog view, no write-time sidecars).
+  ``replaces`` still refuses mid-stream (history truncation has no
+  row-delta form); without the option the strict append-only refusals
+  are unchanged.
+
 Cluster notes (local mode shares one filesystem; on a real cluster):
 ``path`` must be shared storage reachable from executors and driver.
 On object stores without atomic rename, the manifest is already the
@@ -223,14 +239,19 @@ def _trunc_bounds(stats: dict) -> dict:
     return stats
 
 
-def _stage_rows(path: str, iterator: Iterator) -> FileCommit:
+def _stage_rows(
+    path: str, iterator: Iterator, colmap: dict | None = None
+) -> FileCommit:
     """Task-side: stream the partition into one staged JSONL file.
     Returns a message naming the file — publishing is the driver's
     job. ``default=str`` covers datetime/decimal; queries keep to
     long/double/string so the round trip is exact. Alongside the data,
     collect per-column min/max over int/float/str values (NaN and None
     skipped) — executor-side one-pass stats, the same zone maps
-    parquet footers and Iceberg manifests keep per file."""
+    parquet footers and Iceberg manifests keep per file. ``colmap``
+    (logical→physical, column mapping) renames keys at staging so
+    files always hold PHYSICAL names; stats are keyed physical to
+    match (readers translate)."""
     os.makedirs(os.path.join(path, _STAGING), exist_ok=True)
     staged = None
     rows = 0
@@ -243,6 +264,8 @@ def _stage_rows(path: str, iterator: Iterator) -> FileCommit:
                 staged = os.path.join(_STAGING, f"stage-{uuid.uuid4().hex}.jsonl")
                 out = open(os.path.join(path, staged), "w")
             d = row.asDict()
+            if colmap:
+                d = {colmap.get(k, k): v for k, v in d.items()}
             out.write(json.dumps(d, default=str, sort_keys=True))
             out.write("\n")
             rows += 1
@@ -614,7 +637,9 @@ def _discard(path: str, messages) -> None:
                 os.remove(staged)
 
 
-def _stage_batches(path: str, iterator: Iterator) -> FileCommit:
+def _stage_batches(
+    path: str, iterator: Iterator, colmap: dict | None = None
+) -> FileCommit:
     """Arrow task path: stream the partition's RecordBatches into one
     staged PARQUET file — zero row-at-a-time Python, full type
     fidelity (timestamps, decimals, nested types survive bit-for-bit,
@@ -636,6 +661,12 @@ def _stage_batches(path: str, iterator: Iterator) -> FileCommit:
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
+            if colmap:
+                # column mapping: files always hold PHYSICAL names
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns),
+                    names=[colmap.get(n, n) for n in batch.schema.names],
+                )
             if writer is None:
                 staged = os.path.join(
                     _STAGING, f"stage-{uuid.uuid4().hex}.parquet"
@@ -685,12 +716,42 @@ class _PartFile(InputPartition):
     added pads it with typed nulls, a widened column casts up — and
     the visible deletion-vector dataset PATHS (positions stay on disk;
     each executor loads only its own file's slice, parquet-filtered).
-    Picklable by contract — workers receive it by value."""
+    ``rename`` is the column-mapping translation (logical name →
+    frozen physical name) — files always hold physical names; the scan
+    serves logical. Picklable by contract — workers receive it by
+    value."""
 
     file: str
     columns: tuple
     schema_json: str = ""
     dvs: tuple = ()
+    rename: tuple = ()  # ((logical, physical), ...) — dicts not hashable
+
+
+#: metadata columns every change-feed row carries (Delta CDF names)
+_CDF_COLS = ("_change_type", "_commit_version")
+
+
+@dataclass
+class _CDFPart(InputPartition):
+    """One change-feed scan unit: a data file read AS a change set.
+    ``kind='insert'`` reads the file raw (a file added by a commit is
+    new rows by definition — later DVs that mask it emit their own
+    delete parts); ``kind='delete'`` with ``dvs`` reads a REMOVED
+    file's then-live rows (prior deletion vectors excluded — those
+    rows were already emitted as deletes); ``kind='delete'`` with
+    ``only_dv`` reads ONLY the positions a DV commit masked (the
+    inverse of the scan-side mask). ``version`` is the commit's
+    sequence number, emitted as ``_commit_version``."""
+
+    file: str
+    columns: tuple
+    schema_json: str
+    kind: str
+    version: int
+    dvs: tuple = ()
+    only_dv: str = ""
+    rename: tuple = ()  # column mapping, same shape as _PartFile.rename
 
 
 def _prune_range(f) -> tuple[str | None, tuple]:
@@ -734,6 +795,15 @@ def _prune_range(f) -> tuple[str | None, tuple]:
     return None, ()
 
 
+def _read_renames(path: str, columns: tuple) -> tuple:
+    """The column-mapping translation a scan of ``columns`` needs:
+    ((logical, physical), ...) limited to fields that actually differ
+    — () for never-renamed tables, so the common case stays
+    zero-cost. Resolved once at plan time from the fold."""
+    ren = _phys_map(_fold_state(path)["fields"])
+    return tuple((c, ren[c]) for c in columns if c in ren)
+
+
 class _TxnReader(DataSourceReader):
     """Symmetric read half of the sink (`spark.read.format("txn_files"
     | "txn_parquet").load(path)`): ``partitions()`` lists the VISIBLE
@@ -754,20 +824,24 @@ class _TxnReader(DataSourceReader):
         self._bounds: dict[str, list] = {}
         self._null_only: set = set()
         self._nonnull_only: set = set()
+        self._ren: dict[str, str] = {}
 
     def _keep(self, entry: dict) -> bool:
+        # stats/null counts are keyed by PHYSICAL name (the staged
+        # layout); pushed predicates arrive logical — translate
         nulls = entry.get("nulls") or {}
         for col in self._null_only:
             # zero recorded nulls: an IsNull predicate matches nothing
             # in this file (a column MISSING from the counts is
             # conservative — old manifests, or evolution null-padding)
-            if nulls.get(col) == 0:
+            if nulls.get(self._ren.get(col, col)) == 0:
                 return False
         for col in self._nonnull_only:
-            if col in nulls and nulls[col] == entry.get("rows"):
+            p = self._ren.get(col, col)
+            if p in nulls and nulls[p] == entry.get("rows"):
                 return False  # all-null file: IsNotNull matches nothing
         for col, (lo, hi) in self._bounds.items():
-            mm = entry["stats"].get(col)
+            mm = entry["stats"].get(self._ren.get(col, col))
             if mm is None:
                 continue  # no stats (e.g. all-NULL file): conservative
             try:
@@ -781,8 +855,10 @@ class _TxnReader(DataSourceReader):
 
     def partitions(self) -> list[_PartFile]:
         dvs = tuple(committed_dvs(self.path, as_of=self.as_of))
+        ren = _read_renames(self.path, self.columns)
+        self._ren = dict(ren)
         return [
-            _PartFile(e["name"], self.columns, self.schema_json, dvs)
+            _PartFile(e["name"], self.columns, self.schema_json, dvs, ren)
             for e in committed_entries(self.path, as_of=self.as_of)
             if self._keep(e)
         ]
@@ -843,9 +919,18 @@ def _read_part(partition: _PartFile):  # noqa: ANN201
         # a narrow `.schema(...)` read of a wide table skips the other
         # column chunks entirely — the ReadSchema story at file level.
         # Columns the file predates are simply absent here and padded
-        # below.
-        present = [c for c in want if c in pf.schema_arrow.names]
-        for batch in pf.iter_batches(columns=present):
+        # below. Column mapping: files hold PHYSICAL names — request
+        # those, then serve the batch under the LOGICAL names so the
+        # evolution/conform path below never sees physical.
+        ren = dict(partition.rename) if partition.rename else {}
+        present = [c for c in want if ren.get(c, c) in pf.schema_arrow.names]
+        for batch in pf.iter_batches(
+            columns=[ren.get(c, c) for c in present]
+        ):
+            if ren:
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns), names=present
+                )
             if dead is not None:
                 # positions are file-absolute; iter_batches preserves
                 # row order, so the running offset addresses each batch
@@ -876,10 +961,160 @@ def _read_part(partition: _PartFile):  # noqa: ANN201
                     arrays.append(pa.nulls(batch.num_rows, type=field.type))
             yield pa.RecordBatch.from_arrays(arrays, schema=target)
     else:
+        ren = dict(partition.rename) if partition.rename else {}
         with open(partition.file) as fh:
             for line in fh:
                 d = json.loads(line)
-                yield tuple(d.get(c) for c in partition.columns)
+                yield tuple(d.get(ren.get(c, c)) for c in partition.columns)
+
+
+def _read_cdf_part(partition: _CDFPart):  # noqa: ANN201
+    """Executor-side change-feed scan of one :class:`_CDFPart`: the
+    underlying data read is `_read_part` (schema evolution, DV
+    exclusion for removed-file deletes) or the position-selected
+    inverse read for a DV commit's deletes; every row/batch is tagged
+    with the ``_change_type`` / ``_commit_version`` columns appended
+    AFTER the data columns (the CDF read schema lists them last)."""
+    base = _PartFile(
+        partition.file,
+        partition.columns,
+        partition.schema_json,
+        partition.dvs,
+        partition.rename,
+    )
+    if partition.file.endswith(".parquet"):
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        data_struct = StructType.fromJson(json.loads(partition.schema_json))
+        full = to_arrow_schema(
+            StructType(
+                data_struct.fields
+                + [
+                    StructField("_change_type", StringType(), True),
+                    StructField("_commit_version", LongType(), True),
+                ]
+            )
+        )
+        t_type = full.field("_change_type").type
+        t_ver = full.field("_commit_version").type
+        gen = (
+            _read_positions(partition)
+            if partition.only_dv
+            else _read_part(base)
+        )
+        for batch in gen:
+            n = batch.num_rows
+            arrays = list(batch.columns)
+            arrays.append(pa.array([partition.kind] * n, type=t_type))
+            arrays.append(pa.array([partition.version] * n, type=t_ver))
+            yield pa.RecordBatch.from_arrays(arrays, schema=full)
+    else:
+        # JSONL: no row addressing, so only insert / whole-file delete
+        # parts exist (DV commits are parquet-only by construction)
+        for row in _read_part(base):
+            yield (*row, partition.kind, partition.version)
+
+
+def _read_positions(partition: _CDFPart):  # noqa: ANN201
+    """The inverse of `_read_part`'s DV mask: stream ONLY the rows a
+    deletion-vector commit masked in this file (its delete rows for
+    the change feed). Loads just this file's position slice of the
+    commit's own sidecar (parquet-filtered), then batch-filters by
+    file-absolute row index — same vectorized shape as the mask path,
+    no per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    dvt = pads.dataset(partition.only_dv).to_table(
+        filter=pads.field("_dv_file") == os.path.basename(partition.file),
+        columns=["_dv_pos"],
+    )
+    wanted = np.unique(dvt.column("_dv_pos").to_numpy(zero_copy_only=False))
+    target = to_arrow_schema(
+        StructType.fromJson(json.loads(partition.schema_json))
+    )
+    pf = pq.ParquetFile(partition.file)
+    ren = dict(partition.rename) if partition.rename else {}
+    present = [
+        c for c in partition.columns if ren.get(c, c) in pf.schema_arrow.names
+    ]
+    row_offset = 0
+    for batch in pf.iter_batches(columns=[ren.get(c, c) for c in present]):
+        if ren:
+            batch = pa.RecordBatch.from_arrays(
+                list(batch.columns), names=present
+            )
+        keep = np.isin(
+            np.arange(row_offset, row_offset + batch.num_rows), wanted
+        )
+        row_offset += batch.num_rows
+        if not keep.any():
+            continue
+        batch = batch.filter(pa.array(keep))
+        if batch.schema == target:
+            yield batch
+            continue
+        names = batch.schema.names
+        arrays = []
+        for field in target:
+            if field.name in names:
+                col = batch.column(names.index(field.name))
+                arrays.append(
+                    col if col.type == field.type else col.cast(field.type)
+                )
+            else:
+                arrays.append(pa.nulls(batch.num_rows, type=field.type))
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+def _cdf_parts_for(
+    path: str,
+    version: int,
+    doc: dict,
+    prior_dvs: list[str],
+    columns: tuple,
+    schema_json: str,
+    rename: tuple = (),
+) -> list[_CDFPart]:
+    """Plan one commit's change-feed parts (shared by the batch window
+    reader and the streaming source). ``prior_dvs`` must hold the DV
+    datasets (rel paths) visible BEFORE this commit; the caller
+    appends this commit's own DV afterwards when walking forward."""
+    parts: list[_CDFPart] = []
+    dv_abs = tuple(os.path.join(path, d) for d in prior_dvs)
+    for r in doc.get("removes", ()):
+        parts.append(
+            _CDFPart(
+                os.path.join(path, r), columns, schema_json,
+                "delete", version, dvs=dv_abs, rename=rename,
+            )
+        )
+    if doc.get("dv_replaces"):
+        return parts  # DV coalesce: metadata-only, no row-level change
+    if doc.get("dv"):
+        only = os.path.join(path, doc["dv"])
+        for tgt in doc.get("dv_targets", ()):
+            parts.append(
+                _CDFPart(
+                    os.path.join(path, tgt), columns, schema_json,
+                    "delete", version, only_dv=only, rename=rename,
+                )
+            )
+    for f in doc.get("files", ()):
+        parts.append(
+            _CDFPart(
+                os.path.join(path, f), columns, schema_json,
+                "insert", version, rename=rename,
+            )
+        )
+    return parts
 
 
 class _TxnPruningReader(_TxnReader):
@@ -924,47 +1159,91 @@ class _TxnChangesReader(DataSourceReader):
     :func:`read_changes` (Delta CDF / Iceberg incremental-scan shape),
     with the same refusals: a delta (merge), deletion-vector, or
     replaces commit inside the window cannot be served as appends and
-    raises at plan time."""
+    raises at plan time.
 
-    def __init__(self, path: str, schema, frm: int, to: int) -> None:  # noqa: ANN001
+    With ``option("readChangeFeed", "true")`` (round-13 — Delta CDF /
+    Iceberg changelog scan) the same window serves ROW-LEVEL CHANGES
+    instead: appends as inserts, a DV commit's newly masked positions
+    as deletes, a delta commit's removed files' then-live rows as
+    deletes plus its added files as inserts; each row carries
+    ``_change_type`` / ``_commit_version``. A mid-window ``replaces``
+    still refuses — a history truncation has no row-delta form."""
+
+    def __init__(
+        self, path: str, schema, frm: int, to: int, cdf: bool = False
+    ) -> None:  # noqa: ANN001
         self.path = path
-        self.columns = tuple(schema.fieldNames())
-        self.schema_json = schema.json()
+        self.cdf = cdf
+        data_fields = [f for f in schema.fields if f.name not in _CDF_COLS]
+        data_schema = StructType(data_fields)
+        self.columns = tuple(data_schema.fieldNames())
+        self.schema_json = data_schema.json()
         self.frm = frm
         self.to = to
 
-    def partitions(self) -> list[_PartFile]:
-        parts: list[_PartFile] = []
-        docs = _visible_log(self.path)
+    def partitions(self) -> list[InputPartition]:
+        pairs = _visible(self.path)
+        docs = [d for _, d in pairs]
+        ren = _read_renames(self.path, self.columns)
         if self.frm > 0 and any(d.get("replaces") for d in docs[self.frm:self.to]):
             raise ValueError(
                 f"{self.path}: a replaces commit lies inside the change "
                 "window — history was truncated; re-baseline the feed"
             )
+        if self.cdf:
+            prior = []
+            for d in docs[: self.frm]:
+                if d.get("dv"):
+                    prior = (
+                        [d["dv"]] if d.get("dv_replaces") else prior + [d["dv"]]
+                    )
+            parts: list[InputPartition] = []
+            for m, d in pairs[self.frm:self.to]:
+                ver = _seq_of(os.path.basename(m))
+                parts.extend(
+                    _cdf_parts_for(
+                        self.path, ver, d, prior,
+                        self.columns, self.schema_json, rename=ren,
+                    )
+                )
+                if d.get("dv"):
+                    prior = (
+                        [d["dv"]] if d.get("dv_replaces") else prior + [d["dv"]]
+                    )
+            return parts
+        parts = []
         for d in docs[self.frm:self.to]:
             if d.get("removes"):
                 raise ValueError(
                     f"{self.path}: a delta commit (merge) lies inside "
                     "the change window — its files rewrite earlier "
-                    "commits' rows and cannot be consumed as appends"
+                    "commits' rows and cannot be consumed as appends; "
+                    'option("readChangeFeed", "true") serves it as '
+                    "row-level deletes + inserts"
                 )
             if d.get("dv"):
                 raise ValueError(
                     f"{self.path}: a deletion-vector commit lies inside "
                     "the change window — it retracts earlier commits' "
-                    "rows, which an append-only feed cannot express"
+                    "rows, which an append-only feed cannot express; "
+                    'option("readChangeFeed", "true") serves the '
+                    "masked rows as deletes"
                 )
             parts.extend(
                 _PartFile(
-                    os.path.join(self.path, f), self.columns, self.schema_json
+                    os.path.join(self.path, f), self.columns,
+                    self.schema_json, (), ren,
                 )
                 for f in d["files"]
             )
         return parts
 
-    def read(self, partition: _PartFile):  # noqa: ANN201
+    def read(self, partition):  # noqa: ANN001, ANN201
         if partition is None:
             return  # an empty window plans no files
+        if isinstance(partition, _CDFPart):
+            yield from _read_cdf_part(partition)
+            return
         yield from _read_part(partition)
 
 
@@ -1036,6 +1315,7 @@ class _TxnStreamReader(DataSourceStreamReader):
                 "unambiguously (offsets are names); rewrite the table "
                 "to a fresh path"
             )
+        ren = _read_renames(self.path, self.columns)
         parts: list[_PartFile] = []
         for name in names:
             if not (lo < name <= hi):
@@ -1078,7 +1358,10 @@ class _TxnStreamReader(DataSourceStreamReader):
                     'option("skipChangeCommits", "true")'
                 )
             parts.extend(
-                _PartFile(os.path.join(self.path, f), self.columns, self.schema_json)
+                _PartFile(
+                    os.path.join(self.path, f), self.columns,
+                    self.schema_json, (), ren,
+                )
                 for f in doc["files"]
             )
         return parts
@@ -1090,6 +1373,100 @@ class _TxnStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: the manifest log is the table's own
+
+
+class _TxnCDFStreamReader(_TxnStreamReader):
+    """Streaming CHANGE DATA FEED (round-13, VERDICT r12 item 3 —
+    Delta's ``option("readChangeFeed","true")`` on its streaming
+    source): instead of refusing or skipping change commits, each
+    micro-batch serves row-level deltas — appends as inserts, a
+    deletion-vector commit's newly masked positions as deletes, a
+    delta commit (merge) as its removed files' then-live rows
+    (deletes) plus its added files (inserts) — every row tagged
+    ``_change_type`` / ``_commit_version``. A CDC consumer tails the
+    table through maintenance without a checkpoint rebuild and without
+    the skipChangeCommits semantic loss (rewrites ARE delivered, as
+    delete+insert pairs).
+
+    ``replaces`` still refuses mid-stream (same rule as the base
+    source): an overwrite/compact truncates history, and its
+    generation cut has no row-delta form — vacuum may already have
+    reclaimed the superseded files. Offsets, replay determinism, and
+    the same-sequence/width guards are inherited unchanged.
+
+    Planning cost: an append-only batch loads only its window's
+    manifests (the base source's cost). A batch containing a delta
+    commit additionally folds the log PREFIX once to learn which DV
+    datasets precede it (the removed files' already-deleted rows must
+    not re-emit as deletes) — O(log length) tiny driver-side json
+    loads on exactly the maintenance batches, amortized by the same
+    checkpoint cadence that bounds batch planning."""
+
+    def __init__(self, path: str, schema, skip_changes: bool = False) -> None:  # noqa: ANN001
+        data = StructType(
+            [f for f in schema.fields if f.name not in _CDF_COLS]
+        )
+        super().__init__(path, data, skip_changes)
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = start["last"], end["last"]
+        names = [os.path.basename(m) for m in _manifests(self.path)]
+        _check_seq_width(self.path)
+        seqs = [_seq_of(n) for n in names]
+        if len(set(seqs)) != len(seqs):
+            raise ValueError(
+                f"{self.path}: two manifests share a sequence number — "
+                "a legacy same-sequence log cannot be streamed "
+                "unambiguously (offsets are names); rewrite the table "
+                "to a fresh path"
+            )
+        window = [n for n in names if lo < n <= hi]
+        ren = _read_renames(self.path, self.columns)
+        docs = [
+            (n, _load_doc(os.path.join(self.path, _TXN, n))) for n in window
+        ]
+        prior: list[str] | None = None
+        if any(d.get("removes") for _, d in docs):
+            # one-time prefix fold, only when a merge is in the window
+            prior = []
+            for n in names:
+                if n > lo:
+                    break
+                dd = _load_doc(os.path.join(self.path, _TXN, n))
+                if dd.get("dv"):
+                    prior = (
+                        [dd["dv"]]
+                        if dd.get("dv_replaces")
+                        else prior + [dd["dv"]]
+                    )
+        parts: list[InputPartition] = []
+        for name, doc in docs:
+            if doc.get("replaces") and not (lo == "" and name == names[0]):
+                raise ValueError(
+                    f"{self.path}: a replaces commit ({name}) landed "
+                    "inside the streamed window — history was "
+                    "truncated, which has no row-delta form; re-stream "
+                    "from a fresh checkpoint after overwrite/compact"
+                )
+            ver = _seq_of(name)
+            parts.extend(
+                _cdf_parts_for(
+                    self.path, ver, doc, prior or [],
+                    self.columns, self.schema_json, rename=ren,
+                )
+            )
+            if doc.get("dv") and prior is not None:
+                prior = (
+                    [doc["dv"]]
+                    if doc.get("dv_replaces")
+                    else prior + [doc["dv"]]
+                )
+        return parts
+
+    def read(self, partition):  # noqa: ANN001, ANN201
+        if partition is None:
+            return  # an empty (start == end) window plans no files
+        yield from _read_cdf_part(partition)
 
 
 def _committed_schema(path: str) -> StructType:
@@ -1140,8 +1517,22 @@ class _TxnReadSupport:
         raw = self.options.get("checkpointinterval")
         return int(raw) if raw is not None else None
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("readchangefeed", "")).lower() == "true"
+
     def schema(self) -> StructType:
-        return _committed_schema(self._path())
+        base = _committed_schema(self._path())
+        if self._cdf():
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            return StructType(
+                base.fields
+                + [
+                    StructField("_change_type", StringType(), True),
+                    StructField("_commit_version", LongType(), True),
+                ]
+            )
+        return base
 
     def reader(self, schema):  # noqa: ANN001, ANN201
         as_of = self.options.get("asof")  # options arrive lower-cased
@@ -1158,7 +1549,15 @@ class _TxnReadSupport:
                     "a change-feed read needs BOTH changesFrom and "
                     "changesTo (the (from, to] snapshot window)"
                 )
-            return _TxnChangesReader(self._path(), schema, int(frm), int(to))
+            return _TxnChangesReader(
+                self._path(), schema, int(frm), int(to), cdf=self._cdf()
+            )
+        if self._cdf():
+            raise ValueError(
+                "a batch readChangeFeed read needs a changesFrom/"
+                "changesTo window (the (from, to] snapshot range); the "
+                "streaming source tails changes without one"
+            )
         cls = (
             _TxnPruningReader
             if str(self.options.get("pushdown", "")).lower() == "true"
@@ -1172,6 +1571,14 @@ class _TxnReadSupport:
         skip = (
             str(self.options.get("skipchangecommits", "")).lower() == "true"
         )
+        if self._cdf():
+            if skip:
+                raise ValueError(
+                    "readChangeFeed and skipChangeCommits conflict: one "
+                    "delivers change commits as row-level deltas, the "
+                    "other drops them — pick one"
+                )
+            return _TxnCDFStreamReader(self._path(), schema)
         return _TxnStreamReader(self._path(), schema, skip_changes=skip)
 
 
@@ -1236,14 +1643,22 @@ class TxnFilesWriter(DataSourceWriter):
             )
         self.path = path
         self.overwrite = overwrite
-        self.schema_json = schema.json() if schema is not None else None
+        if overwrite or schema is None:
+            # an overwrite starts a fresh generation: the old mapping
+            # (and its tombstones) dies with the history it described
+            self.schema_json = schema.json() if schema is not None else None
+            self.colmap = {}
+        else:
+            self.schema_json, self.colmap = _resolve_write_schema(
+                path, schema
+            )
         self.removes = removes
         self.basis = basis
         self.cluster_by = cluster_by
         self.ckpt_every = ckpt_every
 
     def write(self, iterator: Iterator) -> FileCommit:
-        return _stage_rows(self.path, iterator)
+        return _stage_rows(self.path, iterator, self.colmap)
 
     def commit(self, messages) -> None:
         # Batch commits claim a DETERMINISTIC per-sequence name
@@ -1313,11 +1728,17 @@ class TxnFilesStreamWriter(DataSourceStreamWriter):
     ) -> None:
         self.path = path
         self.truncate = truncate
-        self.schema_json = schema.json() if schema is not None else None
+        if truncate or schema is None:
+            self.schema_json = schema.json() if schema is not None else None
+            self.colmap = {}
+        else:
+            self.schema_json, self.colmap = _resolve_write_schema(
+                path, schema
+            )
         self.ckpt_every = ckpt_every
 
     def write(self, iterator: Iterator) -> FileCommit:
-        return _stage_rows(self.path, iterator)
+        return _stage_rows(self.path, iterator, self.colmap)
 
     def commit(self, messages, batchId: int) -> None:
         manifest = os.path.join(self.path, _TXN, f"manifest-{batchId:020d}.json")
@@ -1384,7 +1805,7 @@ class TxnParquetWriter(DataSourceArrowWriter, TxnFilesWriter):
     """Batch Arrow writer: parquet staging, shared publish/abort."""
 
     def write(self, iterator: Iterator) -> FileCommit:
-        return _stage_batches(self.path, iterator)
+        return _stage_batches(self.path, iterator, self.colmap)
 
 
 class TxnParquetStreamWriter(DataSourceStreamArrowWriter, TxnFilesStreamWriter):
@@ -1392,7 +1813,7 @@ class TxnParquetStreamWriter(DataSourceStreamArrowWriter, TxnFilesStreamWriter):
     idempotent commit."""
 
     def write(self, iterator: Iterator) -> FileCommit:
-        return _stage_batches(self.path, iterator)
+        return _stage_batches(self.path, iterator, self.colmap)
 
 
 def _manifests(path: str) -> list[str]:
@@ -1471,6 +1892,7 @@ def _fold_state(path: str) -> dict:
 
         {"entries": {basename: entry}, "dvs": [rel paths],
          "cluster_by": str|list|None, "fields": {name: StructField},
+         "tombs": set[str] (dropped physical column names),
          "styles": set[str], "n": visible-commit count,
          "head": last manifest basename ("" for an empty log)}
 
@@ -1498,6 +1920,7 @@ def _fold_state(path: str) -> dict:
     fields: dict = {}
     if ck and ck.get("schema"):
         _merge_schema_fields(fields, ck["schema"])
+    tombs: set[str] = set(ck.get("tombs", ())) if ck else set()
     styles: set[str] = set(ck.get("styles", ())) if ck else set()
     n = ck["n"] if ck else 0
     for name, d in docs:
@@ -1508,17 +1931,28 @@ def _fold_state(path: str) -> dict:
         for e in d["entries"]:
             entries[e["name"]] = e
         if d.get("dv"):
-            dvs.append(d["dv"])
+            if d.get("dv_replaces"):
+                # a coalesce commit: its one dataset carries every
+                # still-relevant position; earlier sidecars are dead
+                dvs = [d["dv"]]
+            else:
+                dvs.append(d["dv"])
         if d.get("cluster_by") is not None:
             cluster_by = d["cluster_by"]
         if d.get("schema"):
+            if d.get("schema_full"):
+                # a column-mapping commit (rename/drop): its schema IS
+                # the whole logical schema — the additive fold restarts
+                fields.clear()
             _merge_schema_fields(fields, d["schema"])
+        tombs |= set(d.get("schema_tomb", ()))
     head = tail[-1] if tail else (through if ck else (ms[-1] if ms else ""))
     return {
         "entries": entries,
         "dvs": dvs,
         "cluster_by": cluster_by,
         "fields": fields,
+        "tombs": tombs,
         "styles": styles,
         "n": n,
         "head": head,
@@ -1555,6 +1989,7 @@ def checkpoint(path: str) -> str | None:
         "dvs": st["dvs"],
         "cluster_by": st["cluster_by"],
         "schema": schema_json,
+        "tombs": sorted(st["tombs"]),
         "styles": sorted(st["styles"]),
     }
     _claim_manifest(os.path.join(path, _TXN), name, doc)
@@ -1584,6 +2019,159 @@ def _maybe_checkpoint(path: str, every: int | None = None) -> None:
             checkpoint(path)
     except OSError:
         return  # derived state only — never fail the landed commit
+
+
+def _phys_name(f) -> str:  # noqa: ANN001 - StructField
+    """The FROZEN physical (on-disk) column name of a logical field —
+    its ``cm_phys`` metadata once column mapping is active, else the
+    field name itself (Delta column-mapping ``physicalName`` shape)."""
+    return (f.metadata or {}).get("cm_phys", f.name)
+
+
+def _phys_map(fields: dict) -> dict[str, str]:
+    """{logical name: physical name} for the fields whose names differ
+    — empty for a table that never renamed (zero overhead)."""
+    return {
+        f.name: _phys_name(f)
+        for f in fields.values()
+        if _phys_name(f) != f.name
+    }
+
+
+def _freeze_fields(fields: dict) -> list:
+    """Activate column mapping: pin every field's CURRENT name as its
+    physical name (``cm_phys`` metadata) — files written so far used
+    exactly these names, and files written later are staged under them
+    (the writers rename logical→physical), so the physical layer never
+    moves again no matter how the logical names evolve."""
+    from pyspark.sql.types import StructField
+
+    return [
+        StructField(
+            f.name,
+            f.dataType,
+            True,
+            {**(f.metadata or {}), "cm_phys": _phys_name(f)},
+        )
+        for f in fields.values()
+    ]
+
+
+def rename_column(path: str, old: str, new: str) -> None:
+    """Column RENAME via column mapping (round-13, VERDICT r12 item 6
+    — the Iceberg/Delta column-mapping shape): a METADATA-ONLY commit
+    whose schema carries the whole logical schema (``schema_full``)
+    with the renamed field keeping its frozen physical name, so every
+    data file on disk — written before or after — keeps serving the
+    column under its new logical name with zero data rewritten. The
+    commit pins its planning ``basis``: a concurrent append recording
+    the old logical name would re-introduce it into the additive fold,
+    so any interloper conflicts (ConcurrentCommitError) and the rename
+    re-runs. Read through the format API
+    (``spark.read.format("txn_parquet")``) and the helper readers —
+    both resolve logical→physical at plan time."""
+    st = _fold_state(path)
+    if not st["fields"]:
+        raise ValueError(f"{path} has no committed schema to rename in")
+    if old not in st["fields"]:
+        raise ValueError(f"{path}: no column {old!r} to rename")
+    if new in st["fields"]:
+        raise ValueError(f"{path}: column {new!r} already exists")
+    basis = st["head"]
+    frozen = _freeze_fields(st["fields"])
+    out = [
+        f
+        if f.name != old
+        else type(f)(new, f.dataType, True, f.metadata)
+        for f in frozen
+    ]
+    doc = {
+        "files": [],
+        "rows": 0,
+        "entries": [],
+        "schema": StructType(out).json(),
+        "schema_full": True,
+    }
+    _claim_slot_commit(path, doc, basis=basis, cleanup=lambda: None)
+    _maybe_checkpoint(path)
+
+
+def drop_column(path: str, name: str) -> None:
+    """Column DROP via column mapping: a metadata-only ``schema_full``
+    commit without the field — the bytes stay in the files but no
+    reader ever projects them (same merge-on-read economics as a DV
+    delete: a 100 TB-table column drop costs one manifest). The
+    dropped PHYSICAL name is tombstoned: re-adding a column with a
+    tombstoned name is refused at write time, because files still
+    holding the old bytes would silently resurrect them into the new
+    column (Delta mints UUID physical names to dodge this; refusal is
+    the honest version without rewriting history). Basis-pinned like
+    :func:`rename_column`."""
+    st = _fold_state(path)
+    if name not in st["fields"]:
+        raise ValueError(f"{path}: no column {name!r} to drop")
+    if len(st["fields"]) == 1:
+        raise ValueError(f"{path}: cannot drop the only column {name!r}")
+    basis = st["head"]
+    frozen = _freeze_fields(st["fields"])
+    tomb = _phys_name(st["fields"][name])
+    out = [f for f in frozen if f.name != name]
+    doc = {
+        "files": [],
+        "rows": 0,
+        "entries": [],
+        "schema": StructType(out).json(),
+        "schema_full": True,
+        "schema_tomb": [tomb],
+    }
+    _claim_slot_commit(path, doc, basis=basis, cleanup=lambda: None)
+    _maybe_checkpoint(path)
+
+
+def _resolve_write_schema(
+    path: str, schema: StructType | None
+) -> tuple[str | None, dict[str, str]]:
+    """Driver-side writer resolution against the table's column
+    mapping: each written field inherits the frozen physical name of
+    the logical column it targets (so the fold keeps the mapping and
+    the staged files keep physical layout); a brand-new column whose
+    name collides with a TOMBSTONED physical name is refused (old
+    files still hold those bytes — see :func:`drop_column`). Returns
+    (schema json to record, {logical: physical} rename map for the
+    write tasks)."""
+    if schema is None:
+        return None, {}
+    st = _fold_state(path)
+    cur = st["fields"]
+    if not any(_phys_name(f) != f.name or (f.metadata or {}).get("cm_phys")
+               for f in cur.values()) and not st["tombs"]:
+        return schema.json(), {}  # mapping never activated: zero cost
+    from pyspark.sql.types import StructField
+
+    out = []
+    colmap: dict[str, str] = {}
+    for f in schema.fields:
+        known = cur.get(f.name)
+        if known is not None:
+            phys = _phys_name(known)
+            out.append(
+                StructField(
+                    f.name, f.dataType, True,
+                    {**(f.metadata or {}), "cm_phys": phys},
+                )
+            )
+            if phys != f.name:
+                colmap[f.name] = phys
+        else:
+            if f.name in st["tombs"]:
+                raise ValueError(
+                    f"{path}: column name {f.name!r} was dropped and its "
+                    "physical bytes remain in old files — re-adding it "
+                    "would resurrect them; use a different name or "
+                    "rewrite the table (overwrite/compact)"
+                )
+            out.append(StructField(f.name, f.dataType, True, f.metadata))
+    return StructType(out).json(), colmap
 
 
 def committed_files(path: str) -> list[str]:
@@ -1625,8 +2213,11 @@ def committed_dvs(path: str, as_of: int | None = None) -> list[str]:
         return [
             os.path.join(path, d) for d in _fold_state(path)["dvs"]
         ]
-    docs = _visible_log(path)[:as_of]
-    return [os.path.join(path, d["dv"]) for d in docs if d.get("dv")]
+    dvs: list[str] = []
+    for d in _visible_log(path)[:as_of]:
+        if d.get("dv"):
+            dvs = [d["dv"]] if d.get("dv_replaces") else dvs + [d["dv"]]
+    return [os.path.join(path, d) for d in dvs]
 
 
 def _mask_deleted(spark: SparkSession, df: DataFrame, dvs: list[str]) -> DataFrame:
@@ -1657,16 +2248,48 @@ def _df_from(
     files: list[str],
     schema: str,
     dvs: list[str] | None = None,
+    path: str | None = None,
 ) -> DataFrame:
     """Dispatch on the staged format (a table is homogeneous: its
     writer style fixes the extension); parquet scans apply any visible
-    deletion vectors (merge-on-read)."""
+    deletion vectors (merge-on-read). With ``path``, the scan is
+    COLUMN-MAPPING aware: files hold frozen physical names, so a
+    renamed table reads under its physical schema and projects back to
+    the caller's logical names — one metadata fold, zero cost for
+    never-renamed tables."""
     if not files:
         return spark.createDataFrame([], schema)
+    ren: dict[str, str] = {}
+    phys_schema = schema
+    logical_names: list[str] = []
+    if path is not None:
+        ren = _phys_map(_fold_state(path)["fields"])
+        if ren:
+            lschema = (
+                schema
+                if isinstance(schema, StructType)
+                else StructType.fromDDL(schema)
+            )
+            from pyspark.sql.types import StructField
+
+            logical_names = [f.name for f in lschema.fields]
+            phys_schema = StructType(
+                [
+                    StructField(
+                        ren.get(f.name, f.name), f.dataType, True, f.metadata
+                    )
+                    for f in lschema.fields
+                ]
+            )
     if files[0].endswith(".parquet"):
-        df = spark.read.schema(schema).parquet(*files)
-        return _mask_deleted(spark, df, dvs) if dvs else df
-    return spark.read.schema(schema).json(files)
+        df = spark.read.schema(phys_schema).parquet(*files)
+        if dvs:
+            # mask BEFORE the logical projection: _metadata row
+            # addressing resolves only on the scan output
+            df = _mask_deleted(spark, df, dvs)
+        return df.toDF(*logical_names) if ren else df
+    df = spark.read.schema(phys_schema).json(files)
+    return df.toDF(*logical_names) if ren else df
 
 
 def delete_where(
@@ -1706,7 +2329,24 @@ def delete_where(
         )
     _check_seq_width(path)
     _check_style(path, "batch")
-    scan = spark.read.schema(schema).parquet(*[e["name"] for e in entries])
+    # column mapping: files hold physical names — scan physical, key
+    # on _metadata BEFORE projecting back to logical (hidden columns
+    # do not survive a projection)
+    ren = _phys_map(_fold_state(path)["fields"])
+    lschema = StructType.fromDDL(schema) if ren else None
+    read_schema = (
+        schema
+        if not ren
+        else StructType(
+            [
+                type(f)(ren.get(f.name, f.name), f.dataType, True, f.metadata)
+                for f in lschema.fields
+            ]
+        )
+    )
+    scan = spark.read.schema(read_schema).parquet(
+        *[e["name"] for e in entries]
+    )
     keyed = scan.withColumns(
         {
             "_dv_file": F.substring_index(
@@ -1715,6 +2355,15 @@ def delete_where(
             "_dv_pos": F.col("_metadata.row_index"),
         }
     )
+    if ren:
+        keyed = keyed.select(
+            *[
+                F.col(ren.get(f.name, f.name)).alias(f.name)
+                for f in lschema.fields
+            ],
+            "_dv_file",
+            "_dv_pos",
+        )
     dvs = committed_dvs(path)
     if dvs:
         prior = spark.read.parquet(*dvs).select("_dv_file", "_dv_pos")
@@ -1756,12 +2405,159 @@ def delete_where(
     return {"files_masked": len(targets), "rows_deleted": n_rows}
 
 
+def coalesce_dvs(spark: SparkSession, path: str) -> dict:
+    """DV maintenance short of compaction, part 1 (round-13, VERDICT
+    r12 item 4 — the Delta DV-coalescing shape): fold every visible
+    deletion-vector sidecar into ONE consolidated (file, position)
+    dataset — dropping positions that address files no longer live
+    (inert since a rewrite minted fresh names) — and commit a
+    ``dv_replaces`` manifest. Readers then anti-join a single dataset
+    no matter how many point deletes accreted; the change feed treats
+    the commit as metadata-only (no row-level change — every masked
+    row was already emitted as a delete by its own commit).
+
+    Concurrency: the commit pins the planning ``basis`` (log head), so
+    ANY commit landing mid-coalesce — above all a concurrent
+    `delete_where` whose positions this consolidation would silently
+    drop — conflicts via :class:`ConcurrentCommitError`; the
+    maintenance re-runs. Superseded sidecars stay on disk for
+    in-flight readers and are reclaimed by ``vacuum`` after the
+    retention window (clock = the coalesce commit's age, same rule as
+    superseded generations).
+
+    Returns ``{"coalesced": #sidecars folded, "dv_rows": positions
+    kept, "dropped_inert": positions dropped}``."""
+    import pyspark.sql.functions as F
+
+    dvs = committed_dvs(path)
+    if not dvs:
+        return {"coalesced": 0, "dv_rows": 0, "dropped_inert": 0}
+    basis = _latest_manifest(path)
+    live = sorted(_live_names(path))
+    # one tiny row per LIVE FILE NAME — driver-side metadata scale,
+    # the same cardinality every scan plan already materializes
+    livedf = spark.createDataFrame([(n,) for n in live], "_dv_file string")
+    pos = (
+        spark.read.parquet(*dvs)
+        .select("_dv_file", "_dv_pos")
+        .distinct()
+        .join(F.broadcast(livedf), "_dv_file", "left_semi")
+    )
+    dv_rel = os.path.join("_dv", f"dv-{uuid.uuid4().hex[:12]}")
+    dv_abs = os.path.join(path, dv_rel)
+    pos.write.parquet(dv_abs)
+    per_file = (
+        spark.read.parquet(dv_abs)
+        .groupBy("_dv_file")
+        .count()
+        .collect()  # scalar-probe: one row per masked FILE, never rows
+    )
+    targets = sorted(r["_dv_file"] for r in per_file)
+    n_rows = int(sum(r["count"] for r in per_file))
+    total_before = int(spark.read.parquet(*dvs).count())
+    if len(dvs) == 1 and n_rows == total_before:
+        # a lone, fully-live sidecar: re-committing it would be churn
+        shutil.rmtree(dv_abs, ignore_errors=True)
+        return {"coalesced": 0, "dv_rows": n_rows, "dropped_inert": 0}
+    doc = {
+        "files": [],
+        "rows": 0,
+        "entries": [],
+        "dv": dv_rel,
+        "dv_replaces": True,
+        "dv_targets": targets,
+        "dv_rows": n_rows,
+    }
+    _claim_slot_commit(
+        path,
+        doc,
+        basis=basis,
+        dv_targets=targets,
+        cleanup=lambda: shutil.rmtree(dv_abs, ignore_errors=True),
+    )
+    _maybe_checkpoint(path)
+    return {
+        "coalesced": len(dvs),
+        "dv_rows": n_rows,
+        "dropped_inert": int(total_before) - n_rows,
+    }
+
+
+def purge_deletes(
+    spark: SparkSession, path: str, schema: str, threshold: float = 0.1
+) -> dict:
+    """DV maintenance short of compaction, part 2 (round-13, VERDICT
+    r12 item 4 — Delta ``REORG TABLE ... APPLY (PURGE)``): rewrite
+    ONLY the files whose masked-row fraction exceeds ``threshold``,
+    baking their deletes in; under-threshold files keep their part
+    names (and their cheap merge-on-read masks) verbatim. The commit
+    is a DELTA manifest (removes + adds) pinned to its planning
+    ``basis``, so a concurrent delete/merge/append conflicts instead
+    of being silently dropped; the purged files' DV positions become
+    inert automatically (fresh part names) and a following
+    :func:`coalesce_dvs` physically drops them. At 100 TB this is how
+    heavily-deleted regions stop taxing every scan with anti-join
+    work, without paying a full-table rewrite.
+
+    Returns ``{"files_rewritten": ..., "files_total": ...,
+    "rows_purged": masked rows baked in}``."""
+    import pyspark.sql.functions as F
+
+    entries = committed_entries(path)
+    dvs = committed_dvs(path)
+    if not entries or not dvs:
+        return {
+            "files_rewritten": 0,
+            "files_total": len(entries),
+            "rows_purged": 0,
+        }
+    basis = _latest_manifest(path)
+    counts = (
+        spark.read.parquet(*dvs)
+        .groupBy("_dv_file")
+        .agg(F.count_distinct("_dv_pos").alias("n"))
+        .collect()  # scalar-probe: one row per masked FILE
+    )
+    masked = {r["_dv_file"]: int(r["n"]) for r in counts}
+    over = [
+        e
+        for e in entries
+        if e.get("rows")
+        and masked.get(os.path.basename(e["name"]), 0) / e["rows"] > threshold
+    ]
+    if not over:
+        return {
+            "files_rewritten": 0,
+            "files_total": len(entries),
+            "rows_purged": 0,
+        }
+    fmt = (
+        "txn_parquet"
+        if entries[0]["name"].endswith(".parquet")
+        else "txn_files"
+    )
+    live_rows = _df_from(spark, [e["name"] for e in over], schema, dvs, path=path)
+    live_rows.write.format(fmt).mode("append").option(
+        "removes",
+        json.dumps(sorted(os.path.basename(e["name"]) for e in over)),
+    ).option("basis", basis).save(path)
+    return {
+        "files_rewritten": len(over),
+        "files_total": len(entries),
+        "rows_purged": sum(
+            masked.get(os.path.basename(e["name"]), 0) for e in over
+        ),
+    }
+
+
 def read_committed(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read back ONLY manifest-listed files (staged/aborted files are
     invisible), with visible deletion vectors applied. Manifest listing
     is a driver-side metadata read — the same shape as a table format
     reading its log, O(#manifests), not a data scan."""
-    return _df_from(spark, committed_files(path), schema, committed_dvs(path))
+    return _df_from(
+        spark, committed_files(path), schema, committed_dvs(path), path=path
+    )
 
 
 def read_snapshot(
@@ -1780,6 +2576,7 @@ def read_snapshot(
         [e["name"] for e in committed_entries(path, as_of=as_of)],
         schema,
         committed_dvs(path, as_of=as_of),
+        path=path,
     )
 
 
@@ -1816,7 +2613,7 @@ def read_changes(
                 "which an append-only feed cannot express"
             )
         files.extend(os.path.join(path, f) for f in d["files"])
-    return _df_from(spark, files, schema)
+    return _df_from(spark, files, schema, path=path)
 
 
 def vacuum(path: str, min_age_s: float = 24 * 3600.0) -> int:
@@ -1906,6 +2703,25 @@ def vacuum(path: str, min_age_s: float = 24 * 3600.0) -> int:
             if rel not in dv_listed and _old(p):
                 shutil.rmtree(p, ignore_errors=True)
                 removed += 1
+    # sidecars superseded by a dv_replaces coalesce: still referenced
+    # by their own (visible) manifests, but dead to the current fold —
+    # reclaim once the SUPERSEDING commit is past the retention window
+    # (a reader that planned before the coalesce may still be
+    # anti-joining the old sidecars; clock = visibility loss, the same
+    # rule as superseded generations). Time travel to pre-coalesce
+    # snapshots degrades accordingly — vacuum's standing contract.
+    visible_dvs = {os.path.join("_dv", os.path.basename(d))
+                   for d in _fold_state(path)["dvs"]}
+    superseder = None
+    for m in _manifests(path):
+        if json.load(open(m)).get("dv_replaces"):
+            superseder = m
+    if superseder is not None and _old(superseder):
+        for rel in dv_listed - visible_dvs:
+            p = os.path.join(path, rel)
+            if os.path.exists(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
     # superseded checkpoints: only the LATEST one serves reads
     # (`_latest_ckpt`), so older snapshots are pure garbage once past
     # the retention window (a reader that resolved the old checkpoint
@@ -1929,12 +2745,13 @@ def read_committed_between(
     manifest-level data skipping, the reason a 100 TB table with
     range-clustered files answers a point-range query by reading a
     handful of them."""
+    pcol = _phys_map(_fold_state(path)["fields"]).get(col, col)
     kept = []
     for e in committed_entries(path):
-        mm = e["stats"].get(col)
+        mm = e["stats"].get(pcol)  # zone maps are keyed physical
         if mm is None or (mm[0] <= hi and lo <= mm[1]):
             kept.append(e["name"])
-    df = _df_from(spark, kept, schema, committed_dvs(path))
+    df = _df_from(spark, kept, schema, committed_dvs(path), path=path)
     return df.where(df[col].between(lo, hi))
 
 
@@ -2051,10 +2868,18 @@ def merge_into(
     # are conservative on that column.
     from pyspark.sql.types import StringType
 
+    # column mapping: zone maps are keyed by PHYSICAL name
+    _ren = _phys_map(_fold_state(path)["fields"])
+
+    def _pcol(c: str) -> str:
+        return _ren.get(c, c)
+
     clamps: dict[str, tuple | None] = {}
     aggs = []
     for c in on_cols:
-        with_stats = [e["stats"][c] for e in entries if e["stats"].get(c)]
+        with_stats = [
+            e["stats"][_pcol(c)] for e in entries if e["stats"].get(_pcol(c))
+        ]
         clamp = None
         if with_stats:
             try:
@@ -2086,7 +2911,7 @@ def merge_into(
         return {"files_touched": 0, "files_total": len(entries)}
 
     def _may_match(e: dict, c: str) -> bool:
-        mm = e["stats"].get(c)
+        mm = e["stats"].get(_pcol(c))
         if mm is None:
             return True  # no stats for this column: conservative
         if b[f"_lo_{c}"] is None:
@@ -2110,7 +2935,8 @@ def merge_into(
     # masked file does not resurrect its deleted rows; the rewrite's
     # fresh part names retire those DV rows automatically
     tdf = _df_from(
-        spark, [e["name"] for e in touched], schema, committed_dvs(path)
+        spark, [e["name"] for e in touched], schema, committed_dvs(path),
+        path=path,
     )
     cols = [f.name for f in tdf.schema.fields]
     survivors = tdf.join(
@@ -2265,6 +3091,8 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
             if d.get("replaces")
             else "delta"
             if d.get("removes")
+            else "dv-coalesce"
+            if d.get("dv_replaces")
             else "dv-delete"
             if d.get("dv")
             else "append"

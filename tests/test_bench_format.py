@@ -192,3 +192,43 @@ def test_quiet_reference_matches_headline():
     assert loaded == {n: float(v) for n, v in ref.items()}
     ratio, ok = bench._heavy_check(loaded, sf=0.1)
     assert ratio == 1.0 and ok is True
+
+
+def test_emit_mechanical_mover_list(tmp_path, monkeypatch):
+    """VERDICT r12: the round log hand-reported 1 heavy mover where
+    the artifact held 2 heavy / 9 total. The >=1.3x mover list is now
+    emitted BY THE RUN (movers_over_1p3, worst first, capped), so the
+    SURVEY log copies it instead of re-deriving it."""
+    import io
+    from contextlib import redirect_stdout
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda _: str(tmp_path / "bench.py")
+    )
+    monkeypatch.delenv("BENCH_SENTINEL_FILE", raising=False)
+    monkeypatch.delenv("BENCH_QUIET_REFERENCE_FILE", raising=False)
+
+    ref = {f"q_m_{i:02d}": 1.0 for i in range(10)}
+
+    def run(timings, sf=0.1):
+        with redirect_stdout(io.StringIO()):
+            return bench.emit(timings, sf=sf)
+
+    # no reference → None, never a crash
+    assert run(dict(ref))["movers_over_1p3"] is None
+
+    (tmp_path / "bench_quiet_reference.json").write_text(
+        json.dumps({"queries": ref})
+    )
+    timings = dict(ref)
+    timings["q_m_03"] = 1.31
+    timings["q_m_07"] = 1.7
+    out = run(timings)
+    assert out["movers_over_1p3"] == {"q_m_07": 1.7, "q_m_03": 1.31}
+    assert list(out["movers_over_1p3"]) == ["q_m_07", "q_m_03"]  # worst first
+
+    # clean run → empty dict (present, so "no movers" is an assertion)
+    assert run(dict(ref))["movers_over_1p3"] == {}
+
+    # wrong sf → None
+    assert run(dict(ref), sf=0.01)["movers_over_1p3"] is None

@@ -2160,3 +2160,515 @@ def test_stream_writer_auto_checkpoints(tmp_path):
     doc = json.load(open(sorted(cks)[-1]))
     assert doc["styles"] == ["stream"]
     assert doc["n"] >= 2
+
+
+def _cdf_log(spark, path):
+    """Shared CDF fixture log: two single-file appends, a DV delete,
+    and a file-pruned merge (update+insert) — every change-commit kind
+    the feed must serve."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        delete_where,
+        merge_into,
+    )
+
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("double").alias("v")
+    )
+    df.where("k < 10").coalesce(1).write.format("txn_parquet").mode(
+        "append"
+    ).save(path)
+    df.where("k >= 10").coalesce(1).write.format("txn_parquet").mode(
+        "append"
+    ).save(path)
+    schema = "k bigint, v double"
+    delete_where(spark, path, schema, "k = 3 OR k = 12")
+    src = spark.range(15, 18).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10 + 1000).cast("double").alias("v"),
+    )
+    merge_into(spark, path, schema, src, "k")
+    return schema
+
+
+def test_change_feed_batch_row_level_semantics(spark, tmp_path):
+    """Round-13 CDF (VERDICT r12 item 3): option("readChangeFeed")
+    turns the (from, to] window into row-level changes — appends as
+    inserts, a DV commit's newly masked positions as deletes, a merge
+    as its removed file's then-live rows (deletes) + rewritten file
+    (inserts). The already-DV-deleted row must NOT re-delete at the
+    merge (prior DVs excluded), and updates surface as delete+insert
+    pairs with the updated value on the insert side."""
+    register(spark)
+    _cdf_log(spark, str(tmp_path))
+    feed = (
+        spark.read.format("txn_parquet")
+        .option("changesFrom", 0)
+        .option("changesTo", 4)
+        .option("readChangeFeed", "true")
+        .load(str(tmp_path))
+    )
+    rows = {(r.k, r.v, r._change_type, r._commit_version) for r in feed.collect()}
+    # inserts at versions 0/1 cover all 20 rows
+    assert {(k, k * 10.0, "insert", k // 10) for k in range(20)} <= rows
+    # DV deletes at version 2
+    assert (3, 30.0, "delete", 2) in rows and (12, 120.0, "delete", 2) in rows
+    # merge at version 3: live F2 rows deleted (12 already gone), pairs
+    merge_dels = {r for r in rows if r[2] == "delete" and r[3] == 3}
+    assert merge_dels == {
+        (k, k * 10.0, "delete", 3) for k in range(10, 20) if k != 12
+    }
+    merge_ins = {r for r in rows if r[2] == "insert" and r[3] == 3}
+    assert merge_ins == {
+        (k, (k * 10.0 + 1000) if k in (15, 16, 17) else k * 10.0, "insert", 3)
+        for k in range(10, 20)
+        if k != 12
+    }
+    # F1's file (version 0) is untouched by the merge: no deletes at 3
+    assert not any(r[0] < 10 and r[3] == 3 for r in rows)
+    # batch CDF requires an explicit window
+    with pytest.raises(Exception, match="changesFrom"):
+        spark.read.format("txn_parquet").option(
+            "readChangeFeed", "true"
+        ).load(str(tmp_path)).count()
+
+
+def test_change_feed_stream_matches_batch(spark, tmp_path):
+    """The streaming source under readChangeFeed delivers EXACTLY the
+    batch window's change rows across append + delete_where + merge —
+    and without the option the strict refusals are unchanged."""
+    register(spark)
+    _cdf_log(spark, str(tmp_path))
+    got = []
+    q = (
+        spark.readStream.format("txn_parquet")
+        .option("readChangeFeed", "true")
+        .load(str(tmp_path))
+        .writeStream.foreachBatch(lambda b, i: got.append(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(tuple(r) for b in got for r in b)
+    batch_rows = sorted(
+        tuple(r)
+        for r in (
+            spark.read.format("txn_parquet")
+            .option("changesFrom", 0)
+            .option("changesTo", 4)
+            .option("readChangeFeed", "true")
+            .load(str(tmp_path))
+            .collect()
+        )
+    )
+    assert stream_rows == batch_rows
+    assert len(stream_rows) == 40
+
+    # refusal semantics unchanged without the option: the plain stream
+    # still refuses the DV commit in its window
+    q2 = (
+        spark.readStream.format("txn_parquet")
+        .load(str(tmp_path))
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="deletion-vector"):
+        q2.awaitTermination(120)
+
+    # readChangeFeed + skipChangeCommits conflict at stream start
+    q3 = (
+        spark.readStream.format("txn_parquet")
+        .option("readChangeFeed", "true")
+        .option("skipChangeCommits", "true")
+        .load(str(tmp_path))
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="conflict"):
+        q3.awaitTermination(120)
+
+
+def test_change_feed_stream_refuses_replaces_and_recovers_offsets(
+    spark, tmp_path
+):
+    """A replaces commit (compact) mid-stream still refuses under CDF
+    (history truncation has no row-delta form), and a CDF stream
+    restarted from its checkpoint re-serves only the unseen tail."""
+    from mapreduceframework_cpp_spark.sources.pysink import compact
+
+    register(spark)
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    tgt = tmp_path / "table"
+    os.makedirs(out)
+    schema = _cdf_log(spark, str(tgt))
+
+    def run():
+        q = (
+            spark.readStream.format("txn_parquet")
+            .option("readChangeFeed", "true")
+            .load(str(tgt))
+            .writeStream.foreachBatch(
+                lambda b, i: b.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    n1 = spark.read.parquet(str(out)).count()
+    assert n1 == 40
+    # one more DV delete lands; the restarted stream serves ONLY it
+    from mapreduceframework_cpp_spark.sources.pysink import delete_where
+
+    delete_where(spark, str(tgt), schema, "k = 5")
+    run()
+    df = spark.read.parquet(str(out))
+    assert df.count() == 41
+    tail = df.where("_commit_version = 4").collect()
+    assert [(r.k, r._change_type) for r in tail] == [(5, "delete")]
+
+    # compaction mid-stream refuses under CDF
+    compact(spark, str(tgt), schema)
+    q = (
+        spark.readStream.format("txn_parquet")
+        .option("readChangeFeed", "true")
+        .load(str(tgt))
+        .writeStream.foreachBatch(lambda b, i: None)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="replaces"):
+        q.awaitTermination(120)
+
+
+def test_dv_coalesce_and_purge(spark, tmp_path):
+    """Round-13 DV maintenance (VERDICT r12 item 4): coalesce_dvs
+    folds N sidecars into one (dropping inert positions), and
+    purge_deletes rewrites ONLY the over-threshold files — under-
+    threshold part names survive verbatim and the visible rows are
+    identical through every maintenance step."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        coalesce_dvs,
+        committed_dvs,
+        delete_where,
+        purge_deletes,
+        table_history,
+    )
+
+    register(spark)
+    t = str(tmp_path)
+    spark.range(100).selectExpr(
+        "id AS k", "CAST(id * 10 AS DOUBLE) AS v"
+    ).repartitionByRange(4, "k").write.format("txn_parquet").mode(
+        "append"
+    ).save(t)
+    schema = "k bigint, v double"
+    for cond in ("k IN (1,2,3)", "k BETWEEN 30 AND 37", "k = 60"):
+        delete_where(spark, t, schema, cond)
+    assert len(committed_dvs(t)) == 3  # one sidecar per delete
+    before = sorted(
+        map(tuple, read_committed(spark, t, schema).collect())
+    )
+    assert len(before) == 88
+
+    got = coalesce_dvs(spark, t)
+    assert got == {"coalesced": 3, "dv_rows": 12, "dropped_inert": 0}
+    assert len(committed_dvs(t)) == 1
+    assert before == sorted(
+        map(tuple, read_committed(spark, t, schema).collect())
+    )
+
+    # purge: only the file holding k∈[25,50) exceeds 20% masked (8/25)
+    names0 = {os.path.basename(e["name"]) for e in committed_entries(t)}
+    got = purge_deletes(spark, t, schema, threshold=0.2)
+    assert got["files_rewritten"] == 1 and got["rows_purged"] == 8
+    names1 = {os.path.basename(e["name"]) for e in committed_entries(t)}
+    assert len(names0 & names1) == 3  # under-threshold files verbatim
+    assert before == sorted(
+        map(tuple, read_committed(spark, t, schema).collect())
+    )
+
+    # a second coalesce drops the purged (now inert) positions
+    got = coalesce_dvs(spark, t)
+    assert got == {"coalesced": 1, "dv_rows": 4, "dropped_inert": 8}
+    # and once the lone sidecar is fully live, coalescing is a no-op
+    assert coalesce_dvs(spark, t)["coalesced"] == 0
+    assert before == sorted(
+        map(tuple, read_committed(spark, t, schema).collect())
+    )
+    hist = [r.kind for r in table_history(spark, t).collect()]
+    assert hist.count("dv-coalesce") == 2 and hist.count("delta") == 1
+
+
+def test_dv_coalesce_occ_loses_to_interloper(spark, tmp_path):
+    """A commit landing mid-coalesce (above all a concurrent
+    delete_where whose positions the fold would silently drop) makes
+    the coalesce lose with ConcurrentCommitError, its dataset cleaned
+    up; same basis rule for purge_deletes."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        ConcurrentCommitError,
+        _claim_slot_commit,
+        _latest_manifest,
+        coalesce_dvs,
+        delete_where,
+        purge_deletes,
+    )
+    from unittest import mock
+
+    register(spark)
+    t = str(tmp_path)
+    spark.range(50).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(2).write.format("txn_parquet").mode("append").save(t)
+    schema = "k bigint, v double"
+    delete_where(spark, t, schema, "k = 1")
+    delete_where(spark, t, schema, "k = 2")
+
+    real = _latest_manifest(t)
+
+    # simulate a commit landing mid-plan: the FIRST head read (the
+    # basis coalesce_dvs pins) sees a stale log, the validation's
+    # re-read sees the real head — exactly the advanced-log shape
+    calls = {"n": 0}
+
+    def _racing(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return "manifest-00000000000000000000-c.json"
+        return real
+
+    with mock.patch(
+        "mapreduceframework_cpp_spark.sources.pysink._latest_manifest",
+        side_effect=_racing,
+    ):
+        with pytest.raises(ConcurrentCommitError, match="advanced"):
+            coalesce_dvs(spark, t)
+    # the loser cleaned up: no orphan dataset beyond the two sidecars
+    assert len(os.listdir(tmp_path / "_dv")) == 2
+    # and the table still reads correctly afterwards
+    assert read_committed(spark, t, schema).count() == 48
+    assert _latest_manifest(t) == real
+
+
+def test_dv_coalesce_is_metadata_only_in_change_feed(spark, tmp_path):
+    """The change feed serves a dv-coalesce commit as NO row-level
+    changes (every masked row was already emitted by its own delete
+    commit), and post-coalesce windows keep masking correctly through
+    the consolidated sidecar."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        coalesce_dvs,
+        delete_where,
+        merge_into,
+    )
+
+    register(spark)
+    t = str(tmp_path)
+    df = spark.range(20).selectExpr("id AS k", "CAST(id * 10 AS DOUBLE) AS v")
+    df.where("k < 10").coalesce(1).write.format("txn_parquet").mode(
+        "append"
+    ).save(t)
+    df.where("k >= 10").coalesce(1).write.format("txn_parquet").mode(
+        "append"
+    ).save(t)
+    schema = "k bigint, v double"
+    delete_where(spark, t, schema, "k = 3")
+    delete_where(spark, t, schema, "k = 12")
+    coalesce_dvs(spark, t)  # version 4, metadata-only
+    src = spark.range(15, 16).selectExpr(
+        "id AS k", "CAST(id + 9000 AS DOUBLE) AS v"
+    )
+    merge_into(spark, t, schema, src, "k")  # version 5
+
+    feed = (
+        spark.read.format("txn_parquet")
+        .option("changesFrom", 0)
+        .option("changesTo", 6)
+        .option("readChangeFeed", "true")
+        .load(t)
+    )
+    rows = {(r.k, r._change_type, r._commit_version) for r in feed.collect()}
+    assert not any(v == 4 for _, _, v in rows)  # coalesce emits nothing
+    # the merge's deletes exclude BOTH pre-coalesce masked rows via the
+    # consolidated sidecar (k=12 was deleted at version 3, not again)
+    assert (12, "delete", 5) not in rows
+    merge_dels = {k for k, ct, v in rows if ct == "delete" and v == 5}
+    assert merge_dels == {k for k in range(10, 20) if k != 12}
+
+
+def test_column_mapping_rename_and_drop(spark, tmp_path):
+    """Round-13 column mapping (VERDICT r12 item 6 — Iceberg/Delta
+    column-mapping shape): rename mid-log reads correctly across the
+    boundary with zero data rewritten (old files serve the column
+    under its new logical name via the frozen physical name); drop is
+    metadata-only; post-rename appends stage under PHYSICAL names so
+    the physical layer never moves."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        drop_column,
+        rename_column,
+    )
+
+    register(spark)
+    t = str(tmp_path)
+    spark.range(25).selectExpr(
+        "id AS k", "CAST(id * 10 AS DOUBLE) AS v", "concat('j', id) AS junk"
+    ).coalesce(1).write.format("txn_parquet").mode("append").save(t)
+    rename_column(t, "v", "price")
+    drop_column(t, "junk")
+    spark.range(25, 50).selectExpr(
+        "id AS k", "CAST(id * 10 AS DOUBLE) AS price"
+    ).coalesce(1).write.format("txn_parquet").mode("append").save(t)
+
+    back = spark.read.format("txn_parquet").load(t)
+    assert back.schema.simpleString() == "struct<k:bigint,price:double>"
+    assert sorted((r.k, r.price) for r in back.collect()) == [
+        (k, k * 10.0) for k in range(50)
+    ]
+    # the post-rename file physically holds the FROZEN name 'v'
+    import pyarrow.parquet as pq
+
+    phys_cols = {
+        c
+        for e in committed_entries(t)
+        for c in pq.ParquetFile(e["name"]).schema_arrow.names
+    }
+    assert "v" in phys_cols and "price" not in phys_cols
+
+    # helpers read logical too
+    assert (
+        read_committed(spark, t, "k bigint, price double").count() == 50
+    )
+    # rename errors
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(t, "k", "price")
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(t, "v", "w")
+    # tombstone: re-adding the dropped name is refused at write time
+    with pytest.raises(Exception, match="resurrect"):
+        spark.range(2).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS price", "'x' AS junk"
+        ).write.format("txn_parquet").mode("append").save(t)
+
+
+def test_column_mapping_survives_maintenance_and_pushdown(spark, tmp_path):
+    """Column mapping composes with the rest of the surface: DV
+    deletes + merge on the renamed logical name, zone-map pushdown
+    translating logical→physical stats, the change feed, and a
+    checkpointed log; compact bakes the renames in and resets the
+    mapping (fresh generation)."""
+    from mapreduceframework_cpp_spark.sources.pysink import (
+        MANIFEST_LOADS,
+        checkpoint,
+        compact,
+        delete_where,
+        merge_into,
+        rename_column,
+    )
+    import mapreduceframework_cpp_spark.sources.pysink as psk
+
+    register(spark)
+    t = str(tmp_path)
+    df = spark.range(100).selectExpr(
+        "id AS k", "CAST(id * 10 AS DOUBLE) AS v"
+    )
+    df.repartitionByRange(4, "k").write.format("txn_parquet").mode(
+        "append"
+    ).save(t)
+    rename_column(t, "v", "price")
+    schema = "k bigint, price double"
+    delete_where(spark, t, schema, "price >= 900")  # masks 10 rows
+    src = spark.range(5, 8).selectExpr("id AS k", "7777.0 AS price")
+    merge_into(spark, t, schema, src, "k")
+    got = dict(
+        (r.k, r.price)
+        for r in read_committed(spark, t, schema).collect()
+    )
+    assert len(got) == 90 and got[5] == 7777.0 and got[50] == 500.0
+
+    # pushdown prunes on the RENAMED column via physical stats
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        back = (
+            spark.read.format("txn_parquet")
+            .option("pushdown", "true")
+            .load(t)
+            .where(F.col("price").between(300.0, 400.0))
+        )
+        rows = back.collect()
+        assert sorted(r.k for r in rows) == list(range(30, 41))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+    # change feed serves logical names across the whole log
+    feed = (
+        spark.read.format("txn_parquet")
+        .option("changesFrom", 0)
+        .option("changesTo", 4)
+        .option("readChangeFeed", "true")
+        .load(t)
+    )
+    assert "price" in feed.columns and "v" not in feed.columns
+    by_kind = {}
+    for r in feed.collect():
+        by_kind.setdefault((r._change_type, r._commit_version), 0)
+        by_kind[(r._change_type, r._commit_version)] += 1
+    assert by_kind[("insert", 0)] == 100
+    assert by_kind[("delete", 2)] == 10
+    assert ("insert", 1) not in by_kind  # the rename is metadata-only
+
+    # a checkpoint carries the mapped schema: plans stay correct and
+    # bounded after it
+    assert checkpoint(t)
+    psk.MANIFEST_LOADS  # counter exists; correctness check below
+    assert (
+        read_committed(spark, t, schema).count() == 90
+    )
+
+    # compact bakes the rename into data and resets the mapping
+    compact(spark, t, schema)
+    import pyarrow.parquet as pq
+
+    phys_cols = {
+        c
+        for e in committed_entries(t)
+        for c in pq.ParquetFile(e["name"]).schema_arrow.names
+    }
+    assert "price" in phys_cols and "v" not in phys_cols
+    assert read_committed(spark, t, schema).count() == 90
+
+
+def test_column_mapping_stream_reads_logical(spark, tmp_path):
+    """The streaming source serves the CURRENT logical names over a
+    renamed table — files from both sides of the rename stream back
+    under one schema."""
+    from mapreduceframework_cpp_spark.sources.pysink import rename_column
+
+    register(spark)
+    t = str(tmp_path)
+    spark.range(10).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.format("txn_parquet").mode("append").save(t)
+    rename_column(t, "v", "price")
+    spark.range(10, 20).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS price"
+    ).coalesce(1).write.format("txn_parquet").mode("append").save(t)
+
+    got = []
+    q = (
+        spark.readStream.format("txn_parquet")
+        .load(t)
+        .writeStream.foreachBatch(lambda b, i: got.append(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted((r.k, r.price) for b in got for r in b)
+    assert rows == [(k, float(k)) for k in range(20)]
