@@ -852,12 +852,21 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.withColumnRenamed("v", "u"), "u"
         ).select("v", "lbl").unionAll(labels)
         cnt = nbr.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("c"))
-        mx = cnt.groupBy("v").agg(F.max("c").alias("mc"))
+        # argmax by (count DESC, label ASC) as ONE structural min — the
+        # lexicographic min of (-c, lbl) IS "max count, ties to smallest
+        # label", so the former max-count aggregate + equi-join +
+        # min-label aggregate (3 exchanges per round, r13 plan audit)
+        # collapses into a single map-side-combinable aggregation
+        # (1 exchange). Values identical by construction; the oracle
+        # still states the three-CTE max/join/min form.
         labels = (
-            cnt.join(mx, "v")
-            .filter(F.col("c") == F.col("mc"))
-            .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
+            cnt.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+                ).alias("m")
+            )
+            .select("v", F.col("m.lbl").alias("lbl"))
             .localCheckpoint()
         )
     return labels.groupBy(F.col("lbl").alias("community")).agg(

@@ -152,29 +152,41 @@ def prefix_filter_candidates(
     from mapreduceframework_cpp_spark.operators.common import persist_tracked
 
     sh = persist_tracked(sh)
-    # per-shingle document frequency; the prefix order only needs a
-    # TOTAL order by rarity, so each doc's window sorts by (df,
-    # shingle) directly — a global row_number over the vocabulary
-    # would be a single-partition sort for nothing
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sized = sh.join(freq, "shingle").withColumn(
+    # Candidate generation runs entirely on 8-byte xxhash64 shingle
+    # keys, never the ~25-byte shingle strings (guide §2.3 "narrower
+    # types"): the prefix-filter recall theorem holds for ANY total
+    # vocabulary order shared by both docs, so ordering by
+    # (df, hash) instead of (df, shingle) keeps 100% recall — rarity
+    # stays the primary sort key, only the tie-break changes — while
+    # every exchange below (df window, doc windows, self-join,
+    # distinct) shuffles and sorts longs instead of strings. A 64-bit
+    # collision can only ADD a candidate pair, which the exact
+    # string-level Jaccard verification rejects — the same
+    # candidates-are-cheap/verify-is-exact split as MinHash-LSH.
+    # The per-shingle document frequency comes from a count window
+    # over the hash exchange (one exchange) instead of the former
+    # groupBy(shingle) aggregate + equi-join back (two).
+    pre = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    sized = pre.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).withColumn(
         "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
     prefix = (
         sized.withColumn("rn", F.row_number().over(w_doc))
         .filter(
             F.col("rn")
             <= F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1
         )
-        .select("doc_id", "shingle", "sz")
+        .select("doc_id", "h", "sz")
     )
     # AllPairs length filter: J(a,b) ≥ t forces t·|b| ≤ |a| (and
     # symmetrically), so size-mismatched prefix collisions prune before
     # the verification fan-out ever sees them.
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
+        .join(prefix.alias("b"), "h")
         .filter(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.sz") >= F.ceil(F.col("b.sz") * F.lit(t)))
