@@ -196,14 +196,19 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row (O(n²) on long partitions — measured 27 s at sf0.1), so the
     # forward neighbor uses last-over-DESC-order instead: same exchange,
     # one extra in-partition sort, linear time
+    # neighbor windows order by HOUR, not pos: pos is row_number over
+    # hour, so the orders are identical — but ordering by the column
+    # the first window already sorted by lets Catalyst reuse that sort
+    # (r13 plan audit: the orderBy("pos") form inserted a second
+    # in-partition Sort of the full grid between the window passes).
     wp = (
         Window.partitionBy("user_id")
-        .orderBy("pos")
+        .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wn = (
         Window.partitionBy("user_id")
-        .orderBy(F.desc("pos"))
+        .orderBy(F.desc("hour"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pos_if_obs = F.when(F.col("n").isNotNull(), F.col("pos"))
